@@ -1,0 +1,80 @@
+"""Fixture catalog: the driver-generated TPC-H-ish parquet tables.
+
+Reference analog: the reference loads its table catalog once at startup
+from ``information_schema.tables`` (/root/reference/src/cdc/mod.rs:30-47);
+here the catalog is the fixed set of parquet fixtures plus Spark's own
+catalog for registered views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables that stay broadcast-able at ANY scale factor (they are
+#: bounded by the world, not by the data volume): always broadcast these in
+#: joins so the fact-side scan never shuffles for them.
+DIM_TABLES = {"region", "nation", "supplier"}
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (cached per file).
+
+    Spark reads them as LongType under ``nanosAsLong``; we truncate to µs
+    (integer div — double division would lose precision on epoch-ns
+    int64s) to match DuckDB's read-time truncation.
+    """
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    cols = [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    _NANOS_CACHE[path] = cols
+    return cols
+
+
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (SURVEY §2B S1). Columnar source → Catalyst gets
+    predicate pushdown + column pruning for free; keep all filters/selects
+    declarative so they reach the scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A dimension table wrapped in a broadcast hint."""
+    df = table(spark, sf_dir, name)
+    return F.broadcast(df) if name in DIM_TABLES else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

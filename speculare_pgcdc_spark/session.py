@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (100 TB north star): every setting here is either
+scale-neutral or the local-mode analog of a cluster setting — AQE is the
+big one (runtime shuffle-partition coalescing, skew-join splitting,
+dynamic broadcast selection), and it behaves identically on a 1000
+executor cluster. ``spark.sql.shuffle.partitions`` is sized to cores
+locally; on a real cluster you would size it to ~2-3x total cores and let
+AQE coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "speculare-pgcdc-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    - AQE on: runtime coalescing, skew handling, adaptive broadcast.
+    - Arrow on: vectorized pandas UDF / toPandas transfer.
+    - Session timezone pinned to UTC so timestamp semantics are
+      deterministic and match the DuckDB oracle (naive == UTC).
+    """
+    cpus = default_cpus()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Fixtures store timestamp[ns]; Spark's TimestampType is µs-only.
+        # Read nanos as long and let the catalog truncate to µs — the same
+        # truncation DuckDB applies on read, so both engines see identical
+        # values (verified in tests/test_oracle.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
