@@ -1,0 +1,108 @@
+"""Deterministic wal2json feed derived from the ``events`` fixture table.
+
+The reference's only test harness is scripts/test.sh (insert/update loops
+watched by a human). Here the feed is generated FROM real fixture data so
+the pipeline's output is oracle-checkable: DuckDB recomputes the expected
+routed output straight from the events table (queries/cdc_q.py).
+
+Mapping (pure column arithmetic — reproducible in SQL on both engines):
+- kind:  event_id % 3 -> 0 insert, 1 update, 2 delete
+- table: event_id % 11 == 0      -> '_hyper_9_<event_id%7>_chunk'
+             (idx 9 unknown -> pins the fall-back-to-raw-name branch)
+         user_id % 2 == 1        -> '_hyper_1_<event_id%7>_chunk' (-> events_a)
+         else                    -> '_hyper_2_<event_id%7>_chunk' (-> events_b)
+- insert/update rows carry columnnames [event_id, event_type, value] with
+  event_id and value as JSON NUMBERS (pins the non-string-cell quirk) and
+  event_type as a string.
+- delete rows carry only oldkeys (pins the filtered-deletes-drop quirk).
+- transactions: groups of 4 consecutive event_ids per message.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import table
+
+#: hypertable lookup fixture (_timescaledb_catalog.hypertable analog)
+HYPER_LOOKUP = [(1, "events_a"), (2, "events_b")]
+
+#: the logical table catalog the subscriptions validate against
+FEED_TABLES = ["events_a", "events_b"]
+
+
+def lookup_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(HYPER_LOOKUP, "idx int, table_name string")
+
+
+def feed_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wal2json transaction message (JSON string) per row: column
+    ``payload``. Built entirely with JVM-side expressions."""
+    e = table(spark, sf_dir, "events")
+    chunk_table = F.concat(
+        F.lit("_hyper_"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("9"))
+        .when(F.col("user_id") % 2 == 1, F.lit("1"))
+        .otherwise(F.lit("2")),
+        F.lit("_"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("_chunk"),
+    )
+    kind = (
+        F.when(F.col("event_id") % 3 == 0, "insert")
+        .when(F.col("event_id") % 3 == 1, "update")
+        .otherwise("delete")
+    )
+    row_json = F.format_string(
+        '{"kind":"%s","table":"%s",'
+        '"columnnames":["event_id","event_type","value"],'
+        '"columntypes":["bigint","text","double precision"],'
+        '"columnvalues":[%s,"%s",%s]}',
+        kind,
+        chunk_table,
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    del_json = F.format_string(
+        '{"kind":"delete","table":"%s",'
+        '"oldkeys":{"keynames":["event_id"],"keytypes":["bigint"],'
+        '"keyvalues":[%s]}}',
+        chunk_table,
+        F.col("event_id").cast("string"),
+    )
+    change = F.when(kind == "delete", del_json).otherwise(row_json)
+    txn = (F.col("event_id") / 4).cast("bigint")
+    return (
+        e.select(txn.alias("txn"), F.col("event_id"), change.alias("change"))
+        .groupBy("txn")
+        .agg(
+            F.concat(
+                F.lit('{"change":['),
+                F.array_join(
+                    # deterministic in-transaction order
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("event_id", "change"))
+                        ),
+                        lambda s: s.getField("change"),
+                    ),
+                    ",",
+                ),
+                F.lit("]}"),
+            ).alias("payload")
+        )
+        .select("payload")
+    )
+
+
+def write_feed(
+    spark: SparkSession, sf_dir: str, out_dir: str, num_files: int = 8
+) -> str:
+    """Materialize the feed as JSON-lines text files (streaming-source
+    fixture for readStream tests)."""
+    feed_messages(spark, sf_dir).repartition(num_files).write.mode(
+        "overwrite"
+    ).text(out_dir)
+    return out_dir

@@ -1,0 +1,197 @@
+"""wal2json change pipeline (reference analog: src/forwarder/mod.rs:75-143).
+
+The reference processes one JSON message at a time off an mpsc channel;
+here the same dataflow is a single declarative DataFrame plan that works
+identically in batch and Structured Streaming (microbatch = the channel):
+
+    payload -> parse_json (VariantType) -> explode(change) ->
+    project/validate -> normalize row maps -> hypertable lookup ->
+    route(subscriptions)
+
+VariantType (Spark 4) is the load-bearing choice: it preserves per-cell
+JSON types columnar-natively, which is what lets the engine pin the
+reference's "eq/in match only string-typed cells" quirk
+(src/utils/specific_filter.rs:36-46) without a Python UDF. Everything
+below is JVM-side expressions — at 100 TB this pipeline is a single
+narrow stage until the (broadcast) routing join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.dsl import DELETE, INSERT, UPDATE
+
+#: Stable output schema of parse_wal2json.
+CHANGE_COLUMNS = [
+    "table",        # raw table name as emitted by wal2json
+    "kind",         # insert | update | delete (others dropped, see below)
+    "columnnames",  # array<string> (null for deletes)
+    "row_typed",    # map col -> value, ONLY string-typed JSON cells
+    "row_str",      # map col -> lenient string-cast of any scalar cell
+    "change_json",  # canonical JSON of the change (fan-out payload)
+]
+
+
+def parse_wal2json(payload_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """One row per change event from a frame of wal2json transaction
+    messages (R8 parse + R9 explode + R10 project/validate).
+
+    Messages without a ``change`` array are dropped (forwarder
+    mod.rs:85-91 logs + continues); changes missing table/kind are
+    dropped (mod.rs:129-134); kinds other than insert/update/delete
+    (wal2json 'message'/'truncate') get flag 0 and are skipped
+    (mod.rs:125-128).
+    """
+    v = payload_df.select(
+        F.parse_json(F.col(payload_col)).alias("_msg")
+    )
+    ch = v.select(
+        F.explode(
+            F.expr("variant_get(_msg, '$.change', 'array<variant>')")
+        ).alias("_c")
+    )
+    typed_cells = F.expr(
+        "transform(variant_get(_c, '$.columnvalues', 'array<variant>'),"
+        " x -> CASE WHEN schema_of_variant(x) = 'STRING'"
+        "      THEN variant_get(x, '$', 'string') END)"
+    )
+    lenient_cells = F.expr(
+        "transform(variant_get(_c, '$.columnvalues', 'array<variant>'),"
+        " x -> cast(x AS string))"
+    )
+    names = F.expr("variant_get(_c, '$.columnnames', 'array<string>')")
+    out = ch.select(
+        F.expr("variant_get(_c, '$.table', 'string')").alias("table"),
+        F.expr("variant_get(_c, '$.kind', 'string')").alias("kind"),
+        names.alias("columnnames"),
+        F.map_from_arrays(names, typed_cells).alias("row_typed"),
+        F.map_from_arrays(names, lenient_cells).alias("row_str"),
+        F.expr("to_json(_c)").alias("change_json"),
+    )
+    return out.filter(
+        F.col("table").isNotNull()
+        & F.col("kind").isNotNull()
+        & F.col("kind").isin("insert", "update", "delete")
+    )
+
+
+def normalize_hypertables(
+    changes: DataFrame, lookup: DataFrame | None
+) -> DataFrame:
+    """TimescaleDB chunk-name -> base-table normalization (R11;
+    forwarder/mod.rs:15-41 + cdc/mod.rs:12-18).
+
+    ``lookup`` is a small (idx int, table_name string) frame — the
+    _timescaledb_catalog.hypertable analog — broadcast so the change
+    stream never shuffles. Fallback-to-raw-name on: non-_hyper_ prefix,
+    non-numeric idx, idx missing from the lookup. (The reference would
+    panic on a non-numeric idx after '_hyper_'; we take the documented
+    fallback branch instead.)
+
+    Adds ``table_name`` (normalized); keeps ``table`` (raw).
+    """
+    if lookup is None:
+        return changes.withColumn("table_name", F.col("table"))
+    idx_str = F.when(
+        F.col("table").startswith("_hyper_"),
+        F.regexp_extract("table", r"^_hyper_(\d+)_", 1),
+    ).otherwise(F.lit(""))
+    with_idx = changes.withColumn(
+        "_hyper_idx", F.when(idx_str != "", idx_str.cast("int"))
+    )
+    lk = F.broadcast(
+        lookup.select(
+            F.col("idx").alias("_lk_idx"),
+            F.col("table_name").alias("_lk_name"),
+        )
+    )
+    return (
+        with_idx.join(lk, with_idx._hyper_idx == lk._lk_idx, "left")
+        .withColumn("table_name", F.coalesce("_lk_name", "table"))
+        .drop("_hyper_idx", "_lk_idx", "_lk_name")
+    )
+
+
+def subscriptions_df(spark, subs, tables):
+    """Parse DSL strings into the standing-subscriptions frame consumed
+    by route() (R16+R17: the parsed WsWatchFor registry as data).
+
+    subs: iterable of (sub_id, dsl_query). Invalid queries raise DslError
+    exactly like the reference returns HTTP 400.
+    """
+    from speculare_pgcdc_spark.dsl import parse_ws_query
+
+    rows = []
+    for sub_id, q in subs:
+        w = parse_ws_query(q, tables)
+        rows.append(
+            (
+                sub_id,
+                w.change_table,
+                w.change_flag,
+                w.specific.column if w.specific else None,
+                w.specific.op if w.specific else None,
+                list(w.specific.values) if w.specific else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "sub_id bigint, change_table string, change_flag int,"
+        " filter_col string, filter_op string, filter_vals array<string>",
+    )
+
+
+def _kind_bit():
+    # lazy: building a Column needs an active SparkContext
+    return (
+        F.when(F.col("kind") == "insert", F.lit(INSERT))
+        .when(F.col("kind") == "update", F.lit(UPDATE))
+        .when(F.col("kind") == "delete", F.lit(DELETE))
+        .otherwise(F.lit(0))
+    )
+
+
+def route(changes: DataFrame, subscriptions: DataFrame) -> DataFrame:
+    """Routing + per-subscription filtering (R13 + R14; forwarder
+    mod.rs:105-127 and send_message :44-72).
+
+    ``subscriptions`` columns: sub_id, change_table, change_flag,
+    filter_col (nullable), filter_op ('eq'|'in', nullable), filter_vals
+    (array<string>, nullable). It is the engine's ServerState: the
+    reference's three HashMap<table, HashSet<id>> indexes become ONE
+    broadcast hash join on table name + bitmask residual + generic
+    filter residual — all JVM-side.
+
+    Returns one row per (change, matching subscription).
+    """
+    subs = F.broadcast(
+        subscriptions.select(
+            "sub_id",
+            F.col("change_table").alias("_s_table"),
+            F.col("change_flag").alias("_s_flag"),
+            F.col("filter_col").alias("_s_col"),
+            F.col("filter_op").alias("_s_op"),
+            F.col("filter_vals").alias("_s_vals"),
+        )
+    )
+    cell = F.try_element_at(F.col("row_typed"), F.col("_s_col"))
+    filter_ok = (
+        F.when(F.col("_s_col").isNull(), F.lit(True))
+        .when(
+            F.col("_s_op") == "eq",
+            cell == F.try_element_at(F.col("_s_vals"), F.lit(1)),
+        )
+        .when(F.col("_s_op") == "in", F.array_contains("_s_vals", cell))
+        .otherwise(F.lit(False))
+    )
+    cond = (
+        (F.col("table_name") == F.col("_s_table"))
+        & (_kind_bit().bitwiseAND(F.col("_s_flag")) != 0)
+    )
+    return (
+        changes.join(subs, cond, "inner")
+        .filter(filter_ok)
+        .drop("_s_table", "_s_flag", "_s_col", "_s_op", "_s_vals")
+    )

@@ -1,0 +1,98 @@
+"""CDC end-to-end queries (SURVEY §2B C1/C2, queries Q35/Q36).
+
+The feed is generated deterministically FROM the events fixture
+(cdc/feedgen.py), so DuckDB can recompute the expected routed output
+straight from the events table — a real oracle for the whole
+serialize -> parse -> explode -> normalize -> route pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.cdc.feedgen import (
+    FEED_TABLES,
+    feed_messages,
+    lookup_df,
+)
+from speculare_pgcdc_spark.cdc.pipeline import (
+    normalize_hypertables,
+    parse_wal2json,
+    route,
+    subscriptions_df,
+)
+from speculare_pgcdc_spark.queries import register
+
+_BASE_CTE = """
+    WITH base AS (
+        SELECT event_id, user_id, event_type,
+               CASE CAST(event_id % 3 AS INT)
+                   WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                   ELSE 'delete' END AS kind,
+               CASE WHEN event_id % 11 = 0 THEN
+                        '_hyper_9_' || CAST(event_id % 7 AS VARCHAR) || '_chunk'
+                    WHEN user_id % 2 = 1 THEN 'events_a'
+                    ELSE 'events_b' END AS table_name
+        FROM events)
+"""
+
+
+@register(
+    "q35_cdc_pipeline",
+    oracle=_BASE_CTE
+    + """
+    SELECT table_name, kind,
+           CASE WHEN kind <> 'delete' THEN CAST(event_id AS VARCHAR) END AS id,
+           CASE WHEN kind <> 'delete' THEN event_type END AS etype
+    FROM base ORDER BY table_name, kind, id
+    """,
+    doc="C1 CDC end-to-end (R8-R11): events -> wal2json messages -> "
+    "variant parse -> explode -> normalize (typed/lenient row maps) -> "
+    "hypertable broadcast lookup with fall-back-to-raw-name. Deletes "
+    "carry oldkeys only => null row maps => null id/etype. Oracle "
+    "recomputes the expectation from the events table directly.",
+    bench=True,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    feed = feed_messages(spark, sf)
+    changes = parse_wal2json(feed)
+    normalized = normalize_hypertables(changes, lookup_df(spark))
+    return normalized.select(
+        "table_name",
+        "kind",
+        F.try_element_at("row_str", F.lit("event_id")).alias("id"),
+        F.try_element_at("row_typed", F.lit("event_type")).alias("etype"),
+    ).orderBy("table_name", "kind", "id")
+
+
+@register(
+    "q36_dsl_route",
+    oracle=_BASE_CTE
+    + """
+    SELECT CAST(event_id AS VARCHAR) AS id FROM base
+    WHERE table_name = 'events_a'
+      AND kind IN ('insert', 'update')
+      AND event_type IN ('click', 'view')
+    ORDER BY id
+    """,
+    doc="C2 subscription DSL compile + route (R13-R16): "
+    "'insert,update:events_a:event_type.in.click,view' parsed per "
+    "query.rs:10-85, joined as a broadcast subscriptions frame. The "
+    "oracle derives the same rows from events arithmetic (hypertable "
+    "chunks of idx 1 normalize to events_a; unknown idx 9 keeps its "
+    "chunk name and thus never matches).",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    feed = feed_messages(spark, sf)
+    changes = parse_wal2json(feed)
+    normalized = normalize_hypertables(changes, lookup_df(spark))
+    subs = subscriptions_df(
+        spark,
+        [(1, "insert,update:events_a:event_type.in.click,view")],
+        FEED_TABLES,
+    )
+    routed = route(normalized, subs)
+    return routed.select(
+        F.try_element_at("row_str", F.lit("event_id")).alias("id")
+    ).orderBy("id")

@@ -1,0 +1,148 @@
+"""CDC pipeline reference-equivalence tests (SURVEY §5.2): the filter
+quirks from src/utils/specific_filter.rs and the hypertable fallback
+branches from src/forwarder/mod.rs:15-41, exercised through the real
+Spark pipeline on tiny literal frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.cdc.pipeline import (
+    normalize_hypertables,
+    parse_wal2json,
+    route,
+    subscriptions_df,
+)
+from speculare_pgcdc_spark.dsl import filter_predicate, parse_ws_query
+
+TABLES = ["test_table0", "test_table1"]
+
+
+def _changes(spark, *payloads):
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    return parse_wal2json(df)
+
+
+INSERT_STR = (
+    '{"change":[{"kind":"insert","table":"test_table0",'
+    '"columnnames":["id","name"],"columntypes":["integer","text"],'
+    '"columnvalues":[1,"W1"]}]}'
+)
+INSERT_NUM_NAME = (
+    '{"change":[{"kind":"insert","table":"test_table0",'
+    '"columnnames":["id","name"],"columnvalues":[2,42]}]}'
+)
+DELETE_MSG = (
+    '{"change":[{"kind":"delete","table":"test_table0",'
+    '"oldkeys":{"keynames":["id"],"keyvalues":[1]}}]}'
+)
+TRUNCATE_MSG = '{"change":[{"kind":"truncate","table":"test_table0"}]}'
+NO_CHANGE_MSG = '{"not_change":[]}'
+
+
+def _matches(spark, payload, dsl):
+    w = parse_ws_query(dsl, TABLES)
+    df = _changes(spark, payload).withColumn("table_name", F.col("table"))
+    from speculare_pgcdc_spark.dsl import subscription_predicate
+
+    return df.filter(subscription_predicate(w)).count()
+
+
+def test_eq_matches_string_cell(spark):
+    assert _matches(spark, INSERT_STR, "insert:test_table0:name.eq.W1") == 1
+
+
+def test_eq_rejects_wrong_value(spark):
+    assert _matches(spark, INSERT_STR, "insert:test_table0:name.eq.W2") == 0
+
+
+def test_eq_numeric_cell_never_matches(spark):
+    # specific_filter.rs:36-42 — as_str() on a JSON number is None
+    assert _matches(spark, INSERT_NUM_NAME, "insert:test_table0:name.eq.42") == 0
+
+
+def test_absent_column_never_matches(spark):
+    # specific_filter.rs:27-29
+    assert _matches(spark, INSERT_STR, "insert:test_table0:ghost.eq.W1") == 0
+
+
+def test_filtered_deletes_never_match(spark):
+    # specific_filter.rs:19-25 — deletes carry oldkeys, no columnnames
+    assert _matches(spark, DELETE_MSG, "delete:test_table0:name.eq.W1") == 0
+
+
+def test_unfiltered_deletes_do_match(spark):
+    assert _matches(spark, DELETE_MSG, "delete:test_table0") == 1
+
+
+def test_in_list_matches(spark):
+    assert _matches(spark, INSERT_STR, "insert:test_table0:name.in.W1,W3") == 1
+    assert _matches(spark, INSERT_STR, "insert:test_table0:name.in.W2,W3") == 0
+
+
+def test_kind_mask_excludes_other_kinds(spark):
+    assert _matches(spark, INSERT_STR, "update,delete:test_table0") == 0
+    assert _matches(spark, INSERT_STR, "*:test_table0") == 1
+
+
+def test_unknown_kinds_and_malformed_messages_dropped(spark):
+    df = _changes(spark, TRUNCATE_MSG, NO_CHANGE_MSG, INSERT_STR)
+    assert df.count() == 1  # only the insert survives
+
+
+def test_hypertable_normalization_branches(spark):
+    lookup = spark.createDataFrame(
+        [(1, "test_table0"), (2, "test_table1")], "idx int, table_name string"
+    )
+    raw = spark.createDataFrame(
+        [
+            ("_hyper_1_3_chunk",),   # known idx -> test_table0
+            ("_hyper_2_9_chunk",),   # known idx -> test_table1
+            ("_hyper_9_1_chunk",),   # unknown idx -> raw (mod.rs:31-37)
+            ("_hyper_x_chunk",),     # non-numeric -> raw (no panic)
+            ("plain_table",),        # not a chunk -> raw (mod.rs:39-40)
+        ],
+        ["table"],
+    )
+    out = dict(
+        normalize_hypertables(raw, lookup)
+        .select("table", "table_name")
+        .collect()
+    )
+    assert out == {
+        "_hyper_1_3_chunk": "test_table0",
+        "_hyper_2_9_chunk": "test_table1",
+        "_hyper_9_1_chunk": "_hyper_9_1_chunk",
+        "_hyper_x_chunk": "_hyper_x_chunk",
+        "plain_table": "plain_table",
+    }
+
+
+def test_route_fans_out_to_multiple_subscribers(spark):
+    subs = subscriptions_df(
+        spark,
+        [
+            (1, "insert:test_table0"),
+            (2, "*:test_table0:name.eq.W1"),
+            (3, "delete:test_table0"),
+            (4, "insert:test_table1"),
+        ],
+        TABLES,
+    )
+    changes = _changes(spark, INSERT_STR, DELETE_MSG).withColumn(
+        "table_name", F.col("table")
+    )
+    got = sorted(
+        r.sub_id for r in route(changes, subs).select("sub_id").collect()
+    )
+    # insert -> subs 1 and 2; delete -> sub 3 only (filtered sub 2 cannot
+    # match a delete); sub 4 wrong table
+    assert got == [1, 2, 3]
+
+
+def test_filter_predicate_null_semantics(spark):
+    # filter column compiled alone behaves per match_filter
+    w = parse_ws_query("insert:test_table0:name.eq.W1", TABLES)
+    df = _changes(spark, INSERT_STR, INSERT_NUM_NAME, DELETE_MSG)
+    assert df.filter(filter_predicate(w.specific)).count() == 1
