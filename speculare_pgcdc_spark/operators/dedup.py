@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, all pure DataFrame ops (JVM-side, shuffle-conscious):
+
+- exact: dropDuplicates / md5-fingerprint keyed dedup
+- token-set Jaccard (exact pairwise over shared tokens) — the oracle
+  path; quadratic in docs-per-shared-token, so the scale path is:
+- MinHash + LSH banding: signatures via k seeded xxhash64 mins (one
+  explode + one groupBy), candidate pairs via band-bucket self-join,
+  then EXACT Jaccard verification of candidates only. At 100 TB this is
+  the standard near-dup architecture: cost is bounded by bucket sizes,
+  not corpus^2.
+- SimHash: 64-bit per-doc signature via bitwise majority vote of token
+  hashes; near-dups = small Hamming distance. Signature computation is
+  64 conditional sums inside one hash aggregate (no shuffle beyond the
+  doc groupBy).
+
+Reference analog: none (the reference has no batch analytics); this is
+the LLM-data-pipeline extension mandated by the build plan (SURVEY §7 M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, tok) pairs; empty tokens dropped."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def char_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character n-gram shingles per doc (generator expression;
+    no Python)."""
+    sh = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("tok"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    tok: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact pairwise token-set Jaccard >= threshold over docs sharing at
+    least one token. Returns (da, db, j) with da < db.
+
+    Scale note: per-token join fan-out is sum(n_t^2); usable when token
+    document-frequencies are bounded (stopword filtering / df-capping
+    upstream) — otherwise use minhash_lsh_pairs below.
+    """
+    a = tok.select(F.col(id_col).alias("da"), "tok")
+    b = tok.select(F.col(id_col).alias("db"), "tok")
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("j", j)
+        .filter(F.col("j") >= threshold)
+        .select("da", "db", F.round("j", 4).alias("j"))
+    )
+
+
+def minhash_signatures(
+    tok: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, signature array<bigint>) — k independent min-hashes via
+    seeded xxhash64 over tokens. One hash aggregate; k mins computed
+    map-side in a single pass."""
+    mins = [
+        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return tok.groupBy(id_col).agg(*mins).select(
+        F.col(id_col), sig.alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banding: docs sharing any band of the signature become a candidate
+    pair (da < db). bands*rows must equal the signature length.
+
+    The self-join is keyed on (band, band_hash) so fan-out is bounded by
+    bucket occupancy — the property that makes this viable at 100 TB.
+    """
+    band_hash = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(b, slice(signature, b * {rows} + 1, {rows})))"
+    )
+    buckets = signatures.select(
+        F.col(id_col),
+        F.posexplode(band_hash).alias("band", "bhash"),
+    )
+    a = buckets.select(F.col(id_col).alias("da"), "band", "bhash")
+    b = buckets.select(F.col(id_col).alias("db"), "band", "bhash")
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> EXACT Jaccard
+    verification of candidates only. Output (da, db, j) is a subset of
+    jaccard_pairs(...) limited by LSH recall (tunable via bands/rows)."""
+    rows = num_hashes // bands
+    tok = tokens(docs, id_col, text_col)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(tok, num_hashes, id_col), bands, rows, id_col
+    )
+    exact = jaccard_pairs(tok, threshold, id_col)
+    return cands.join(exact, ["da", "db"], "inner")
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: for each bit, majority vote (+1/-1) of the
+    token xxhash64 bits; bit set when the vote is positive."""
+    tok = tokens(docs, id_col, text_col).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

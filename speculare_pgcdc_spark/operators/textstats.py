@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7 M5):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure column expressions (whole-stage codegen) so each
+is a narrow map over the corpus — embarrassingly parallel at 100 TB.
+
+Every formula is deliberately SQL-mirrorable so the DuckDB oracle can
+recompute it exactly (queries/llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker-token language heuristic: first language whose marker appears
+#: wins; 'unk' otherwise. (A real n-gram profile model slots in here —
+#: same shape: deterministic text -> label expression.)
+LANG_MARKERS = [
+    ("en", " the "),
+    ("de", " der "),
+    ("es", " el "),
+    ("fr", " le "),
+]
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def lang_guess(text: Column) -> Column:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    expr = F.lit("unk")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(padded.contains(marker), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace tokenization count."""
+    return F.size(_toks(text)).cast("bigint")
+
+
+def token_count_re(text: Column) -> Column:
+    """Regex word-token count (a BPE-ish pre-tokenizer stand-in)."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0)).cast(
+        "bigint"
+    )
+
+
+def _stopword_ratio_raw(text: Column) -> Column:
+    toks = _toks(text)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    return F.round(_stopword_ratio_raw(text), 4)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = _toks(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality signal: length prior + stopword prior.
+    Deterministic arithmetic only — mirrored in SQL by the oracle.
+    Composes RAW (unrounded) terms; rounds exactly once at the end."""
+    n = token_count_ws(text)
+    len_term = F.least(n.cast("double") / 20.0, F.lit(1.0))
+    stop_term = F.lit(1.0) - _stopword_ratio_raw(text)
+    return F.round((len_term + stop_term) / 2.0, 4)
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text
+    (lower + trim), truncated. Identical in Spark and DuckDB."""
+    return F.substring(F.md5(F.lower(F.trim(text))), 1, length)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All stats in one narrow projection."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "lang_guess": lang_guess(t),
+            "n_tok_ws": token_count_ws(t),
+            "n_tok_re": token_count_re(t),
+            "stop_ratio": stopword_ratio(t),
+            "avg_tok_len": avg_token_len(t),
+            "quality": quality_score(t),
+            "fp": fingerprint(t),
+        }
+    )

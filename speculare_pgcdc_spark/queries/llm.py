@@ -1,0 +1,322 @@
+"""LLM-data-pipeline queries (SURVEY §2B L1-L5 + extensions, Q42-Q53):
+dedup (exact / Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + IVF), text analysis, multimodal plumbing.
+
+Oracle=Y where the computation is SQL-mirrorable; sketch/approx ops
+(LSH, SimHash, IVF) are rows-only here and property-tested in
+tests/test_llm.py (recall vs exact, invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.operators import dedup as dd
+from speculare_pgcdc_spark.operators import multimodal as mm
+from speculare_pgcdc_spark.operators import similarity as sim
+from speculare_pgcdc_spark.operators import textstats as ts
+from speculare_pgcdc_spark.queries import register
+
+
+def _docs_subset(spark, sf, limit_id=200):
+    return table(spark, sf, "documents").filter(F.col("doc_id") < limit_id)
+
+
+@register(
+    "q42_jaccard_neardup",
+    oracle="""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        ORDER BY da, db
+    """,
+    doc="L2 exact token-Jaccard near-dup pairs (tau=0.6) over a bounded "
+    "doc subset — the oracle twin of the MinHash-LSH scale path (q46). "
+    "Engine impl: operators/dedup.jaccard_pairs.",
+    bench=True,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    tok = dd.tokens(_docs_subset(spark, sf))
+    return dd.jaccard_pairs(tok, 0.6).orderBy("da", "db")
+
+
+@register(
+    "q43_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY cos DESC, e.vec_id LIMIT 5
+    """,
+    doc="L3 brute-force cosine top-5 neighbors of vec_id=0. Spark path: "
+    "zip_with+aggregate fold in double (no explode, no shuffle; final "
+    "top-k is TakeOrderedAndProject). operators/similarity.cosine_topk.",
+    bench=True,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return sim.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=5)
+
+
+@register(
+    "q44_token_topk",
+    oracle="""
+        SELECT tok, COUNT(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok ORDER BY c DESC, tok LIMIT 20
+    """,
+    doc="L4 corpus token frequency top-20 (explode -> partial+final hash "
+    "agg -> TakeOrdered; the canonical word-count shape).",
+    bench=True,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "q45_fingerprint_dedup",
+    oracle="""
+        SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fp FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                       ORDER BY doc_id) AS rn
+            FROM documents)
+        WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="L1 exact content dedup by md5 fingerprint, keep-lowest-doc_id "
+    "(deterministic dropDuplicates). operators/textstats.fingerprint.",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            ts.fingerprint(F.col("text")).alias("fp"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q46_minhash_lsh",
+    oracle=None,  # sketch op: recall-vs-exact property test in test_llm.py
+    doc="L2 scale path: MinHash(32) + LSH(8 bands x 4 rows) candidates, "
+    "exact-Jaccard verified (tau=0.6). Output is a recall-bounded "
+    "subset of q42. operators/dedup.minhash_lsh_pairs.",
+    bench=True,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs_subset(spark, sf), 0.6).orderBy(
+        "da", "db"
+    )
+
+
+@register(
+    "q47_simhash",
+    oracle=None,  # property-tested: identical text => identical simhash
+    doc="L2 SimHash-64 per document (bitwise majority of token hashes); "
+    "near-dup = small Hamming distance. operators/dedup.simhash64.",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.simhash64(_docs_subset(spark, sf)).orderBy("doc_id")
+
+
+@register(
+    "q48_embedding_neardup",
+    oracle="""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        ORDER BY va, vb
+    """,
+    doc="L2/L3 embedding-cosine near-dup pairs (tau=0.3 fits the random "
+    "fixture distribution) over a bounded subset; the all-pairs join is "
+    "the exactness baseline whose scale path is LSH bucketing (random "
+    "hyperplanes) — same shape as q46 vs q42.",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    cos = sim._dot(F.col("ea"), F.col("eb")) / (
+        sim._norm(F.col("ea")) * sim._norm(F.col("eb"))
+    )
+    return (
+        pairs.withColumn("_cos_raw", cos)
+        .filter(F.col("_cos_raw") >= 0.3)
+        .select("va", "vb", F.round("_cos_raw", 4).alias("cos"))
+        .orderBy("va", "vb")
+    )
+
+
+@register(
+    "q49_lang_id",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                    WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                    WHEN contains(' ' || text || ' ', ' el ') THEN 'es'
+                    WHEN contains(' ' || text || ' ', ' le ') THEN 'fr'
+                    ELSE 'unk' END AS lang_guess
+        FROM documents ORDER BY doc_id
+    """,
+    doc="L4 language-ID heuristic (marker-token priority match; the seam "
+    "where an n-gram profile model plugs in). "
+    "operators/textstats.lang_guess.",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", ts.lang_guess(F.col("text")).alias("lang_guess"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q50_quality_score",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS BIGINT) AS n_tok_ws,
+               ROUND(len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','a','of','and','to','in'], t)))
+                   * 1.0 / greatest(len(list_filter(string_split(text, ' '),
+                       t -> t <> '')), 1), 4) AS stop_ratio,
+               ROUND((least(len(list_filter(string_split(text, ' '),
+                           t -> t <> '')) / 20.0, 1.0)
+                      + (1.0 - len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','of','and','to','in'], t)))
+                          * 1.0 / greatest(len(list_filter(string_split(text, ' '),
+                           t -> t <> '')), 1))) / 2.0, 4) AS quality
+        FROM documents ORDER BY doc_id
+    """,
+    doc="L4 quality scoring: token count, stopword ratio, composite "
+    "score — narrow codegen'd projection. operators/textstats.",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    t = F.col("text")
+    stop_raw = F.size(
+        F.filter(
+            F.filter(F.split("text", " "), lambda x: x != ""),
+            lambda x: x.isin(*ts.STOPWORDS),
+        )
+    ) / F.greatest(ts.token_count_ws(t), F.lit(1))
+    return (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            ts.token_count_ws(t).alias("n_tok_ws"),
+            F.round(stop_raw, 4).alias("stop_ratio"),
+            ts.quality_score(t).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q51_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re
+        FROM documents ORDER BY doc_id
+    """,
+    doc="L4 token counting: whitespace and regex tokenizers side by side.",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    t = F.col("text")
+    return (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            ts.token_count_ws(t).alias("n_ws"),
+            ts.token_count_re(t).alias("n_re"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q52_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               substr(sha256(text), 1, 16) AS digest
+        FROM documents ORDER BY doc_id
+    """,
+    doc="L5 multimodal binary-column plumbing: opaque payload bytes + "
+    "typed metadata + content digest (UTF-8 text bytes stand in for "
+    "media payloads; identical plumbing for JPEG/PCM). The mapInPandas "
+    "featurizer with the stubbed decoder is behavior-tested in "
+    "tests/test_llm.py. operators/multimodal.",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    with_payload = mm.attach_payload(table(spark, sf, "documents"))
+    return (
+        with_payload.select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.substring(F.sha2(F.decode("payload", "UTF-8"), 256), 1, 16)
+            .alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q53_ann_ivf",
+    oracle=None,  # invariant-tested: nprobe=all == brute force (test_llm)
+    doc="L3 scale path: IVF approximate nearest neighbor — coarse "
+    "centroids (per-label means), probe top-3 partitions, exact top-5 "
+    "within. operators/similarity.ivf_topk.",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return sim.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=5, nprobe=3)
