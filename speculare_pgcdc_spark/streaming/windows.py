@@ -1,0 +1,110 @@
+"""Event-time windowed aggregation + watermarking (T1-T4) and stateful
+ops (T5/T7) as reusable stream transformations. Batch-mode twins of the
+window forms are oracle-checked (queries/temporal.py); the streaming
+semantics (late-data drop, state cleanup, emit-on-watermark) are behavior
+tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from speculare_pgcdc_spark.functions import money_sum
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T1+T4: watermarked tumbling-window count/sum. In streaming mode
+    rows later than (max event time - watermark) are dropped and window
+    state is evicted once the watermark passes — the scale property that
+    bounds state at 100 TB/day ingest."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("c"), money_sum("value", "s"))
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """T2: sliding windows (each row lands in window/slide buckets)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, "2 hours")
+    return src.groupBy(
+        F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """T3: built-in session windows (merge-on-overlap)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, "2 hours")
+    return src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T5: stateful dedup with bounded state — duplicates arriving within
+    the watermark horizon are dropped; state evicts beyond it."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+#: output schema of running_counts
+_RUNNING_SCHEMA = "user_id bigint, events bigint"
+_STATE_SCHEMA = "events bigint"
+
+
+def running_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """T7: arbitrary stateful op via applyInPandasWithState — a per-key
+    running event counter (the reference's ServerState/ID_COUNTER shape:
+    driver-free, partitioned, checkpointed state)."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "events": [n]})
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
