@@ -54,8 +54,11 @@ def asof_join(
         time_cond = rt > lt if strict else rt >= lt
     cond = (F.col(left_key) == F.col(right_key)) & time_cond
     joined = left.join(right, cond, "inner")
-    pick = F.struct(F.col(right_time), F.col(value_col))
-    agg = F.max(pick) if direction == "backward" else F.min(pick)
-    return joined.groupBy(*group_cols).agg(
-        agg.getField(value_col).alias(value_col)
+    # max_by/min_by with a struct ordering key: hash-aggregable
+    # (ObjectHashAggregate — no per-group sort), deterministic because
+    # the value itself is the tiebreak inside the ordering struct.
+    fn = "max_by" if direction == "backward" else "min_by"
+    pick = F.expr(
+        f"{fn}(`{value_col}`, struct(`{right_time}`, `{value_col}`))"
     )
+    return joined.groupBy(*group_cols).agg(pick.alias(value_col))

@@ -341,6 +341,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     "Engine path: equi-join on key + time filter + argmax via "
     "max(struct(ts, tiebreak)) — a hash aggregate, NOT a window sort, "
     "so it scales as one shuffle. Oracle: ROW_NUMBER ts DESC, id DESC.",
+    bench=True,
 )
 def q13(spark: SparkSession, sf: str) -> DataFrame:
     from speculare_pgcdc_spark.operators.asof import asof_join
@@ -611,6 +612,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     "fixtures, so the frame order adds l_extendedprice: rows tying on "
     "the full sort key carry equal values, making prefix sums "
     "order-invariant => deterministic across engines.",
+    bench=True,
 )
 def q22(spark: SparkSession, sf: str) -> DataFrame:
     w = (

@@ -53,6 +53,9 @@ def get_spark(
         # truncation DuckDB applies on read, so both engines see identical
         # values (verified in tests/test_oracle.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # full PushedFilters/ReadSchema in plan strings (plan lints read
+        # them; default truncates at 100 chars)
+        .config("spark.sql.maxMetadataStringLength", "10000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

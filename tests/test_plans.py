@@ -1,0 +1,106 @@
+"""Plan-quality gates (scale contract): each headline query's physical
+plan must keep the properties that make it viable at 100 TB —
+regressions here fail even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from speculare_pgcdc_spark.plans import (
+    broadcast_hash_join_count,
+    exchange_count,
+    has_python_eval,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+)
+from speculare_pgcdc_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return build
+
+
+def test_filters_reach_parquet_scan(q):
+    pf = pushed_filters(q("q04_filter_predicates"))
+    assert "GreaterThanOrEqual(o_totalprice,1000" in pf
+    assert "LessThanOrEqual(o_totalprice,5000" in pf
+    assert "StringStartsWith(o_orderpriority,1-" in pf
+
+
+def test_column_pruning_reaches_scan(q):
+    # Q3 projects 4 source columns; the scan must read exactly those
+    schemas = read_schemas(q("q03_projection"))
+    assert schemas and schemas[0] == {
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    }
+
+
+def test_q15_scan_prunes_and_pushes(q):
+    df = q("q15_groupby_agg")
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(df)
+    (schema,) = read_schemas(df)
+    assert schema == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_join_agg_broadcasts_and_single_shuffle(q):
+    df = q("q07_join_agg")
+    assert broadcast_hash_join_count(df) == 1
+    # one hash shuffle (the aggregation); the only other exchange is the
+    # final presentation sort
+    assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_partial_aggregation_before_shuffle(q):
+    p = plan_string(q("q15_groupby_agg"))
+    assert "partial_sum" in p  # map-side combine
+    p13 = plan_string(q("q13_asof_join"))
+    assert "partial_max" in p13  # as-of argmax combines map-side too
+
+
+def test_topk_never_global_sorts(q):
+    p = plan_string(q("q25_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_cosine_topk_is_shuffle_free(q):
+    # zip_with/aggregate fold + broadcast NL join + TakeOrdered: the only
+    # exchange allowed is the single-row broadcast of the query vector
+    df = q("q43_cosine_topk")
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p
+    assert exchange_count(df, "hashpartitioning") == 0
+    assert not has_python_eval(df)
+
+
+def test_cdc_pipeline_stays_jvm_side(q):
+    # the hot path (parse -> explode -> normalize -> lookup) must never
+    # cross into Python
+    for name in ("q35_cdc_pipeline", "q36_dsl_route"):
+        assert not has_python_eval(q(name)), name
+
+
+def test_jaccard_join_is_equi_not_nested_loop(q):
+    p = plan_string(q("q42_jaccard_neardup"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_hypertable_lookup_is_broadcast(q):
+    p = plan_string(q("q35_cdc_pipeline"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_routing_join_is_broadcast(q):
+    p = plan_string(q("q36_dsl_route"))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
