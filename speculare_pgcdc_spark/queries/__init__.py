@@ -41,13 +41,18 @@ def register(name: str, oracle: Optional[str] = None, doc: str = "",
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module so the registry is fully populated."""
+    """Import every query module so the registry is fully populated.
+
+    Imports are STRICT: a broken module must fail loudly here, not
+    silently shrink the declared operator inventory (the driver counts
+    registry entries as the correctness surface).
+    """
     from speculare_pgcdc_spark.queries import (  # noqa: F401
+        cdc_q,
+        llm,
         relational,
+        temporal,
+        udf_q,
     )
-    for optional in ("cdc_q", "temporal", "udf_q", "llm"):
-        try:
-            __import__(f"speculare_pgcdc_spark.queries.{optional}")
-        except ImportError:
-            pass
+
     return REGISTRY
