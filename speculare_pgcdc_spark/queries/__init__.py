@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         relational,
         temporal,
+        tpch,
         udf_q,
     )
 

@@ -931,6 +931,23 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q54_approx_distinct",
+    oracle=None,  # sketch output is engine-specific; exact twin is q16
+    doc="A3 approx_count_distinct (HyperLogLog++, rsd=0.01). No SQL "
+    "oracle by design — the sketch estimate differs per engine; the "
+    "exact companion q16_count_distinct is the hash-checked twin and "
+    "tests/test_oracle.py pins the estimate within 5x rsd of exact. At "
+    "100 TB this is THE distinct-count path: the HLL sketch merges "
+    "map-side in constant memory per partition instead of shuffling "
+    "every distinct key the way COUNT(DISTINCT) must.",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "orders").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("u")
+    )
+
+
+@register(
     "q34_case_coalesce",
     oracle="""
         SELECT o_orderkey,

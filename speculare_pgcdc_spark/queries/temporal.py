@@ -83,6 +83,41 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q55_sliding_window",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS ws,
+                   event_type, value FROM events
+            UNION ALL
+            SELECT CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800,
+                   event_type, value FROM events)
+        SELECT ws, event_type, COUNT(*) AS c,
+               {oracle_money_sum('value', 's')}
+        FROM b GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+    doc="T2 sliding window (1h size, 30min slide) via F.window. Every "
+    "event lands in exactly size/slide = 2 overlapping windows; the "
+    "oracle materializes both window-start assignments arithmetically "
+    "(epoch-grid UNION ALL) — same duplication Spark's TimeWindow "
+    "expression generates. The fan-out factor is size/slide, so shuffle "
+    "volume scales linearly with it; window count is bounded by the time "
+    "range, keeping the final agg small at any data scale.",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        table(spark, sf, "events")
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("c"), money_sum("value", "s"))
+        .select(
+            F.col("w.start").cast("double").cast("bigint").alias("ws"),
+            "event_type", "c", "s",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@register(
     "q39_dedup_distinct",
     oracle="""
         SELECT user_id, event_type, COUNT(*) AS c FROM (

@@ -28,3 +28,13 @@ def test_behavior_runs(name, spark, sf_dir):
     n = df.count()
     assert n >= 0
     assert df.schema.fieldNames()
+
+
+def test_approx_distinct_within_bound(spark, duck, sf_dir):
+    """A3: the HLL++ estimate (rsd=0.01) must land within 5x rsd of the
+    exact distinct count (its hash-checked twin q16)."""
+    est = REGISTRY["q54_approx_distinct"].fn(spark, sf_dir).collect()[0]["u"]
+    exact = duck.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact <= 0.05, (est, exact)

@@ -104,3 +104,38 @@ def test_hypertable_lookup_is_broadcast(q):
 def test_routing_join_is_broadcast(q):
     p = plan_string(q("q36_dsl_route"))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_tpch_q5_pushdown_and_join_strategy(q):
+    df = q("q57_tpch_q5_local_supplier")
+    pf = pushed_filters(df)
+    # selective predicates must reach the scans, not evaluate post-join
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in pf
+    assert "EqualTo(r_name,ASIA)" in pf
+    # world-bounded dims are hint-broadcast at any scale
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_tpch_topk_never_global_sorts(q):
+    for name in ("q56_tpch_q3_shipping_priority",
+                 "q58_tpch_q10_returned_items",
+                 "q60_tpch_q18_large_orders"):
+        p = plan_string(q(name))
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_tpch_q12_join_is_equi_not_nested_loop(q):
+    # lateness predicate compares columns across the join; it must ride
+    # on the equi-join as a post-join condition, not force a BNLJ
+    p = plan_string(q("q59_tpch_q12_late_lines"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_sliding_window_single_shuffle(q):
+    # T2: the size/slide fan-out happens map-side (expand), then one
+    # shuffle for the agg
+    df = q("q55_sliding_window")
+    assert exchange_count(df, "hashpartitioning") <= 1
+    assert not has_python_eval(df)
