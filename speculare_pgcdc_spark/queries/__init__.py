@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from speculare_pgcdc_spark.queries import (  # noqa: F401
         cdc_q,
+        extended,
         llm,
         relational,
         temporal,

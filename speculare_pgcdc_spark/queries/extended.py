@@ -1,0 +1,191 @@
+"""Extended relational surface beyond SURVEY §2B (queries Q61-Q65):
+pivot, correlated subqueries, exact percentiles, ordered array
+aggregation, and character-shingle (n-gram) Jaccard near-dup.
+
+These round out what a user of a general analytics engine expects on
+top of the §2B contract; each is oracle-checked like the core rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import register_views, table
+from speculare_pgcdc_spark.queries import register
+
+
+@register(
+    "q61_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot (wide conditional aggregation). The pivot value list is "
+    "EXPLICIT — with it, Spark plans a single partial+final hash agg "
+    "pass; without it, it first runs a distinct scan to discover "
+    "values (an extra full pass at 100 TB). Oracle is the equivalent "
+    "CASE-WHEN form.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q62_correlated_subqueries",
+    oracle="""
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+        ORDER BY c_custkey
+    """,
+    doc="Correlated EXISTS + scalar subquery, expressed in SQL so "
+    "Catalyst's subquery decorrelation owns the plan: the EXISTS "
+    "rewrites to a left-semi join on o_custkey and the scalar AVG "
+    "becomes a one-row broadcast — no per-row re-execution (the naive "
+    "interpretation would be O(rows * subquery)).",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q63_percentiles",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 2) AS p50,
+               ROUND(quantile_cont(value, 0.9), 2) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont, both linear-interpolation). Exact "
+    "percentile buffers each group's values — the oracle form. The "
+    "scale path is approx_percentile (t-digest sketch, constant "
+    "memory, map-side mergeable), same call shape.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q64_ordered_array_agg",
+    oracle="""
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ','
+                          ORDER BY event_type) AS types
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Ordered set aggregation: collect_set -> array_sort -> join. "
+    "collect_* is unordered and partial-merged across partitions, so "
+    "determinism REQUIRES the explicit array_sort — pinned here so "
+    "nobody 'simplifies' it away and gets shuffle-order-dependent "
+    "output at scale.",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ","
+            ).alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q65_shingle_jaccard",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   substr(text, CAST(i AS INT), 3) AS s
+            FROM documents, unnest(range(1, len(text) - 1)) AS t(i)
+            WHERE doc_id < 100),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        ORDER BY da, db
+    """,
+    doc="L2 character-3-gram (shingle) Jaccard near-dup pairs (tau=0.5, "
+    "bounded scope) — the n-gram variant of q42's token Jaccard, "
+    "robust to whitespace/tokenization differences. Same scale story: "
+    "exact form is the oracle; MinHash+LSH over the same shingles "
+    "(operators/dedup.py, q46) is the linear-cost path at 100 TB.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - 2)
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(j >= 0.5)
+        .select("da", "db", F.round(j, 4).alias("j"))
+        .orderBy("da", "db")
+    )
