@@ -30,6 +30,7 @@ from speculare_pgcdc_spark.streaming.source import file_change_feed
 from speculare_pgcdc_spark.streaming.windows import (
     dedup_within_watermark,
     running_counts,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -386,3 +387,120 @@ def test_streaming_tumbling_window_matches_batch(spark, sf_dir, tmp_path):
         (r.w.start, r.event_type): (r.c, r.s) for r in batch.collect()
     }
     assert got == expected
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir, tmp_path):
+    """T2 stream-batch parity for overlapping windows (1h size / 30min
+    slide): every row lands in exactly 2 windows in both modes."""
+    from speculare_pgcdc_spark.catalog import table as t
+
+    events = t(spark, sf_dir, "events").select("ts", "event_type")
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(4).write.mode("overwrite").parquet(stream_dir)
+
+    src = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = sliding_counts(src)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_slide")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.w.start, r.event_type): r.c
+            for r in spark.sql("SELECT * FROM t_slide").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.w.start, r.event_type): r.c
+        for r in sliding_counts(events).collect()
+    }
+    assert got == expected
+    # overlap invariant: total window memberships == 2x row count
+    assert sum(got.values()) == 2 * events.count()
+
+
+def _wal2json_line(kind: str, tbl: str, names: list, values: list) -> dict:
+    return {
+        "change": [
+            {
+                "kind": kind,
+                "table": tbl,
+                "columnnames": names,
+                "columnvalues": values,
+            }
+        ]
+    }
+
+
+def test_subscription_update_across_restart(spark, tmp_path):
+    """R17 analog: the subscription registry is the static side of the
+    routing join; adding a subscriber means restarting the query from
+    the same checkpoint with the rebuilt broadcast side. Committed
+    offsets are not reprocessed, so the new subscriber sees only events
+    after its registration — exactly the reference's connect semantics
+    (ws_connected, api/ws_handler.rs:79-143)."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        outbox_deliver,
+        start_fanout_query,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    def payload_file(path, msgs):
+        with open(path, "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+
+    payload_file(
+        f"{feed_dir}/f1.json",
+        [
+            _wal2json_line("insert", "events_a", ["id"], [1]),
+            _wal2json_line("insert", "events_a", ["id"], [2]),
+        ],
+    )
+
+    def run(subs_spec):
+        subs = subscriptions_df(spark, subs_spec, FEED_TABLES)
+        stream = normalize_hypertables(
+            parse_wal2json(file_change_feed(spark, feed_dir)),
+            lookup_df(spark),
+        )
+        q = start_fanout_query(stream, subs, outbox_deliver(out_dir), ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run([(1, "insert:events_a")])
+
+    # subscriber 2 registers while the query is down; new events arrive
+    payload_file(
+        f"{feed_dir}/f2.json",
+        [_wal2json_line("insert", "events_a", ["id"], [3])],
+    )
+    run([(1, "insert:events_a"), (2, "*:events_a")])
+
+    def outbox_lines(sub_id):
+        p = os.path.join(out_dir, str(sub_id), "outbox.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [ln for ln in f if ln.strip()]
+
+    # sub 1 saw every event exactly once across the restart
+    assert len(outbox_lines(1)) == 3
+    # sub 2 only saw events after registration (committed offsets are
+    # not replayed to it)
+    assert len(outbox_lines(2)) == 1
