@@ -85,6 +85,40 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     return F.substring(F.md5(F.lower(F.trim(text))), 1, length)
 
 
+def rolling_hashes(text_col: str = "text", k: int = 8) -> Column:
+    """Polynomial rolling hash of every k-gram: hash(i) = sum_j
+    ascii(text[i+j]) * 31^j. No modulus: for k<=8 the value is
+    < 2^45, exact in BIGINT in any engine (the cross-engine-oracle
+    requirement). Pure higher-order column functions — whole-stage
+    codegen, no Python, one narrow pass per document."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),"
+        f"  (acc, j) -> acc + CAST(ascii(substring({text_col}, i + j, 1))"
+        f"   AS BIGINT) * CAST(pow(31, j) AS BIGINT)))"
+    )
+
+
+def rolling_fingerprint(
+    text_col: str = "text", k: int = 8, bottom: int = 4
+) -> Column:
+    """Bottom-k rolling-hash fingerprint: the `bottom` smallest distinct
+    k-gram hashes, joined to a string. A bottom-k sketch over shingle
+    hashes is an unbiased Jaccard estimator (same family as MinHash),
+    so equal/near-equal fingerprints flag near-duplicate content; the
+    fingerprint is shift-invariant (insertion early in a doc shifts
+    positions but leaves most k-gram hashes, hence usually the minima,
+    intact) — the property md5-style whole-content hashing lacks."""
+    return F.array_join(
+        F.slice(
+            F.array_sort(F.array_distinct(rolling_hashes(text_col, k))),
+            1,
+            bottom,
+        ),
+        ",",
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All stats in one narrow projection."""
     t = F.col(text_col)

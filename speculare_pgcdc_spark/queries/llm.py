@@ -320,3 +320,40 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return sim.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=5, nprobe=3)
+
+
+@register(
+    "q66_rolling_fingerprint",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, i,
+                   SUM(ascii(substr(text, CAST(i + j AS INT), 1))
+                       * CAST(pow(31, j) AS BIGINT)) AS hash
+            FROM documents,
+                 unnest(range(1, len(text) - 6)) t(i),
+                 unnest(range(0, 8)) o(j)
+            WHERE doc_id < 200
+            GROUP BY doc_id, i),
+        d AS (SELECT DISTINCT doc_id, hash FROM h),
+        r AS (SELECT doc_id, hash,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY hash) AS rn
+              FROM d)
+        SELECT doc_id,
+               string_agg(CAST(hash AS VARCHAR), ',' ORDER BY hash) AS fp
+        FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="L1/L2 rolling-hash document fingerprint: polynomial hash of "
+    "every 8-gram, bottom-4 sketch per document "
+    "(operators/textstats.rolling_fingerprint). Unlike md5 (q45) the "
+    "fingerprint is shift-invariant, so it flags near-dups, and it is "
+    "a pure map-side column expression — no shuffle, no Python; the "
+    "oracle recomputes the same hashes via SQL unnest arithmetic.",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", ts.rolling_fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )

@@ -124,3 +124,29 @@ def write_parquet(
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     """S5: JSON-lines sink (one object per line, splittable on read)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    path: Optional[str] = None,
+    sort_cols: Optional[list[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """S5 warehouse form: hash-bucketed (and optionally sorted) table.
+
+    This is the zero-shuffle join path for repeated fact-fact joins: two
+    tables bucketed on their join key with the same bucket count join
+    with NO exchange (proven in tests/test_sources.py) — at 100 TB that
+    removes the single largest cost of the pipeline, the fact shuffle,
+    for every downstream query instead of once. sort_cols additionally
+    removes the sort of a sort-merge join."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)

@@ -110,3 +110,37 @@ def test_jdbc_scan_predicates_exclusive_with_range(spark):
             num_partitions=2,
             predicates=["user_id < 50", "user_id >= 50"],
         )
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The 100 TB fact-fact join path: both sides bucketed on the join
+    key with equal bucket counts -> sort-merge join with ZERO exchanges
+    (bucket locality replaces the shuffle)."""
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.plans import exchange_count
+    from speculare_pgcdc_spark.sources import write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(
+        li, "li_bucketed", ["l_orderkey"], 8,
+        path=str(tmp_path / "li_b"), sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        od, "od_bucketed", ["o_orderkey"], 8,
+        path=str(tmp_path / "od_b"), sort_cols=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("od_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert exchange_count(j, "hashpartitioning") == 0
+        assert j.count() == li.count()  # every line has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
