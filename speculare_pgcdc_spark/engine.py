@@ -1,0 +1,138 @@
+"""User-facing engine facade — the one-stop surface a user of the
+reference service would switch to.
+
+Maps the reference's three entry points (SURVEY §3) onto the engine:
+
+- EP1 client subscription  -> :meth:`Engine.subscribe` (DSL string ->
+  validated standing subscription; same error semantics as the
+  reference's HTTP 400s, raised as :class:`dsl.DslError`)
+- EP2 CDC ingestion        -> :meth:`Engine.watch` (change feed ->
+  routed fan-out StreamingQuery with checkpointed offsets)
+- EP3 change dispatch      -> the routed plan inside ``watch``; its
+  batch twin is :meth:`Engine.route_batch` (oracle-testable)
+
+plus the general analytics surface the routing layer is a special case
+of: :meth:`table` / :meth:`sql` / :meth:`query`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from speculare_pgcdc_spark.catalog import TABLES, register_views, table
+from speculare_pgcdc_spark.cdc.pipeline import (
+    normalize_hypertables,
+    parse_wal2json,
+    route,
+    subscriptions_df,
+)
+from speculare_pgcdc_spark.dsl import WatchFor, parse_ws_query
+from speculare_pgcdc_spark.queries import load_all
+from speculare_pgcdc_spark.session import get_spark
+from speculare_pgcdc_spark.streaming.fanout import (
+    outbox_deliver,
+    start_fanout_query,
+)
+from speculare_pgcdc_spark.streaming.source import file_change_feed
+
+
+class Engine:
+    """A SparkSession + fixture catalog + subscription registry.
+
+    >>> eng = Engine(sf_dir="/root/testdata/sf0.01")
+    >>> eng.sql("SELECT COUNT(*) n FROM lineitem").show()
+    >>> eng.subscribe(1, "insert,update:events_a:event_type.eq.click")
+    >>> q = eng.watch(feed_dir, out_dir, ckpt_dir)   # streaming fan-out
+    """
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        sf_dir: str = "/root/testdata/sf0.01",
+        tables: Optional[list[str]] = None,
+    ) -> None:
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        #: catalog the subscriptions validate against (detect_tables
+        #: analog — reference loads it once at startup, cdc/mod.rs:30-47)
+        self.tables = list(tables) if tables is not None else list(TABLES)
+        self._subs: dict[int, tuple[int, str]] = {}
+        self._views_registered = False
+
+    # -- batch analytics surface -------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a registered operator query (SURVEY §2B/§2D) by name."""
+        return load_all()[name].fn(self.spark, self.sf_dir)
+
+    # -- subscription registry (EP1, R17 analog) ----------------------
+
+    def subscribe(self, sub_id: int, dsl_query: str) -> WatchFor:
+        """Validate + register a standing subscription. Raises DslError
+        exactly where the reference returns HTTP 400 (query.rs:27-49)."""
+        watch = parse_ws_query(dsl_query, self.tables)
+        self._subs[sub_id] = (sub_id, dsl_query)
+        return watch
+
+    def unsubscribe(self, sub_id: int) -> None:
+        self._subs.pop(sub_id, None)
+
+    def subscriptions(self) -> DataFrame:
+        """The registry as the broadcast static side of the routing
+        join (ServerState analog, ws_utils.rs:23-29)."""
+        return subscriptions_df(
+            self.spark, list(self._subs.values()), self.tables
+        )
+
+    # -- CDC dispatch (EP2 + EP3) --------------------------------------
+
+    def _changes(self, payloads: DataFrame, lookup: Optional[DataFrame]):
+        changes = parse_wal2json(payloads)
+        if lookup is not None:
+            changes = normalize_hypertables(changes, lookup)
+        else:
+            changes = changes.withColumnRenamed("table", "table_name")
+        return changes
+
+    def route_batch(
+        self,
+        payloads: DataFrame,
+        lookup: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Batch twin of the dispatch path: one row per (subscriber,
+        matching change). Oracle-checked via q35/q36."""
+        return route(self._changes(payloads, lookup), self.subscriptions())
+
+    def watch(
+        self,
+        feed_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        lookup: Optional[DataFrame] = None,
+        deliver: Optional[Callable] = None,
+        max_files_per_trigger: int = 1,
+    ):
+        """Start the streaming fan-out (EP2->EP3): change feed ->
+        parse -> normalize -> route -> per-subscriber delivery, with
+        at-least-once offsets in ``checkpoint_dir`` (LSN-ack analog)."""
+        stream = self._changes(
+            file_change_feed(self.spark, feed_dir, max_files_per_trigger),
+            lookup,
+        )
+        return start_fanout_query(
+            stream,
+            self.subscriptions(),
+            deliver or outbox_deliver(out_dir),
+            checkpoint_dir,
+        )
