@@ -136,3 +136,30 @@ class Engine:
             deliver or outbox_deliver(out_dir),
             checkpoint_dir,
         )
+
+    def watch_db(
+        self,
+        db_path: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        lookup: Optional[DataFrame] = None,
+        deliver: Optional[Callable] = None,
+    ):
+        """Like :meth:`watch`, but the feed is a database polled with a
+        monotonic LSN cursor (streaming.wal_source — the R1-R7
+        replication-connection analog with acked offsets)."""
+        from speculare_pgcdc_spark.streaming import wal_source
+
+        wal_source.register(self.spark)
+        src = (
+            self.spark.readStream.format("wal_poll")
+            .option("path", db_path)
+            .load()
+            .select("payload")
+        )
+        return start_fanout_query(
+            self._changes(src, lookup),
+            self.subscriptions(),
+            deliver or outbox_deliver(out_dir),
+            checkpoint_dir,
+        )

@@ -126,3 +126,40 @@ def test_dsl_structured_roundtrip(kinds, table, col, op, val):
         )
     else:
         assert watch.specific is None
+
+
+def test_end_to_end_watch_db(spark, tmp_path):
+    """EP2 over the database-poll source: subscribe, append WAL rows to
+    the stand-in DB, watch_db fans matching changes out."""
+    from speculare_pgcdc_spark.streaming import wal_source
+
+    db = str(tmp_path / "wal.sqlite")
+    wal_source.ensure_wal_tables(db)
+    for lsn, rid in [(5, 1), (9, 2)]:
+        wal_source.append_wal(
+            db,
+            lsn,
+            json.dumps(
+                {
+                    "change": [
+                        {
+                            "kind": "insert",
+                            "table": "events_a",
+                            "columnnames": ["id"],
+                            "columnvalues": [rid],
+                        }
+                    ]
+                }
+            ),
+        )
+    eng = Engine(spark, "/root/testdata/sf0.001", tables=FEED_TABLES)
+    eng.subscribe(7, "insert:events_a")
+    out_dir = str(tmp_path / "out")
+    q = eng.watch_db(db, out_dir, str(tmp_path / "ckpt"),
+                     lookup=lookup_df(spark))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(out_dir, "7", "outbox.jsonl")) as f:
+        assert len([ln for ln in f if ln.strip()]) == 2

@@ -504,3 +504,51 @@ def test_subscription_update_across_restart(spark, tmp_path):
     # sub 2 only saw events after registration (committed offsets are
     # not replayed to it)
     assert len(outbox_lines(2)) == 1
+
+
+def test_wal_poll_source_end_to_end(spark, tmp_path):
+    """R1-R7 realized as a Python Data Source: poll-with-cursor source
+    feeds the CDC pipeline; new rows appear in later microbatches; the
+    acked LSN advances only after batch commit (at-least-once)."""
+    from speculare_pgcdc_spark.streaming import wal_source
+
+    db = str(tmp_path / "pg_standin.sqlite")
+    wal_source.ensure_wal_tables(db)
+    wal_source.register(spark)
+
+    def insert(lsn, table, rid):
+        wal_source.append_wal(
+            db, lsn, json.dumps(_wal2json_line("insert", table, ["id"], [rid]))
+        )
+
+    insert(10, "events_a", 1)
+    insert(20, "events_a", 2)
+
+    src = (
+        spark.readStream.format("wal_poll").option("path", db).load()
+    )
+    parsed = parse_wal2json(src, payload_col="payload")
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("t_wal")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT COUNT(*) n FROM t_wal").first().n == 2
+        # the ack LAGS processing (sent when the next batch commits) —
+        # exactly the at-least-once contract: never ahead of delivery
+        assert wal_source.acked_lsn(db) <= 20
+
+        insert(30, "events_b", 3)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT table, kind FROM t_wal ORDER BY table"
+        ).collect()
+        assert [r.table for r in rows] == ["events_a", "events_a", "events_b"]
+        # batch 1's offsets are acked once batch 2 has committed
+        assert 20 <= wal_source.acked_lsn(db) <= 30
+    finally:
+        q.stop()
