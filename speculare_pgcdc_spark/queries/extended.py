@@ -189,3 +189,56 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         .select("da", "db", F.round(j, 4).alias("j"))
         .orderBy("da", "db")
     )
+
+
+@register(
+    "q67_binned_range_join",
+    oracle="""
+        SELECT a.event_id AS ea, b.event_id AS eb
+        FROM events a JOIN events b
+          ON epoch(b.ts) > epoch(a.ts)
+         AND epoch(b.ts) <= epoch(a.ts) + 300
+        ORDER BY ea, eb
+    """,
+    doc="Pure range join (NO equality key): all event pairs within 5 "
+    "minutes, global. Naive plan is a nested-loop over n*m pairs; the "
+    "engine's operators/skewscale.bin_range_join rewrites it to an "
+    "equi-join on a time bucket (left exploded to 2 candidate "
+    "buckets) + exact filter — plan-linted to contain NO "
+    "BroadcastNestedLoopJoin/CartesianProduct. This is the rewrite "
+    "that keeps interval analytics linear at 100 TB.",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.skewscale import bin_range_join
+
+    ev = table(spark, sf, "events").select("event_id", "ts")
+    pairs = bin_range_join(
+        ev.withColumnRenamed("event_id", "ea").withColumnRenamed("ts", "ta"),
+        ev.withColumnRenamed("event_id", "eb").withColumnRenamed("ts", "tb"),
+        "ta",
+        "tb",
+        upper=300,
+    )
+    return pairs.select("ea", "eb").orderBy("ea", "eb")
+
+
+@register(
+    "q68_salted_agg",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS s
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Skew-proof two-phase aggregation: events has only 5 event_type "
+    "keys (pathological skew for a single-phase shuffle agg); "
+    "operators/skewscale.salted_agg spreads each key over 16 salted "
+    "partials before the final merge. Exact (count + decimal sum) — "
+    "the oracle is the plain one-phase GROUP BY.",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.skewscale import salted_agg
+
+    return salted_agg(
+        table(spark, sf, "events"), "event_type", "value"
+    ).orderBy("event_type")

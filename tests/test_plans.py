@@ -139,3 +139,17 @@ def test_sliding_window_single_shuffle(q):
     df = q("q55_sliding_window")
     assert exchange_count(df, "hashpartitioning") <= 1
     assert not has_python_eval(df)
+
+
+def test_binned_range_join_is_equi_not_nested_loop(q):
+    p = plan_string(q("q67_binned_range_join"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(q("q67_binned_range_join"))
+
+
+def test_salted_agg_two_phase(q):
+    df = q("q68_salted_agg")
+    # partial (key, salt) agg + final key agg -> exactly 2 key shuffles
+    assert exchange_count(df, "hashpartitioning") == 2
+    assert not has_python_eval(df)
