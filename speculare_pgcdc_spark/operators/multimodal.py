@@ -77,3 +77,76 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
             yield out
 
     return with_payload.mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+#: schema of resize_images output — payload out plus the new dims
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int"
+)
+
+#: schema of sample_frames output — one row PER SAMPLED FRAME (1:N)
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame binary, ts_ms bigint"
+)
+
+
+def resize_images(
+    with_payload: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize over mapInPandas (1:1 rows). The pixel work is
+    stubbed (PIL absent): the stand-in truncates/pads the payload to
+    width*height bytes, which keeps the REAL contract testable — output
+    schema, declared dims, payload size bound, Arrow batch iteration.
+    Plug `PIL.Image.open(io.BytesIO(p)).resize((w, h))` into the marked
+    line for production."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # decode_media(p, mime) -> .resize((width, height))
+                    "payload": [
+                        bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return with_payload.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    with_payload: DataFrame, every_n_bytes: int = 32, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling over mapInPandas (1:N rows — the shape that
+    matters: one input row explodes to up to `max_frames` output rows,
+    which mapInPandas supports natively where a scalar pandas_udf
+    cannot). Frame extraction is stubbed (ffmpeg absent): the stand-in
+    slices the payload every `every_n_bytes`; timestamps are derived
+    deterministically from the frame index."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, tss = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                # ffmpeg frame-sample would run here
+                for i in range(min(max_frames, max(len(p), 1) // every_n_bytes)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        bytes(p[i * every_n_bytes:(i + 1) * every_n_bytes])
+                    )
+                    tss.append(i * 1000)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(_sample, FRAME_SCHEMA)

@@ -122,3 +122,34 @@ def test_char_shingles(spark, docs):
     }
     got = {r.tok for r in sh.collect()}
     assert got == expected
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    from speculare_pgcdc_spark.operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    out = mm.resize_images(mm.attach_payload(docs), width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.payload) == 32 for r in rows)
+    assert all((r.width, r.height) == (8, 4) for r in rows)
+
+
+def test_multimodal_frame_sample_one_to_many(spark, sf_dir):
+    from speculare_pgcdc_spark.operators import multimodal as mm
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    out = mm.sample_frames(
+        mm.attach_payload(docs), every_n_bytes=16, max_frames=4
+    )
+    rows = out.collect()
+    # 1:N explode: more rows out than in, bounded by max_frames
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) == 5
+    for frames in per_doc.values():
+        assert 1 <= len(frames) <= 4
+        assert [f.frame_idx for f in sorted(frames, key=lambda x: x.frame_idx)] == list(range(len(frames)))
+        assert all(f.ts_ms == f.frame_idx * 1000 for f in frames)
+        assert all(len(f.frame) <= 16 for f in frames)
