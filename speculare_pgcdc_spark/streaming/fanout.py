@@ -22,12 +22,12 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: rows handed to a delivery adapter: (sub_id, change_json)
-Delivery = Callable[[int, list[str]], None]
+#: rows handed to a delivery adapter: (sub_id, change_json, batch_id)
+Delivery = Callable[..., None]
 
 
 def fanout_batch(
-    routed: DataFrame, deliver: Delivery
+    routed: DataFrame, deliver: Delivery, batch_id: int = -1
 ) -> None:
     """Group one (already-routed) microbatch by subscriber and deliver.
 
@@ -43,13 +43,17 @@ def fanout_batch(
         .collect()
     )
     for row in grouped:
-        deliver(row["sub_id"], row["payloads"])
+        deliver(row["sub_id"], row["payloads"], batch_id)
 
 
 def outbox_deliver(out_dir: str) -> Delivery:
-    """File-outbox adapter: append JSON-lines under <out_dir>/<sub_id>/."""
+    """Append-mode file outbox under <out_dir>/<sub_id>/.
 
-    def deliver(sub_id: int, payloads: list[str]) -> None:
+    At-least-once: a crash between delivery and offset commit replays
+    the batch and appends duplicates — the reference's exact contract
+    (WS push before LSN ack, replication.rs:198-203)."""
+
+    def deliver(sub_id: int, payloads: list[str], batch_id: int = -1) -> None:
         d = os.path.join(out_dir, str(sub_id))
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, "outbox.jsonl"), "a") as f:
@@ -57,6 +61,44 @@ def outbox_deliver(out_dir: str) -> Delivery:
                 f.write(p.rstrip("\n") + "\n")
 
     return deliver
+
+
+def idempotent_outbox_deliver(out_dir: str) -> Delivery:
+    """Exactly-once file outbox: one file per (subscriber, batch_id),
+    written atomically (tmp + rename). Replaying a batch after a crash
+    rewrites the same file instead of appending — foreachBatch's
+    batch_id is stable across restarts, which upgrades the sink from
+    at-least-once to exactly-once with no coordination (the idempotent-
+    writer pattern from SURVEY §7's risk register)."""
+
+    def deliver(sub_id: int, payloads: list[str], batch_id: int = -1) -> None:
+        d = os.path.join(out_dir, str(sub_id))
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"batch-{batch_id}.jsonl")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            for p in payloads:
+                f.write(p.rstrip("\n") + "\n")
+        os.replace(tmp, final)
+
+    return deliver
+
+
+def read_outbox(out_dir: str, sub_id: int) -> list[str]:
+    """All delivered payloads for a subscriber, across both adapters'
+    layouts, in batch order."""
+    d = os.path.join(out_dir, str(sub_id))
+    if not os.path.isdir(d):
+        return []
+    lines: list[str] = []
+    names = sorted(
+        (n for n in os.listdir(d) if n.endswith(".jsonl")),
+        key=lambda n: (n != "outbox.jsonl", n),
+    )
+    for n in names:
+        with open(os.path.join(d, n)) as f:
+            lines.extend(ln.rstrip("\n") for ln in f if ln.strip())
+    return lines
 
 
 def start_fanout_query(
@@ -72,7 +114,7 @@ def start_fanout_query(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         routed = route(batch_df, subscriptions)
-        fanout_batch(routed, deliver)
+        fanout_batch(routed, deliver, batch_id)
 
     return (
         changes_stream.writeStream.foreachBatch(process)

@@ -552,3 +552,38 @@ def test_wal_poll_source_end_to_end(spark, tmp_path):
         assert 20 <= wal_source.acked_lsn(db) <= 30
     finally:
         q.stop()
+
+
+def test_idempotent_outbox_exactly_once_on_replay(spark, tmp_path):
+    """Replaying the same batch_id (crash-between-deliver-and-ack) must
+    not duplicate deliveries through the idempotent adapter, while the
+    plain append outbox shows the duplicate — the at-least-once vs
+    exactly-once sink contrast."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        fanout_batch,
+        idempotent_outbox_deliver,
+        outbox_deliver,
+        read_outbox,
+    )
+
+    routed = spark.createDataFrame(
+        [(1, '{"kind":"insert","n":%d}' % i) for i in range(4)],
+        "sub_id int, change_json string",
+    )
+    idem_dir = str(tmp_path / "idem")
+    app_dir = str(tmp_path / "app")
+    idem, app = idempotent_outbox_deliver(idem_dir), outbox_deliver(app_dir)
+
+    fanout_batch(routed, idem, batch_id=7)
+    fanout_batch(routed, app, batch_id=7)
+    # crash + replay of the SAME microbatch
+    fanout_batch(routed, idem, batch_id=7)
+    fanout_batch(routed, app, batch_id=7)
+    # next batch proceeds
+    nxt = spark.createDataFrame(
+        [(1, '{"kind":"insert","n":99}')], "sub_id int, change_json string"
+    )
+    fanout_batch(nxt, idem, batch_id=8)
+
+    assert len(read_outbox(idem_dir, 1)) == 5   # 4 + 1, no duplicates
+    assert len(read_outbox(app_dir, 1)) == 8    # 4 duplicated
