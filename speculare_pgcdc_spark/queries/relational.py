@@ -338,13 +338,17 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     doc="J7 as-of join: for each event, the latest STRICTLY-earlier event "
     "of the same user (self as-of — orders/events don't overlap in "
     "time on the fixtures, so the self form exercises real matches). "
-    "Engine path: equi-join on key + time filter + argmax via "
-    "max(struct(ts, tiebreak)) — a hash aggregate, NOT a window sort, "
-    "so it scales as one shuffle. Oracle: ROW_NUMBER ts DESC, id DESC.",
+    "Engine path: MERGE as-of (operators/asof.asof_join_merge) — union "
+    "both sides, one shuffle on the key, one in-partition sort, window "
+    "last-non-null. No join node, so dense keys (few users x many "
+    "events) never materialize the per-key candidate cross product "
+    "the join+argmax form pays. Both forms are implemented and "
+    "equivalence-pinned in tests/test_llm.py. Oracle: ROW_NUMBER ts "
+    "DESC, id DESC.",
     bench=True,
 )
 def q13(spark: SparkSession, sf: str) -> DataFrame:
-    from speculare_pgcdc_spark.operators.asof import asof_join
+    from speculare_pgcdc_spark.operators.asof import asof_join_merge
 
     e = table(spark, sf, "events")
     left = e.select(
@@ -356,7 +360,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("prior_id"),
     )
     return (
-        asof_join(
+        asof_join_merge(
             left, right,
             left_key="l_user", right_key="r_user",
             left_time="l_ts", right_time="r_ts",

@@ -153,3 +153,42 @@ def test_multimodal_frame_sample_one_to_many(spark, sf_dir):
         assert [f.frame_idx for f in sorted(frames, key=lambda x: x.frame_idx)] == list(range(len(frames)))
         assert all(f.ts_ms == f.frame_idx * 1000 for f in frames)
         assert all(len(f.frame) <= 16 for f in frames)
+
+
+def test_asof_join_and_merge_variants_agree(spark, sf_dir):
+    """J7: the join+argmax form and the union+window merge form must
+    produce identical results (strict and non-strict, incl. equal-time
+    tiebreaks)."""
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.operators.asof import (
+        asof_join,
+        asof_join_merge,
+    )
+
+    e = table(spark, sf_dir, "events").limit(2000)
+    left = e.select(
+        "event_id", F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    right = e.select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("prior_id"),
+    )
+    kw = dict(
+        left_key="l_user", right_key="r_user",
+        left_time="l_ts", right_time="r_ts",
+        group_cols=["event_id"], value_col="prior_id",
+    )
+    for strict in (True, False):
+        a = {
+            (r.event_id, r.prior_id)
+            for r in asof_join(left, right, strict=strict, **kw).collect()
+        }
+        b = {
+            (r.event_id, r.prior_id)
+            for r in asof_join_merge(
+                left, right, strict=strict, **kw
+            ).collect()
+        }
+        assert a == b, f"strict={strict}: {len(a)} vs {len(b)}"
+        assert a, "expected matches"

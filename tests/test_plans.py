@@ -63,8 +63,15 @@ def test_join_agg_broadcasts_and_single_shuffle(q):
 def test_partial_aggregation_before_shuffle(q):
     p = plan_string(q("q15_groupby_agg"))
     assert "partial_sum" in p  # map-side combine
-    p13 = plan_string(q("q13_asof_join"))
-    assert "partial_max" in p13  # as-of argmax combines map-side too
+
+
+def test_asof_merge_has_no_join_single_key_shuffle(q):
+    # merge as-of: union + 1 key shuffle + window; the join+argmax
+    # form's per-key candidate blow-up must not reappear
+    df = q("q13_asof_join")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df, "hashpartitioning") == 1
 
 
 def test_topk_never_global_sorts(q):
