@@ -242,3 +242,63 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     return salted_agg(
         table(spark, sf, "events"), "event_type", "value"
     ).orderBy("event_type")
+
+
+@register(
+    "q69_rank_family",
+    oracle="""
+        SELECT o_orderkey,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4) AS prnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    doc="W1 completion: rank / dense_rank / ntile / percent_rank over "
+    "one window definition (q20 covers row_number). One shuffle on the "
+    "partition key; all four functions share the same sort.",
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("prnk"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q70_multiset_ops",
+    oracle="""
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT c_nationkey AS x FROM customer
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier)
+        GROUP BY x ORDER BY x
+    """,
+    doc="U2 multiset variant: EXCEPT ALL keeps per-row multiplicity "
+    "(count-aware anti-difference) — Spark exceptAll plans it as an "
+    "aggregate of signed counts, one shuffle, no row explosion.",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("x"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("x"))
+    return (
+        c.exceptAll(s)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("x")
+    )
