@@ -80,6 +80,48 @@ def dedup_within_watermark(
     )
 
 
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    upper_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of batch Q14):
+    pairs (a, b) of the same key with a.ts < b.ts <= a.ts + upper.
+
+    Both sides carry watermarks and the join condition bounds b.ts
+    relative to a.ts, so Spark can evict buffered state once the
+    watermark passes a row's join horizon — state is O(rows within the
+    interval + watermark window) per key, not O(stream). Inputs must
+    have columns (key, ts, event_id); sides are renamed internally."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("event_a"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("event_b"),
+        )
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {upper_seconds} SECOND")
+        )
+    )
+    return l.join(r, cond).select("event_a", "event_b")
+
+
 #: output schema of running_counts
 _RUNNING_SCHEMA = "user_id bigint, events bigint"
 _STATE_SCHEMA = "events bigint"

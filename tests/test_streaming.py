@@ -587,3 +587,59 @@ def test_idempotent_outbox_exactly_once_on_replay(spark, tmp_path):
 
     assert len(read_outbox(idem_dir, 1)) == 5   # 4 + 1, no duplicates
     assert len(read_outbox(app_dir, 1)) == 8    # 4 duplicated
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """T6+/J8 streaming twin: a stream-stream self interval join equals
+    the batch Q14 pair set (watermarked state-bounded join)."""
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.streaming.windows import interval_stream_join
+
+    events = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .filter(F.col("user_id") < 20)
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(3).write.mode("overwrite").parquet(stream_dir)
+
+    def src():
+        return (
+            spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+    joined = interval_stream_join(src(), src())
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_a, r.event_b)
+            for r in spark.sql("SELECT * FROM t_ssj").collect()
+        }
+    finally:
+        q.stop()
+
+    a, b = events.alias("a"), events.alias("b")
+    expected = {
+        (r.event_a, r.event_b)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .collect()
+    }
+    assert expected and got == expected
