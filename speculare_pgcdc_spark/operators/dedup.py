@@ -128,6 +128,41 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_candidate_jaccard(
+    cands: DataFrame,
+    tok: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard computed for CANDIDATE pairs only: semi-join each
+    side's tokens down to candidate docs, intersect per pair, rejoin
+    sizes. Cost is O(candidate docs' tokens), independent of corpus
+    pair count — the whole point of LSH pre-filtering."""
+    a_tok = tok.select(F.col(id_col).alias("da"), "tok").join(
+        cands.select("da").distinct(), "da", "left_semi"
+    )
+    b_tok = tok.select(F.col(id_col).alias("db"), "tok").join(
+        cands.select("db").distinct(), "db", "left_semi"
+    )
+    inter = (
+        cands.join(a_tok, "da")
+        .join(b_tok, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("j", j)
+        .filter(F.col("j") >= threshold)
+        .select("da", "db", F.round("j", 4).alias("j"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -136,16 +171,16 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full near-dup pipeline: MinHash -> LSH candidates -> EXACT Jaccard
-    verification of candidates only. Output (da, db, j) is a subset of
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact
+    Jaccard verification of the candidates ONLY (never the full
+    quadratic pair set). Output (da, db, j) is a subset of
     jaccard_pairs(...) limited by LSH recall (tunable via bands/rows)."""
     rows = num_hashes // bands
     tok = tokens(docs, id_col, text_col)
     cands = lsh_candidate_pairs(
         minhash_signatures(tok, num_hashes, id_col), bands, rows, id_col
     )
-    exact = jaccard_pairs(tok, threshold, id_col)
-    return cands.join(exact, ["da", "db"], "inner")
+    return verify_candidate_jaccard(cands, tok, threshold, id_col)
 
 
 def simhash64(
