@@ -108,3 +108,88 @@ def ivf_topk(
     )
     candidates = emb.join(F.broadcast(probed), part_col, "left_semi")
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def srp_signature(
+    emb: DataFrame,
+    planes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection (cosine LSH) bit signature: bit p =
+    sign(<v, h_p>) with hyperplane entries ±1 derived from xxhash64(p,
+    d) — deterministic, so speculative re-execution and engine restarts
+    produce identical signatures (no RNG state to ship). Adds `sig`
+    (bigint, one bit per plane). Pure codegen fold, no shuffle."""
+    bits = []
+    for p in range(planes):
+        dot = F.expr(
+            f"aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
+            f" (acc, d) -> acc + element_at({vec_col}, d + 1) *"
+            f"  (CAST(pmod(xxhash64({p}, d), 2) AS DOUBLE) * 2.0 - 1.0))"
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return emb.withColumn("sig", sig.cast("bigint"))
+
+
+def srp_candidate_pairs(
+    emb: DataFrame,
+    planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-LSH banding over the SRP signature: vectors agreeing on
+    all bits of any band become candidates (da < db). Equi-join on
+    (band, band_bits) — bounded bucket fan-out, the q46 shape for
+    embeddings. With planes=16/bands=8 (2 bits per band), a pair at
+    cos >= 0.3 is caught with ~97% probability while the bucket join
+    stays tiny."""
+    rows = planes // bands
+    sigs = srp_signature(emb, planes, dim, vec_col).select(id_col, "sig")
+    mask = (1 << rows) - 1
+    band_vals = F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> (shiftright(sig, b * {rows}) & {mask}))"
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = buckets.select(F.col(id_col).alias("da"), "band", "bval")
+    b = buckets.select(F.col(id_col).alias("db"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup scale path: SRP-LSH candidates -> exact cosine
+    verification of candidates ONLY (the q48 all-pairs form is the
+    exactness baseline). Returns (da, db, cos) with cos >= threshold."""
+    cands = srp_candidate_pairs(emb, planes, bands, dim, id_col, vec_col)
+    va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_ea"))
+    vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_eb"))
+    paired = cands.join(va, "da").join(vb, "db")
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (
+        _norm(F.col("_ea")) * _norm(F.col("_eb"))
+    )
+    return (
+        paired.withColumn("_c", cos)
+        .filter(F.col("_c") >= threshold)
+        .select("da", "db", F.round("_c", 4).alias("cos"))
+    )

@@ -357,3 +357,21 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", ts.rolling_fingerprint("text").alias("fp"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q71_srp_neardup",
+    oracle=None,  # LSH sketch path; exactness baseline is q48
+    doc="L2/L3 embedding near-dup SCALE path: deterministic signed-"
+    "random-projection signatures (operators/similarity.srp_signature) "
+    "-> banded bucket join -> exact cosine verification of candidates "
+    "only. Subset-of-q48 with ~97% recall at tau=0.3 is pinned in "
+    "tests/test_llm.py — the embedding analog of q46-vs-q42.",
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    return sim.srp_neardup_pairs(emb, threshold=0.3).orderBy("da", "db")

@@ -192,3 +192,38 @@ def test_asof_join_and_merge_variants_agree(spark, sf_dir):
         }
         assert a == b, f"strict={strict}: {len(a)} vs {len(b)}"
         assert a, "expected matches"
+
+
+def test_srp_lsh_recall_vs_exact_cosine_pairs(spark, sf_dir):
+    """Embedding LSH scale path: verified SRP candidates are a subset of
+    the exact near-dup pairs, with high recall (planes=16, bands=8 ->
+    ~97% catch probability at tau=0.3)."""
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    got = {
+        (r.da, r.db)
+        for r in sim.srp_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
+    cos = sim._dot(F.col("ea"), F.col("eb")) / (
+        sim._norm(F.col("ea")) * sim._norm(F.col("eb"))
+    )
+    exact = {
+        (r.da, r.db)
+        for r in a.join(b, F.col("da") < F.col("db"))
+        .filter(cos >= 0.3)
+        .select("da", "db")
+        .collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    assert got <= exact           # verification guarantees no false positives
+    recall = len(got) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
