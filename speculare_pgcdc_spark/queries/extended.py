@@ -302,3 +302,42 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy("x")
     )
+
+
+@register(
+    "q72_gapfill_locf",
+    oracle="""
+        WITH sparse AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6)))
+                        / COUNT(*), 4) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2),
+        grid AS (
+            SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+            FROM (SELECT user_id, MIN(bucket) mn, MAX(bucket) mx
+                  FROM sparse GROUP BY user_id)),
+        joined AS (
+            SELECT g.user_id, g.bucket, COALESCE(s.c, 0) AS c, s.v
+            FROM grid g LEFT JOIN sparse s
+              ON s.user_id = g.user_id AND s.bucket = g.bucket)
+        SELECT user_id, bucket, c,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_locf
+        FROM joined ORDER BY user_id, bucket
+    """,
+    doc="Time-series gap fill + LOCF (TimescaleDB time_bucket_gapfill/"
+    "locf analog — the reference's monitoring domain): dense per-user "
+    "hourly grid from each user's first to last bucket, zero counts in "
+    "gaps, mean value carried forward. operators/timeseries.gapfill_"
+    "locf; grid size is keys x buckets, independent of raw row count.",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.timeseries import gapfill_locf
+
+    return gapfill_locf(
+        table(spark, sf, "events"), key="user_id"
+    ).orderBy("user_id", "bucket")
