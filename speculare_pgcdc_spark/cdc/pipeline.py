@@ -44,9 +44,13 @@ def parse_wal2json(payload_df: DataFrame, payload_col: str = "payload") -> DataF
     (wal2json 'message'/'truncate') get flag 0 and are skipped
     (mod.rs:125-128).
     """
+    # try_parse_json: a malformed payload yields NULL and is dropped —
+    # the reference logs the simd-json error and continues
+    # (forwarder/mod.rs:83-91); strict parse_json would fail the whole
+    # microbatch on one bad frame.
     v = payload_df.select(
-        F.parse_json(F.col(payload_col)).alias("_msg")
-    )
+        F.try_parse_json(F.col(payload_col)).alias("_msg")
+    ).filter(F.col("_msg").isNotNull())
     ch = v.select(
         F.explode(
             F.expr("variant_get(_msg, '$.change', 'array<variant>')")

@@ -146,3 +146,23 @@ def test_filter_predicate_null_semantics(spark):
     w = parse_ws_query("insert:test_table0:name.eq.W1", TABLES)
     df = _changes(spark, INSERT_STR, INSERT_NUM_NAME, DELETE_MSG)
     assert df.filter(filter_predicate(w.specific)).count() == 1
+
+
+def test_malformed_payload_skipped_not_fatal(spark):
+    """forwarder/mod.rs:83-91: a malformed wal2json frame is logged and
+    skipped; it must never fail the batch (one poison message would
+    otherwise wedge the whole stream on replay — at-least-once turns a
+    parse error into an infinite crash loop)."""
+    from speculare_pgcdc_spark.cdc.pipeline import parse_wal2json
+
+    df = spark.createDataFrame(
+        [
+            ('{"change":[{"kind":"insert","table":"t",'
+             '"columnnames":["a"],"columnvalues":[1]}]}',),
+            ("NOT JSON {{{",),
+            ('{"no_change":true}',),
+        ],
+        "payload string",
+    )
+    rows = parse_wal2json(df).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "insert"
