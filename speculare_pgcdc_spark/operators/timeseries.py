@@ -73,3 +73,73 @@ def gapfill_locf(
             F.last("_v", ignorenulls=True).over(w).alias("v_locf"),
         )
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    width_seconds: int = 3600,
+) -> DataFrame:
+    """Like :func:`gapfill_locf` but gaps get LINEAR interpolation
+    between the surrounding non-empty buckets (Timescale `interpolate`
+    analog). Buckets before the first / after the last observation stay
+    null. Same two-shuffle plan: the prev/next windows share the key
+    partitioning.
+
+    Cross-engine determinism: the bucket mean is quantized to integer
+    MICRO-units (exact decimal sum x 1e6, one deterministic rounding),
+    and the lerp is evaluated as an integer-weighted sum divided once
+    at the end — every intermediate is an integer below 2^53, so Spark
+    and any oracle engine produce bit-identical doubles regardless of
+    aggregation/evaluation order. Naive double lerp drifts by 1 ulp
+    between engines and flips the 4th decimal."""
+    mu = F.round(
+        (F.sum(F.col(val_col).cast("decimal(28,6)")) * 1_000_000)
+        .cast("double")
+        / F.count(F.lit(1))
+    ).cast("bigint")
+    sparse = (
+        bucketize(df, ts_col, width_seconds)
+        .groupBy(key, "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"), mu.alias("_mu"))
+    )
+    grid = (
+        sparse.groupBy(key)
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select(key, F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    joined = grid.join(sparse, [key, "bucket"], "left")
+    wp = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vb = F.struct("_mu", "bucket")
+    prev = F.last(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wp)
+    nxt = F.first(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wn)
+    span = nxt["bucket"] - prev["bucket"]
+    num = prev["_mu"] * (nxt["bucket"] - F.col("bucket")) + nxt["_mu"] * (
+        F.col("bucket") - prev["bucket"]
+    )
+    # round in INTEGER deci-milli units (1e-4): integer halves are
+    # exactly representable doubles, so the half-up tie-break agrees
+    # across engines — ROUND(double, 4) does not (its .xxxx5 ties are
+    # not representable and engines disagree on the stored neighbor)
+    dm = F.when(
+        span == 0, F.round(prev["_mu"].cast("double") / 100)
+    ).otherwise(
+        F.round(num.cast("double") / (span.cast("double") * 100))
+    ).cast("bigint")
+    return joined.select(
+        key,
+        "bucket",
+        F.coalesce("_c", F.lit(0)).alias("c"),
+        (dm.cast("double") / 10_000).alias("v_interp"),
+    )

@@ -341,3 +341,61 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     return gapfill_locf(
         table(spark, sf, "events"), key="user_id"
     ).orderBy("user_id", "bucket")
+
+
+@register(
+    "q73_gapfill_interpolate",
+    oracle="""
+        WITH sparse AS (
+            SELECT user_id,
+                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                        * 1000000 AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+            FROM events GROUP BY 1, 2),
+        grid AS (
+            SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+            FROM (SELECT user_id, MIN(bucket) mn, MAX(bucket) mx
+                  FROM sparse GROUP BY user_id)),
+        joined AS (
+            SELECT g.user_id, g.bucket, COALESCE(s.c, 0) AS c, s.mu
+            FROM grid g LEFT JOIN sparse s
+              ON s.user_id = g.user_id AND s.bucket = g.bucket),
+        fr AS (
+            SELECT user_id, bucket, c,
+                   last_value(CASE WHEN mu IS NOT NULL THEN
+                       struct_pack(mu := mu, b := bucket) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p,
+                   first_value(CASE WHEN mu IS NOT NULL THEN
+                       struct_pack(mu := mu, b := bucket) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY bucket
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS n
+            FROM joined)
+        SELECT user_id, bucket, c,
+               CAST(CAST(ROUND(CASE WHEN n.b = p.b
+                     THEN CAST(p.mu AS DOUBLE) / 100
+                     ELSE CAST(p.mu * (n.b - bucket)
+                               + n.mu * (bucket - p.b) AS DOUBLE)
+                          / (CAST(n.b - p.b AS DOUBLE) * 100)
+                     END) AS BIGINT) AS DOUBLE) / 10000 AS v_interp
+        FROM fr ORDER BY user_id, bucket
+    """,
+    doc="Time-series gap fill with LINEAR interpolation between the "
+    "surrounding non-empty buckets (Timescale interpolate analog; LOCF "
+    "variant is q72). Ends of the series stay null. Bucket means are "
+    "quantized to integer micro-units so the lerp is exact integer "
+    "arithmetic + one final double division — bit-identical across "
+    "engines (naive double lerp drifts 1 ulp and flips the 4th "
+    "decimal). operators/timeseries.gapfill_interpolate.",
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.timeseries import (
+        gapfill_interpolate,
+    )
+
+    return gapfill_interpolate(
+        table(spark, sf, "events"), key="user_id"
+    ).orderBy("user_id", "bucket")
