@@ -399,3 +399,37 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
     return gapfill_interpolate(
         table(spark, sf, "events"), key="user_id"
     ).orderBy("user_id", "bucket")
+
+
+@register(
+    "q74_string_funcs2",
+    oracle="""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS pad,
+               translate(p_type, 'ae', 'AE') AS tr,
+               reverse(p_name) AS rev,
+               repeat(left(p_brand, 2), 2) AS rep,
+               CAST(instr(p_name, 'a') AS BIGINT) AS pos,
+               split_part(p_type, ' ', 1) AS first_word,
+               CAST(ascii(p_name) AS INT) AS a0
+        FROM part ORDER BY p_partkey
+    """,
+    doc="F1 completion: lpad / translate / reverse / repeat / left / "
+    "instr / split_part / ascii (q28 covers the first batch). All "
+    "codegen'd column expressions — map-only.",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.lpad("p_brand", 12, "*").alias("pad"),
+            F.translate("p_type", "ae", "AE").alias("tr"),
+            F.reverse("p_name").alias("rev"),
+            F.repeat(F.substring("p_brand", 1, 2), 2).alias("rep"),
+            F.instr("p_name", "a").cast("bigint").alias("pos"),
+            F.split_part("p_type", F.lit(" "), F.lit(1)).alias("first_word"),
+            F.ascii("p_name").alias("a0"),
+        )
+        .orderBy("p_partkey")
+    )
