@@ -1,0 +1,105 @@
+"""Randomized (seeded, deterministic) equivalence checks: each scale
+operator must equal its naive reference implementation on adversarial
+random data — not just the benign fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rnd_events(spark):
+    rng = random.Random(42)
+    rows = [
+        (
+            i,                                   # event_id
+            rng.randrange(5),                    # key (heavy skew)
+            float(rng.randrange(0, 10_000)) / 100,
+            rng.randrange(0, 3_000),             # epoch seconds, dense ties
+        )
+        for i in range(3_000)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, k int, value double, sec bigint"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+
+def test_salted_agg_equals_plain_agg(rnd_events):
+    from speculare_pgcdc_spark.operators.skewscale import salted_agg
+
+    got = {
+        (r.k, r.c, r.s)
+        for r in salted_agg(rnd_events, "k", "value").collect()
+    }
+    exp = {
+        (r.k, r.c, r.s)
+        for r in rnd_events.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_bin_range_join_equals_naive_theta_join(rnd_events):
+    from speculare_pgcdc_spark.operators.skewscale import bin_range_join
+
+    ev = rnd_events.select("event_id", "ts").limit(800)
+    left = ev.select(F.col("event_id").alias("ea"), F.col("ts").alias("ta"))
+    right = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tb"))
+    got = {
+        (r.ea, r.eb)
+        for r in bin_range_join(left, right, "ta", "tb", upper=97).collect()
+    }
+    naive = {
+        (r.ea, r.eb)
+        for r in left.join(
+            right,
+            (F.col("tb").cast("double") > F.col("ta").cast("double"))
+            & (
+                F.col("tb").cast("double")
+                <= F.col("ta").cast("double") + 97
+            ),
+        ).collect()
+    }
+    assert got == naive and naive
+
+
+def test_merge_asof_equals_join_asof_on_ties(rnd_events):
+    """Dense duplicate timestamps (sec in [0,3000) over 3000 rows) make
+    equal-time tie-breaking load-bearing here."""
+    from speculare_pgcdc_spark.operators.asof import (
+        asof_join,
+        asof_join_merge,
+    )
+
+    left = rnd_events.select(
+        "event_id", F.col("k").alias("lk"), F.col("ts").alias("lt")
+    )
+    right = rnd_events.select(
+        F.col("k").alias("rk"), F.col("ts").alias("rt"),
+        F.col("event_id").alias("prior"),
+    )
+    kw = dict(
+        left_key="lk", right_key="rk", left_time="lt", right_time="rt",
+        group_cols=["event_id"], value_col="prior",
+    )
+    for strict in (True, False):
+        a = {
+            (r.event_id, r.prior)
+            for r in asof_join(left, right, strict=strict, **kw).collect()
+        }
+        b = {
+            (r.event_id, r.prior)
+            for r in asof_join_merge(
+                left, right, strict=strict, **kw
+            ).collect()
+        }
+        assert a == b and a

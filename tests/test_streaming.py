@@ -643,3 +643,45 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert expected and got == expected
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """T3 stream-batch parity: session windows (30-min gap) computed
+    over the streamed fixture equal the batch session_window result."""
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.streaming.windows import session_counts
+
+    events = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .filter(F.col("user_id") < 30)
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(3).write.mode("overwrite").parquet(stream_dir)
+
+    src = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        session_counts(src)
+        .writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.w.start, r.w.end, r.n)
+            for r in spark.sql("SELECT * FROM t_sess").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.user_id, r.w.start, r.w.end, r.n)
+        for r in session_counts(events).collect()
+    }
+    assert expected and got == expected
