@@ -112,3 +112,43 @@ def q41b(spark: SparkSession, sf: str) -> DataFrame:
         .agg(cents_sum("value").alias("cents"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q75_udtf_ngrams",
+    oracle="""
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               substr(text, CAST(i AS INT), 3) AS gram
+        FROM documents, unnest(range(1, len(text) - 1)) AS t(i)
+        WHERE doc_id < 50
+        ORDER BY doc_id, pos
+    """,
+    doc="X5 Python user-defined TABLE function (Spark 4 @udtf): one "
+    "input row -> N output rows (char 3-grams with positions), used "
+    "through a SQL LATERAL join. The row-multiplying UDF shape that "
+    "scalar/pandas UDFs cannot express; the engine otherwise prefers "
+    "the pure-SQL explode form (q65) — this query exists to cover the "
+    "UDTF API surface with an exact oracle.",
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            for i in range(len(text) - n + 1):
+                yield i + 1, text[i : i + n]
+
+    spark.udtf.register("ngrams_udtf", NGrams)
+    table(spark, sf, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.gram
+        FROM _docs_udtf d, LATERAL ngrams_udtf(d.text, 3) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
