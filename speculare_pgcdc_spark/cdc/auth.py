@@ -1,0 +1,106 @@
+"""Subscription authorization — the data-plane analog of the
+reference's ``restrict_auth`` (/root/reference/src/api/auth.rs:126-224).
+
+The reference gates each non-admin WebSocket subscription by checking
+its specific filter against an api_keys table over a pooled PG
+connection, memoized in 1h-TTL moka caches (auth.rs:25-35). The HTTP/
+cookie machinery is a service concern (out of engine scope, SURVEY
+R20/R21); the authorization SEMANTICS are data-plane and live here:
+
+- admins pass unconditionally (auth.rs:137-141)
+- a non-admin subscription MUST carry a specific filter (auth.rs:142-147)
+- filter column 'host_uuid' or 'uuid': an api_key row with
+  (customer_id = caller, host_uuid = filter value) must exist
+  (auth.rs:152-176)
+- filter column 'customer_id': the value must equal the caller's own id
+  (auth.rs:178-189)
+- filter column 'key': an api_key row with (customer_id = caller,
+  key = filter value) must exist (auth.rs:191-211)
+- any other filter column: denied (auth.rs:213-218)
+- 'in'-list filters: every value must pass (the reference's eq-only
+  checks generalize pointwise)
+
+``api_keys`` is a dimension frame (broadcast-scale at any SF); existence
+checks are memoized with a TTL, the moka-cache analog.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.dsl import WatchFor
+
+
+class AuthError(ValueError):
+    """Equivalent of the reference's 403/ExplicitError responses."""
+
+
+@dataclass(frozen=True)
+class AuthInfo:
+    customer_id: str
+    is_admin: bool = False
+
+
+class SubscriptionAuthorizer:
+    """restrict_auth with a TTL-memoized existence check (moka analog,
+    auth.rs:25-35: 1h TTL)."""
+
+    def __init__(self, api_keys: DataFrame, ttl_seconds: int = 3600) -> None:
+        self.api_keys = api_keys
+        self.ttl = ttl_seconds
+        self._cache: dict[tuple, tuple[float, bool]] = {}
+
+    def _exists(self, col: str, customer_id: str, value: str) -> bool:
+        key = (col, customer_id, value)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None and now - hit[0] < self.ttl:
+            return hit[1]
+        ok = bool(
+            self.api_keys.filter(
+                (F.col("customer_id") == customer_id)
+                & (F.col(col) == value)
+            )
+            .limit(1)
+            .count()
+        )
+        self._cache[key] = (now, ok)
+        return ok
+
+    def restrict(self, auth: AuthInfo, watch: WatchFor) -> WatchFor:
+        """Return the watch unchanged if authorized; raise AuthError
+        exactly where the reference rejects."""
+        if auth.is_admin:
+            return watch
+        if watch.specific is None:
+            raise AuthError(
+                "non-admin subscriptions require a specific filter"
+            )
+        col = watch.specific.column
+        if col in ("host_uuid", "uuid"):
+            for v in watch.specific.values:
+                if not self._exists("host_uuid", auth.customer_id, v):
+                    raise AuthError(f"no api key for host {v!r}")
+        elif col == "customer_id":
+            for v in watch.specific.values:
+                if v != auth.customer_id:
+                    raise AuthError("customer_id filter must be your own")
+        elif col == "key":
+            for v in watch.specific.values:
+                if not self._exists("key", auth.customer_id, v):
+                    raise AuthError(f"api key {v!r} not owned by caller")
+        else:
+            raise AuthError(f"filter column {col!r} is not authorizable")
+        return watch
+
+
+def api_keys_df(spark, rows: list[tuple[str, str, str]]) -> DataFrame:
+    """(customer_id, host_uuid, key) dimension frame (test/demo helper)."""
+    return spark.createDataFrame(
+        rows, "customer_id string, host_uuid string, key string"
+    )

@@ -78,10 +78,24 @@ class Engine:
 
     # -- subscription registry (EP1, R17 analog) ----------------------
 
-    def subscribe(self, sub_id: int, dsl_query: str) -> WatchFor:
+    def subscribe(
+        self,
+        sub_id: int,
+        dsl_query: str,
+        auth=None,
+        authorizer=None,
+    ) -> WatchFor:
         """Validate + register a standing subscription. Raises DslError
-        exactly where the reference returns HTTP 400 (query.rs:27-49)."""
+        exactly where the reference returns HTTP 400 (query.rs:27-49);
+        when ``auth`` (cdc.auth.AuthInfo) and ``authorizer``
+        (cdc.auth.SubscriptionAuthorizer) are supplied, applies the
+        reference's restrict_auth gate (403 analog) before
+        registering."""
         watch = parse_ws_query(dsl_query, self.tables)
+        if auth is not None:
+            if authorizer is None:
+                raise ValueError("auth requires an authorizer")
+            authorizer.restrict(auth, watch)
         self._subs[sub_id] = (sub_id, dsl_query)
         return watch
 
