@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

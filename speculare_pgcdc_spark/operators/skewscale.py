@@ -21,7 +21,7 @@ rewrites with exact semantics (both oracle-checked in queries/extended).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -9,7 +9,7 @@ oracle harness both iterate this registry, so "implemented" ==
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession

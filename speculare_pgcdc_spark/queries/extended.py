@@ -433,3 +433,32 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q76_cube",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+               COALESCE(o_orderpriority, 'ALL') AS pri,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY st, pri, c
+    """,
+    doc="A4 completion: CUBE (all 2^k grouping sets in one pass — "
+    "Spark expands to a single Expand + hash agg, not k separate "
+    "scans; q17 covers ROLLUP). GROUPING-normalized labels so both "
+    "engines agree on NULL-vs-label.",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "c",
+        )
+        .orderBy("st", "pri", "c")
+    )

@@ -5,7 +5,6 @@ Spark pipeline on tiny literal frames."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from speculare_pgcdc_spark.cdc.pipeline import (
