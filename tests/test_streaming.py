@@ -685,3 +685,54 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, tmp_path):
         for r in session_counts(events).collect()
     }
     assert expected and got == expected
+
+
+def test_supervised_restart_resumes_and_delivers_exactly_once(
+    spark, tmp_path
+):
+    """R22: a poison delivery crashes the query; the supervisor backs
+    off linearly and restarts from the SAME checkpoint; with the
+    idempotent outbox the replayed batch is delivered exactly once."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        fanout_batch,
+        idempotent_outbox_deliver,
+        read_outbox,
+    )
+    from speculare_pgcdc_spark.streaming.supervise import run_supervised
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+    _write_jsonl(
+        f"{feed_dir}/f1.json",
+        [_event("2024-01-01 00:00:00", 1, i) for i in range(5)],
+    )
+
+    deliver = idempotent_outbox_deliver(out_dir)
+    crashes = {"left": 1}
+
+    def process(batch_df, batch_id):
+        routed = batch_df.selectExpr(
+            "1 AS sub_id", "to_json(struct(*)) AS change_json"
+        )
+        if crashes["left"] > 0:
+            crashes["left"] -= 1
+            raise RuntimeError("poison delivery (simulated sink crash)")
+        fanout_batch(routed, deliver, batch_id)
+
+    def start():
+        src = spark.readStream.schema(EVENT_SCHEMA).json(feed_dir)
+        return (
+            src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    backoffs = []
+    run_supervised(
+        start, backoff_seconds=3.0, sleep=backoffs.append, drain=True
+    )
+    assert backoffs == [3.0]  # one crash, linear first step
+    assert crashes["left"] == 0
+    assert len(read_outbox(out_dir, 1)) == 5  # replayed batch, no dupes
