@@ -144,3 +144,20 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    """S-family: CSV sink + schema-first scan (header for humans, the
+    schema contract for the engine — never inferSchema)."""
+    out = str(tmp_path / "nation_csv")
+    src = table(spark, sf_dir, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(out)
+    )
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    assert dict(back.dtypes)["n_nationkey"] == "int"
