@@ -32,6 +32,7 @@ from speculare_pgcdc_spark.dsl import WatchFor, parse_ws_query
 from speculare_pgcdc_spark.queries import load_all
 from speculare_pgcdc_spark.session import get_spark
 from speculare_pgcdc_spark.streaming.fanout import (
+    idempotent_outbox_deliver,
     outbox_deliver,
     start_fanout_query,
 )
@@ -136,6 +137,7 @@ class Engine:
         lookup: Optional[DataFrame] = None,
         deliver: Optional[Callable] = None,
         max_files_per_trigger: int = 1,
+        exactly_once: bool = False,
     ):
         """Start the streaming fan-out (EP2->EP3): change feed ->
         parse -> normalize -> route -> per-subscriber delivery, with
@@ -147,7 +149,12 @@ class Engine:
         return start_fanout_query(
             stream,
             self.subscriptions(),
-            deliver or outbox_deliver(out_dir),
+            deliver
+            or (
+                idempotent_outbox_deliver(out_dir)
+                if exactly_once
+                else outbox_deliver(out_dir)
+            ),
             checkpoint_dir,
         )
 
@@ -158,6 +165,7 @@ class Engine:
         checkpoint_dir: str,
         lookup: Optional[DataFrame] = None,
         deliver: Optional[Callable] = None,
+        exactly_once: bool = False,
     ):
         """Like :meth:`watch`, but the feed is a database polled with a
         monotonic LSN cursor (streaming.wal_source — the R1-R7
@@ -174,6 +182,11 @@ class Engine:
         return start_fanout_query(
             self._changes(src, lookup),
             self.subscriptions(),
-            deliver or outbox_deliver(out_dir),
+            deliver
+            or (
+                idempotent_outbox_deliver(out_dir)
+                if exactly_once
+                else outbox_deliver(out_dir)
+            ),
             checkpoint_dir,
         )
