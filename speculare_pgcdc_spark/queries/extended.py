@@ -462,3 +462,28 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("st", "pri", "c")
     )
+
+
+@register(
+    "q77_approx_percentiles",
+    oracle=None,  # t-digest estimates are engine-specific; exact twin q63
+    doc="Approximate percentiles via approx_percentile (t-digest-style "
+    "sketch, accuracy=10000): constant memory per group, map-side "
+    "mergeable — the percentile path at 100 TB, where exact "
+    "percentile (q63) must buffer each group. Estimate-vs-exact error "
+    "is pinned in tests/test_oracle.py.",
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("approx_percentile(value, 0.5, 10000)"), 2
+            ).alias("p50"),
+            F.round(
+                F.expr("approx_percentile(value, 0.9, 10000)"), 2
+            ).alias("p90"),
+        )
+        .orderBy("event_type")
+    )

@@ -38,3 +38,23 @@ def test_approx_distinct_within_bound(spark, duck, sf_dir):
         "SELECT COUNT(DISTINCT o_custkey) FROM orders"
     ).fetchone()[0]
     assert abs(est - exact) / exact <= 0.05, (est, exact)
+
+
+def test_approx_percentile_within_bound(spark, duck, sf_dir):
+    """Sketch-family accuracy pin (q77 vs exact q63): the t-digest
+    estimate must land within 2% relative error of quantile_cont."""
+    est = {
+        r.event_type: (r.p50, r.p90)
+        for r in REGISTRY["q77_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        (t, (p50, p90))
+        for t, p50, p90 in duck.execute(
+            "SELECT event_type, quantile_cont(value, 0.5),"
+            " quantile_cont(value, 0.9) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for t in est:
+        for got, ref in zip(est[t], exact[t]):
+            assert abs(got - ref) / max(abs(ref), 1e-9) <= 0.02, (t, got, ref)
