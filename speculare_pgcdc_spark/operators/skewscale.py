@@ -37,8 +37,13 @@ def bin_range_join(
     """Pairs (l, r) with ``l.ts + lower < r.ts <= l.ts + upper`` (epoch
     seconds), as an equi-join on bucket = floor(epoch/upper) with the
     left side exploded to its two candidate buckets. Columns of both
-    inputs are preserved (prefix-free inputs required)."""
-    width = upper - lower
+    inputs are preserved (prefix-free inputs required).
+
+    Bin width must be ``upper`` (not upper-lower): any r in
+    (l+lower, l+upper] ⊆ [l, l+upper] lies in bin(l) or bin(l)+1 when
+    bins are upper-wide; a narrower width would need bin(l)+2 for
+    lower > 0 and silently drop pairs."""
+    width = upper
     lbin = F.floor(F.col(left_ts).cast("double") / width).cast("bigint")
     rbin = F.floor(F.col(right_ts).cast("double") / width).cast("bigint")
     l_exp = left.withColumn(

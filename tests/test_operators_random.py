@@ -103,3 +103,31 @@ def test_merge_asof_equals_join_asof_on_ties(rnd_events):
             ).collect()
         }
         assert a == b and a
+
+
+def test_bin_range_join_nonzero_lower_bound(rnd_events):
+    """lower > 0 regression: candidate bins must still cover the whole
+    (l+lower, l+upper] window (width=upper, not upper-lower)."""
+    from speculare_pgcdc_spark.operators.skewscale import bin_range_join
+
+    ev = rnd_events.select("event_id", "ts").limit(600)
+    left = ev.select(F.col("event_id").alias("ea"), F.col("ts").alias("ta"))
+    right = ev.select(F.col("event_id").alias("eb"), F.col("ts").alias("tb"))
+    got = {
+        (r.ea, r.eb)
+        for r in bin_range_join(
+            left, right, "ta", "tb", lower=50, upper=120
+        ).collect()
+    }
+    naive = {
+        (r.ea, r.eb)
+        for r in left.join(
+            right,
+            (F.col("tb").cast("double") > F.col("ta").cast("double") + 50)
+            & (
+                F.col("tb").cast("double")
+                <= F.col("ta").cast("double") + 120
+            ),
+        ).collect()
+    }
+    assert got == naive and naive
