@@ -91,6 +91,11 @@ def rolling_hashes(text_col: str = "text", k: int = 8) -> Column:
     < 2^45, exact in BIGINT in any engine (the cross-engine-oracle
     requirement). Pure higher-order column functions — whole-stage
     codegen, no Python, one narrow pass per document."""
+    if not 1 <= k <= 11:
+        # 31^(k-1) must stay exactly representable in a double (< 2^53)
+        # for pow() -> BIGINT to be lossless in every engine; k=12 puts
+        # 31^11 past that and the hashes silently diverge cross-engine
+        raise ValueError(f"k must be in [1, 11], got {k}")
     return F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
         f" i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),"
