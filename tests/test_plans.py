@@ -160,3 +160,23 @@ def test_salted_agg_two_phase(q):
     # partial (key, salt) agg + final key agg -> exactly 2 key shuffles
     assert exchange_count(df, "hashpartitioning") == 2
     assert not has_python_eval(df)
+
+
+#: queries whose PURPOSE is the Python UDF surface (X-family) — every
+#: other registered query must stay entirely JVM-side
+PYTHON_ALLOWED = {
+    "q40_python_udf",
+    "q40_pandas_udf",
+    "q41_grouped_map_zscore",
+    "q41_grouped_agg_udaf",
+    "q75_udtf_ngrams",
+}
+
+
+def test_entire_registry_is_jvm_side_except_udf_family(q):
+    offenders = [
+        name
+        for name in sorted(REGISTRY)
+        if name not in PYTHON_ALLOWED and has_python_eval(q(name))
+    ]
+    assert not offenders, f"Python crept into hot paths: {offenders}"
