@@ -42,7 +42,14 @@ def bin_range_join(
     Bin width must be ``upper`` (not upper-lower): any r in
     (l+lower, l+upper] ⊆ [l, l+upper] lies in bin(l) or bin(l)+1 when
     bins are upper-wide; a narrower width would need bin(l)+2 for
-    lower > 0 and silently drop pairs."""
+    lower > 0 and silently drop pairs. Negative lower (r earlier than
+    l) would need bin(l)-1 too — rejected rather than silently
+    under-covered; swap the sides instead."""
+    if not 0 <= lower < upper:
+        raise ValueError(
+            f"need 0 <= lower < upper, got lower={lower} upper={upper}; "
+            "for windows reaching before the left row, swap the inputs"
+        )
     width = upper
     lbin = F.floor(F.col(left_ts).cast("double") / width).cast("bigint")
     rbin = F.floor(F.col(right_ts).cast("double") / width).cast("bigint")
@@ -66,10 +73,13 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase skew-proof aggregate: exact count + decimal-exact sum
     per key, with each key's rows first reduced across `salt_buckets`
-    independent partials. The salt is derived (hash of a unique-ish
-    expression), not random — deterministic replays (speculative tasks,
-    stage retries) must produce identical partials."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    independent partials. The salt hashes ROW CONTENT (key + value),
+    never partition position: monotonically_increasing_id/rand are
+    recompute-unstable — a fetch-failure stage retry would re-salt rows
+    into different partials and double-count/drop them (the SPARK-23207
+    failure mode). Identical (key, value) duplicates share a salt; they
+    pre-combine map-side, so that concentration is harmless."""
+    salt = F.pmod(F.xxhash64(F.col(key), F.col(value)), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

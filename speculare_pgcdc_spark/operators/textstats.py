@@ -96,11 +96,16 @@ def rolling_hashes(text_col: str = "text", k: int = 8) -> Column:
         # for pow() -> BIGINT to be lossless in every engine; k=12 puts
         # 31^11 past that and the hashes silently diverge cross-engine
         raise ValueError(f"k must be in [1, 11], got {k}")
+    # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a
+    # text shorter than k must short-circuit to array() or it grows
+    # phantom hashes of out-of-range substrings
     return F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-        f" i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),"
-        f"  (acc, j) -> acc + CAST(ascii(substring({text_col}, i + j, 1))"
-        f"   AS BIGINT) * CAST(pow(31, j) AS BIGINT)))"
+        f"CASE WHEN length({text_col}) >= {k} THEN"
+        f" transform(sequence(1, length({text_col}) - {k - 1}),"
+        f"  i -> aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT),"
+        f"   (acc, j) -> acc + CAST(ascii(substring({text_col}, i + j, 1))"
+        f"    AS BIGINT) * CAST(pow(31, j) AS BIGINT)))"
+        f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
 
 

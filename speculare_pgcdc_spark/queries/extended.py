@@ -155,7 +155,12 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     "(operators/dedup.py, q46) is the linear-cost path at 100 TB.",
 )
 def q65(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    # length >= 3 pre-filter: sequence(1, n) is DESCENDING for n < 1
+    # (not empty), which would fabricate shingles for tiny docs; the
+    # oracle's range(1, len-1) is empty for them
+    docs = table(spark, sf, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") >= 3)
+    )
     sh = (
         docs.select(
             "doc_id",

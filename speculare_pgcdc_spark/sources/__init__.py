@@ -97,9 +97,21 @@ def jdbc_scan(
     for k, v in options.items():
         reader = reader.option(k, v)
     if predicates:
-        # DataFrameReader.jdbc(predicates=...) is the only public route;
-        # stash them for the caller.
-        reader = reader.option("speculare.predicates", ",".join(predicates))
+        # Predicate partitioning has no reader-option form —
+        # DataFrameReader.jdbc(predicates=...) is the only public route,
+        # and it resolves the schema (connects) immediately. Return a
+        # zero-arg loader so configuration stays connection-free and the
+        # predicates genuinely take effect at load time (a fake option
+        # would silently degrade to ONE task — the exact failure this
+        # module exists to refuse).
+        props = {"fetchsize": str(fetch_size), **options}
+
+        def load_with_predicates():
+            return spark.read.jdbc(
+                url, table, predicates=list(predicates), properties=props
+            )
+
+        return load_with_predicates
     return reader
 
 

@@ -15,6 +15,7 @@ WebSocket server tails). Tests use an in-memory collector.
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 from typing import Callable
@@ -42,8 +43,24 @@ def fanout_batch(
         .agg(F.collect_list("change_json").alias("payloads"))
         .collect()
     )
+    # two-arg adapters (the original Delivery contract) keep working;
+    # only batch-aware adapters receive the batch_id. Decided by
+    # signature, not by retrying on TypeError — a retry would re-invoke
+    # (and double-deliver through) an adapter that raised for its own
+    # reasons.
+    try:
+        params = inspect.signature(deliver).parameters
+        takes_batch = len(params) >= 3 or any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL
+            for p in params.values()
+        )
+    except (TypeError, ValueError):
+        takes_batch = True
     for row in grouped:
-        deliver(row["sub_id"], row["payloads"], batch_id)
+        if takes_batch:
+            deliver(row["sub_id"], row["payloads"], batch_id)
+        else:
+            deliver(row["sub_id"], row["payloads"])
 
 
 def outbox_deliver(out_dir: str) -> Delivery:
@@ -91,9 +108,17 @@ def read_outbox(out_dir: str, sub_id: int) -> list[str]:
     if not os.path.isdir(d):
         return []
     lines: list[str] = []
+    def batch_no(n: str) -> int:
+        # numeric batch order: lexicographic puts batch-10 before
+        # batch-2
+        try:
+            return int(n.removeprefix("batch-").removesuffix(".jsonl"))
+        except ValueError:
+            return -1
+
     names = sorted(
         (n for n in os.listdir(d) if n.endswith(".jsonl")),
-        key=lambda n: (n != "outbox.jsonl", n),
+        key=lambda n: (n != "outbox.jsonl", batch_no(n)),
     )
     for n in names:
         with open(os.path.join(d, n)) as f:

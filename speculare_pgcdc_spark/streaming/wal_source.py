@@ -84,12 +84,24 @@ class WalPollReader(SimpleDataSourceStreamReader):
         return {"lsn": 0}
 
     def _poll(self, after: int) -> list[Tuple[int, str]]:
+        """Up to batch_limit DISTINCT LSNs past the cursor — always ALL
+        rows of the last included LSN. A plain row LIMIT could cut
+        inside a run of equal LSNs; the offset would then point past
+        the unsent duplicates and `lsn > cursor` would skip them
+        forever (silent loss)."""
         con = _connect(self.db_path)
         try:
-            return con.execute(
-                "SELECT lsn, payload FROM wal WHERE lsn > ? "
-                "ORDER BY lsn LIMIT ?",
+            cutoff = con.execute(
+                "SELECT MAX(lsn) FROM (SELECT DISTINCT lsn FROM wal "
+                "WHERE lsn > ? ORDER BY lsn LIMIT ?)",
                 (after, self.batch_limit),
+            ).fetchone()[0]
+            if cutoff is None:
+                return []
+            return con.execute(
+                "SELECT lsn, payload FROM wal WHERE lsn > ? AND lsn <= ? "
+                "ORDER BY lsn",
+                (after, cutoff),
             ).fetchall()
         finally:
             con.close()
@@ -101,10 +113,19 @@ class WalPollReader(SimpleDataSourceStreamReader):
         return iter(rows), {"lsn": rows[-1][0]}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        # replay after restart: deterministic because WAL rows are
-        # immutable and LSN-ordered
-        rows = self._poll(start["lsn"])
-        return iter(r for r in rows if r[0] <= end["lsn"])
+        # replay after restart: fetch the WHOLE checkpointed range —
+        # deliberately no batch_limit here, a restart with a smaller
+        # limit must not truncate a committed microbatch
+        con = _connect(self.db_path)
+        try:
+            rows = con.execute(
+                "SELECT lsn, payload FROM wal WHERE lsn > ? AND lsn <= ? "
+                "ORDER BY lsn",
+                (start["lsn"], end["lsn"]),
+            ).fetchall()
+        finally:
+            con.close()
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         # standby-status-update analog: persist the acked LSN only after

@@ -227,3 +227,26 @@ def test_srp_lsh_recall_vs_exact_cosine_pairs(spark, sf_dir):
     assert got <= exact           # verification guarantees no false positives
     recall = len(got) / len(exact)
     assert recall >= 0.7, f"recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_rolling_hashes_short_text_yields_empty(spark):
+    """sequence(1, 0) is DESCENDING in Spark, not empty: texts shorter
+    than k must produce [] (and a '' fingerprint), never phantom
+    hashes."""
+    from speculare_pgcdc_spark.operators import textstats as ts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("abc",), ("",), ("exactly8",), ("longer than eight",)],
+        "text string",
+    ).select(
+        "text",
+        ts.rolling_hashes("text").alias("h"),
+        ts.rolling_fingerprint("text").alias("fp"),
+        F.length("text").alias("n"),
+    )
+    rows = {r.text: r for r in df.collect()}
+    assert rows["abc"].h == [] and rows["abc"].fp == ""
+    assert rows[""].h == [] and rows[""].fp == ""
+    assert len(rows["exactly8"].h) == 1
+    assert len(rows["longer than eight"].h) == 17 - 8 + 1

@@ -161,3 +161,16 @@ def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
         r.n_nationkey for r in src.collect()
     )
     assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_jdbc_scan_predicates_returns_loader(spark):
+    """Predicate partitioning has no reader-option form; the helper
+    must hand back a real loader bound to DataFrameReader.jdbc, not a
+    reader with a fake option that degrades to one task."""
+    loader = jdbc_scan(
+        spark,
+        "jdbc:postgresql://db/x",
+        "events",
+        predicates=["user_id < 50", "user_id >= 50"],
+    )
+    assert callable(loader) and not hasattr(loader, "option")

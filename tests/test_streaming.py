@@ -736,3 +736,57 @@ def test_supervised_restart_resumes_and_delivers_exactly_once(
     assert backoffs == [3.0]  # one crash, linear first step
     assert crashes["left"] == 0
     assert len(read_outbox(out_dir, 1)) == 5  # replayed batch, no dupes
+
+
+def test_read_outbox_numeric_batch_order(tmp_path):
+    from speculare_pgcdc_spark.streaming.fanout import (
+        idempotent_outbox_deliver,
+        read_outbox,
+    )
+
+    deliver = idempotent_outbox_deliver(str(tmp_path))
+    for b in range(12):
+        deliver(1, [f"payload-{b}"], b)
+    got = read_outbox(str(tmp_path), 1)
+    assert got == [f"payload-{b}" for b in range(12)]  # 10 after 9, not after 1
+
+
+def test_two_arg_delivery_adapters_still_work(spark, tmp_path):
+    """The original Delivery contract (sub_id, payloads) must not break
+    now that fanout threads batch_id to batch-aware adapters."""
+    from speculare_pgcdc_spark.streaming.fanout import fanout_batch
+
+    seen = []
+
+    def legacy_deliver(sub_id, payloads):
+        seen.append((sub_id, tuple(payloads)))
+
+    routed = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "sub_id int, change_json string"
+    )
+    fanout_batch(routed, legacy_deliver, batch_id=3)
+    assert seen and seen[0][0] == 1 and sorted(seen[0][1]) == ["a", "b"]
+
+
+def test_wal_poll_duplicate_lsns_not_skipped(spark, tmp_path):
+    """A batch limit cutting inside a run of equal LSNs must not strand
+    the remaining duplicates behind the cursor."""
+    from speculare_pgcdc_spark.streaming import wal_source
+
+    db = str(tmp_path / "wal.sqlite")
+    wal_source.ensure_wal_tables(db)
+    for i in range(3):
+        wal_source.append_wal(db, 50, f'{{"change":[],"i":{i}}}')
+    wal_source.append_wal(db, 60, '{"change":[]}')
+
+    reader = wal_source.WalPollReader({"path": db, "batchlimit": "1"})
+    rows1, off1 = reader.read({"lsn": 0})
+    rows1 = list(rows1)
+    # limit=1 distinct LSN -> ALL THREE lsn=50 rows in one batch
+    assert [r[0] for r in rows1] == [50, 50, 50]
+    assert off1 == {"lsn": 50}
+    rows2, off2 = reader.read(off1)
+    assert [r[0] for r in list(rows2)] == [60] and off2 == {"lsn": 60}
+    # replay of the first range returns the full range regardless of limit
+    replay = list(reader.readBetweenOffsets({"lsn": 0}, {"lsn": 50}))
+    assert len(replay) == 3
