@@ -29,7 +29,21 @@ def _configure(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
-        pass  # static conf on some builds; catalog detects and copes
+        # the conf is static on some builds — acceptable ONLY if it was
+        # already set at session build; the catalog's ns->us truncation
+        # requires it, so fail loudly rather than let every timestamp
+        # query error confusingly downstream
+        if (
+            spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false"
+            ).lower()
+            != "true"
+        ):
+            raise RuntimeError(
+                "spark.sql.legacy.parquet.nanosAsLong must be true to "
+                "read the timestamp[ns] fixtures; set it when building "
+                "the SparkSession"
+            )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

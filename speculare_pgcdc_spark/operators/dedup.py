@@ -40,10 +40,15 @@ def char_shingles(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Distinct character n-gram shingles per doc (generator expression;
-    no Python)."""
+    no Python). Texts shorter than n yield NO rows — sequence(1, 0) is
+    DESCENDING [1, 0] in Spark, not empty, so the short case must
+    short-circuit or sub-n docs fabricate shingles and all pair up as
+    near-duplicates."""
     sh = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-        f" i -> substring({text_col}, i, {n}))"
+        f"CASE WHEN length({text_col}) >= {n} THEN"
+        f" transform(sequence(1, length({text_col}) - {n - 1}),"
+        f"  i -> substring({text_col}, i, {n}))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return (
         docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("tok"))

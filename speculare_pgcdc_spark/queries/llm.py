@@ -240,18 +240,12 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
     t = F.col("text")
-    stop_raw = F.size(
-        F.filter(
-            F.filter(F.split("text", " "), lambda x: x != ""),
-            lambda x: x.isin(*ts.STOPWORDS),
-        )
-    ) / F.greatest(ts.token_count_ws(t), F.lit(1))
     return (
         table(spark, sf, "documents")
         .select(
             "doc_id",
             ts.token_count_ws(t).alias("n_tok_ws"),
-            F.round(stop_raw, 4).alias("stop_ratio"),
+            ts.stopword_ratio(t).alias("stop_ratio"),
             ts.quality_score(t).alias("quality"),
         )
         .orderBy("doc_id")

@@ -644,9 +644,11 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
                    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS cnt
         FROM orders ORDER BY o_orderkey
     """,
-    doc="W4 RANGE frame over a numeric key. NOTE the empty OVER partition "
-    "is a single-task global sort — correct but not scalable; the engine "
-    "flags unpartitioned windows (see plans/lints).",
+    doc="W4 RANGE frame over a numeric key. NOTE the empty OVER "
+    "partition is DELIBERATE here (the SURVEY-declared oracle query "
+    "has no partition key) and means a single-task global sort — "
+    "correct but not scalable; production windows must carry a "
+    "partitionBy, and this is the only registered query without one.",
 )
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy("o_totalprice").rangeBetween(-100, Window.currentRow)
@@ -798,7 +800,12 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             F.substring("p_name", 1, 5).alias("sub_name"),
             F.length("p_type").cast("int").alias("len_type"),
             F.regexp_extract("p_name", "([a-z]+)", 1).alias("rex"),
-            F.concat_ws("#", "p_brand", "p_type").alias("cat"),
+            # concat (not concat_ws): the oracle's CONCAT skips only
+            # NULL values, while concat_ws also drops the separator —
+            # they diverge on null inputs
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
+                "cat"
+            ),
         )
         .orderBy("p_partkey")
     )

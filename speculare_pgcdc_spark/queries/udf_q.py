@@ -104,7 +104,12 @@ def q41a(spark: SparkSession, sf: str) -> DataFrame:
 def q41b(spark: SparkSession, sf: str) -> DataFrame:
     @F.pandas_udf("bigint")
     def cents_sum(v: pd.Series) -> int:
-        return int((v * 100).round(0).astype("int64").sum())
+        import numpy as np
+
+        # half-AWAY rounding to match SQL ROUND; pandas .round(0) is
+        # banker's (half-to-even) and diverges on exact half-cents
+        # (values are positive, so floor(x + 0.5) == half-away)
+        return int(np.floor(v * 100 + 0.5).astype("int64").sum())
 
     return (
         table(spark, sf, "events")

@@ -16,7 +16,6 @@ WebSocket server tails). Tests use an in-memory collector.
 from __future__ import annotations
 
 import inspect
-import json
 import os
 from typing import Callable
 
@@ -149,7 +148,3 @@ def start_fanout_query(
     )
 
 
-def to_payload_json(sub_id_col, change_json_col) -> str:
-    """Canonical delivered-message shape (what the reference sends as
-    WS text: the change object itself)."""
-    return json.dumps({"sub_id": sub_id_col, "change": change_json_col})

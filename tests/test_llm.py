@@ -250,3 +250,17 @@ def test_rolling_hashes_short_text_yields_empty(spark):
     assert rows[""].h == [] and rows[""].fp == ""
     assert len(rows["exactly8"].h) == 1
     assert len(rows["longer than eight"].h) == 17 - 8 + 1
+
+
+def test_char_shingles_short_text_yields_no_rows(spark):
+    from speculare_pgcdc_spark.operators.dedup import char_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abcd")], "doc_id bigint, text string"
+    )
+    rows = char_shingles(docs, n=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.tok)
+    assert 1 not in got and 2 not in got
+    assert got[3] == {"abc", "bcd"}
