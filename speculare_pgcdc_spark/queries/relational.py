@@ -238,6 +238,29 @@ def q08b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q08_right_join",
+    oracle="""
+        SELECT o.o_orderkey, COALESCE(c.c_name, 'none') AS cname
+        FROM customer c RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey
+    """,
+    doc="J2 right outer join (planned as a mirrored left-outer; the "
+    "preserved side's nulls coalesce to a label).",
+)
+def q08c(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "right")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_name", F.lit("none")).alias("cname"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "q09_semi_join",
     oracle="""
         SELECT p_partkey FROM part WHERE p_partkey IN
