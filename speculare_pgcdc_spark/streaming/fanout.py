@@ -131,20 +131,28 @@ def start_fanout_query(
     deliver: Delivery,
     checkpoint_dir: str,
     query_name: str = "cdc-fanout",
+    available_now: bool = False,
 ):
     """Wire the full streaming EP3: parse/normalize is upstream; here the
-    stream-static routing join + foreachBatch fan-out, checkpointed."""
+    stream-static routing join + foreachBatch fan-out, checkpointed.
+
+    available_now=True runs in drain-and-stop mode (Trigger.AvailableNow):
+    process everything committed so far in rate-limited microbatches,
+    then terminate — the scheduled-backfill shape; the checkpoint makes
+    consecutive drains resume where the last one stopped."""
     from speculare_pgcdc_spark.cdc.pipeline import route
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         routed = route(batch_df, subscriptions)
         fanout_batch(routed, deliver, batch_id)
 
-    return (
+    writer = (
         changes_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 

@@ -790,3 +790,49 @@ def test_wal_poll_duplicate_lsns_not_skipped(spark, tmp_path):
     # replay of the first range returns the full range regardless of limit
     replay = list(reader.readBetweenOffsets({"lsn": 0}, {"lsn": 50}))
     assert len(replay) == 3
+
+
+def test_available_now_drains_and_terminates(spark, tmp_path):
+    """Trigger.AvailableNow: the fan-out processes everything committed
+    so far and terminates on its own; a second drain resumes from the
+    checkpoint and sees only new data."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        read_outbox,
+        idempotent_outbox_deliver,
+        start_fanout_query,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    def payload_file(path, n0, n):
+        with open(path, "w") as f:
+            for i in range(n0, n0 + n):
+                f.write(
+                    json.dumps(
+                        _wal2json_line("insert", "events_a", ["id"], [i])
+                    )
+                    + "\n"
+                )
+
+    payload_file(f"{feed_dir}/f1.json", 0, 3)
+    subs = subscriptions_df(spark, [(1, "insert:events_a")], FEED_TABLES)
+
+    def drain():
+        stream = normalize_hypertables(
+            parse_wal2json(file_change_feed(spark, feed_dir)),
+            lookup_df(spark),
+        )
+        q = start_fanout_query(
+            stream, subs, idempotent_outbox_deliver(out_dir), ckpt,
+            available_now=True,
+        )
+        assert q.awaitTermination(120)  # terminates by itself
+
+    drain()
+    assert len(read_outbox(out_dir, 1)) == 3
+    payload_file(f"{feed_dir}/f2.json", 3, 2)
+    drain()
+    assert len(read_outbox(out_dir, 1)) == 5  # resumed, no reprocessing
