@@ -138,6 +138,7 @@ class Engine:
         deliver: Optional[Callable] = None,
         max_files_per_trigger: int = 1,
         exactly_once: bool = False,
+        available_now: bool = False,
     ):
         """Start the streaming fan-out (EP2->EP3): change feed ->
         parse -> normalize -> route -> per-subscriber delivery, with
@@ -156,6 +157,7 @@ class Engine:
                 else outbox_deliver(out_dir)
             ),
             checkpoint_dir,
+            available_now=available_now,
         )
 
     def watch_db(
@@ -166,6 +168,7 @@ class Engine:
         lookup: Optional[DataFrame] = None,
         deliver: Optional[Callable] = None,
         exactly_once: bool = False,
+        available_now: bool = False,
     ):
         """Like :meth:`watch`, but the feed is a database polled with a
         monotonic LSN cursor (streaming.wal_source — the R1-R7
@@ -189,4 +192,5 @@ class Engine:
                 else outbox_deliver(out_dir)
             ),
             checkpoint_dir,
+            available_now=available_now,
         )
