@@ -492,3 +492,31 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q78_stratified_sample",
+    oracle=None,  # sampling is engine-specific by construction
+    doc="Stratified sampling (training-data selection primitive): "
+    "sampleBy(event_type) with per-stratum fractions and a FIXED seed "
+    "— Bernoulli per row, so it is a narrow map (no shuffle) and "
+    "deterministic for a given seed + partitioning, which makes "
+    "dataset builds reproducible. tests/test_oracle.py pins "
+    "determinism and per-stratum rates; downsampling hot strata / "
+    "upweighting rare ones is THE curriculum knob at 100 TB.",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    fractions = {
+        "click": 0.1,
+        "view": 0.5,
+        "purchase": 1.0,
+        "signup": 1.0,
+        "error": 1.0,
+    }
+    return (
+        table(spark, sf, "events")
+        .sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("event_type")
+    )

@@ -58,3 +58,25 @@ def test_approx_percentile_within_bound(spark, duck, sf_dir):
     for t in est:
         for got, ref in zip(est[t], exact[t]):
             assert abs(got - ref) / max(abs(ref), 1e-9) <= 0.02, (t, got, ref)
+
+
+def test_stratified_sample_deterministic_and_in_bounds(spark, duck, sf_dir):
+    """q78: same seed -> identical sample; per-stratum rates near the
+    requested fractions (binomial tolerance)."""
+    a = {r.event_type: r.c for r in
+         REGISTRY["q78_stratified_sample"].fn(spark, sf_dir).collect()}
+    b = {r.event_type: r.c for r in
+         REGISTRY["q78_stratified_sample"].fn(spark, sf_dir).collect()}
+    assert a == b  # seed-fixed determinism
+    totals = dict(duck.execute(
+        "SELECT event_type, COUNT(*) FROM events GROUP BY 1").fetchall())
+    want = {"click": 0.1, "view": 0.5, "purchase": 1.0, "signup": 1.0,
+            "error": 1.0}
+    for t, frac in want.items():
+        n = totals[t]
+        got = a.get(t, 0)
+        if frac == 1.0:
+            assert got == n, (t, got, n)
+        else:
+            sd = (n * frac * (1 - frac)) ** 0.5
+            assert abs(got - n * frac) <= 5 * sd, (t, got, n * frac, sd)
