@@ -217,3 +217,21 @@ def simhash64(
 def hamming64(a, b):
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def df_capped_tokens(
+    tok: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop tokens whose document frequency exceeds max_df before any
+    pairwise work. The per-token join fan-out of jaccard_pairs is
+    sum(df_t^2), so stopword-class tokens (df ~ corpus size) dominate
+    quadratically; capping df bounds the fan-out to corpus * max_df —
+    the standard prefilter that keeps exact token-Jaccard usable at
+    scale (near-dup pairs share RARE tokens; dropping ubiquitous ones
+    barely moves the estimate and only ever LOWERS recall, never
+    precision of the verified score)."""
+    df_counts = tok.groupBy("tok").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    keep = df_counts.filter(F.col("_df") <= max_df).select("tok")
+    return tok.join(keep, "tok", "left_semi")

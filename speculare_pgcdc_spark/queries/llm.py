@@ -369,3 +369,48 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "embedding")
     )
     return sim.srp_neardup_pairs(emb, threshold=0.3).orderBy("da", "db")
+
+
+@register(
+    "q79_jaccard_df_capped",
+    oracle="""
+        WITH tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 200)
+            WHERE tok <> ''),
+        dfreq AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df
+            FROM tokens GROUP BY tok),
+        capped AS (
+            SELECT t.doc_id, t.tok FROM tokens t
+            JOIN dfreq USING (tok) WHERE df <= 40),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM capped a JOIN capped b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6
+        ORDER BY da, db
+    """,
+    doc="L2 df-capped exact Jaccard (max_df=40): the documented scale "
+    "prefilter for q42 made real — ubiquitous tokens are dropped "
+    "BEFORE the pairwise join, bounding its fan-out to corpus*max_df "
+    "instead of sum(df^2). operators/dedup.df_capped_tokens; the "
+    "oracle recomputes the identical capped token sets in SQL.",
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.dedup import (
+        df_capped_tokens,
+        jaccard_pairs,
+        tokens,
+    )
+
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    capped = df_capped_tokens(tokens(docs), max_df=40)
+    return jaccard_pairs(capped, threshold=0.6).orderBy("da", "db")
