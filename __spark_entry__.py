@@ -46,6 +46,12 @@ def _configure(spark: SparkSession) -> SparkSession:
             )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # The driver verifies at sf<=0.01 (~10 MB) on a vanilla session whose
+    # default of 200 shuffle partitions is pure scheduling overhead at
+    # that size; 8 keeps every query's task count proportional to the
+    # data so the budgeted sweep covers the whole registry. Cluster-scale
+    # sizing lives in session.get_spark (cores-proportional), not here.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     return spark
 
 

@@ -116,14 +116,20 @@ def gapfill_interpolate(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next non-null" via DESCENDING order + a running last() frame:
+    # Spark evaluates (currentRow, unboundedFollowing) frames with
+    # UnboundedFollowingWindowFunctionFrame, which recomputes the
+    # aggregate from scratch per row — O(n^2) per partition. The
+    # reversed running frame is the O(n) streaming path and shares the
+    # same hash partitioning (one exchange, two sorts).
     wn = (
         Window.partitionBy(key)
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     vb = F.struct("_mu", "bucket")
     prev = F.last(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wp)
-    nxt = F.first(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wn)
+    nxt = F.last(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wn)
     span = nxt["bucket"] - prev["bucket"]
     num = prev["_mu"] * (nxt["bucket"] - F.col("bucket")) + nxt["_mu"] * (
         F.col("bucket") - prev["bucket"]

@@ -46,15 +46,23 @@ def load_all() -> dict[str, QuerySpec]:
     Imports are STRICT: a broken module must fail loudly here, not
     silently shrink the declared operator inventory (the driver counts
     registry entries as the correctness surface).
+
+    Import ORDER is load-bearing: the driver sweeps the registry in
+    insertion order under a wall-clock budget, so the SURVEY §2B
+    contract core (relational -> temporal -> udf -> tpch -> cdc)
+    registers FIRST; the §2D extensions and LLM-pipeline queries
+    follow. A budget-truncated sweep then still covers the contract
+    surface (round-1 lesson: the sweep stopped mid-registry and left
+    38 core queries without a driver row).
     """
     from speculare_pgcdc_spark.queries import (  # noqa: F401
-        cdc_q,
-        extended,
-        llm,
         relational,
         temporal,
-        tpch,
         udf_q,
+        tpch,
+        cdc_q,
+        llm,
+        extended,
     )
 
     return REGISTRY
