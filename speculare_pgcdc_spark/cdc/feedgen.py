@@ -72,16 +72,30 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 3 == 1, "update")
         .otherwise("delete")
     )
+    # event_type goes through to_json so quotes/backslashes in fixture
+    # content are escaped (format_string would emit a malformed frame
+    # that try_parse_json silently drops, skewing the oracle); to_json
+    # of a 1-array is the JSON literal incl. quotes, minus the brackets.
+    etype_arr = F.to_json(F.array(F.col("event_type")))
+    etype_lit = etype_arr.substr(F.lit(2), F.length(etype_arr) - 2)
+    # non-finite doubles have no JSON literal (cast -> "NaN"/"Infinity"
+    # is invalid JSON); emit null instead of a malformed frame
+    val_lit = F.when(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf")),
+        F.col("value").cast("string"),
+    ).otherwise(F.lit("null"))
     row_json = F.format_string(
         '{"kind":"%s","table":"%s",'
         '"columnnames":["event_id","event_type","value"],'
         '"columntypes":["bigint","text","double precision"],'
-        '"columnvalues":[%s,"%s",%s]}',
+        '"columnvalues":[%s,%s,%s]}',
         kind,
         chunk_table,
         F.col("event_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("string"),
+        etype_lit,
+        val_lit,
     )
     del_json = F.format_string(
         '{"kind":"delete","table":"%s",'

@@ -25,6 +25,8 @@ from speculare_pgcdc_spark.dsl import DELETE, INSERT, UPDATE
 
 #: Stable output schema of parse_wal2json.
 CHANGE_COLUMNS = [
+    "seq",          # WAL position of the enclosing message (0 if unknown)
+    "chg_idx",      # index of the change within its message's array
     "table",        # raw table name as emitted by wal2json
     "kind",         # insert | update | delete (others dropped, see below)
     "columnnames",  # array<string> (null for deletes)
@@ -34,7 +36,11 @@ CHANGE_COLUMNS = [
 ]
 
 
-def parse_wal2json(payload_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def parse_wal2json(
+    payload_df: DataFrame,
+    payload_col: str = "payload",
+    seq_col: str | None = None,
+) -> DataFrame:
     """One row per change event from a frame of wal2json transaction
     messages (R8 parse + R9 explode + R10 project/validate).
 
@@ -43,18 +49,32 @@ def parse_wal2json(payload_df: DataFrame, payload_col: str = "payload") -> DataF
     dropped (mod.rs:129-134); kinds other than insert/update/delete
     (wal2json 'message'/'truncate') get flag 0 and are skipped
     (mod.rs:125-128).
+
+    Ordering: the reference forwards changes to each client in WAL
+    order over one ordered channel (forwarder/mod.rs:44-72). Here the
+    order key is carried as DATA — ``seq`` (the message's WAL position
+    from ``seq_col``, e.g. the wal_poll source's ``lsn``; 0 when the
+    feed has none) plus ``chg_idx`` (posexplode index within the
+    message's change array) — and re-established at the fan-out sink by
+    sorting each subscriber's payload list on (seq, chg_idx). Order
+    scope: within a microbatch, and only as strong as ``seq`` (a
+    seq-less feed orders within each message only).
     """
     # try_parse_json: a malformed payload yields NULL and is dropped —
     # the reference logs the simd-json error and continues
     # (forwarder/mod.rs:83-91); strict parse_json would fail the whole
     # microbatch on one bad frame.
+    seq = (
+        F.col(seq_col).cast("bigint") if seq_col is not None else F.lit(0)
+    ).alias("seq")
     v = payload_df.select(
-        F.try_parse_json(F.col(payload_col)).alias("_msg")
+        seq, F.try_parse_json(F.col(payload_col)).alias("_msg")
     ).filter(F.col("_msg").isNotNull())
     ch = v.select(
-        F.explode(
+        "seq",
+        F.posexplode(
             F.expr("variant_get(_msg, '$.change', 'array<variant>')")
-        ).alias("_c")
+        ).alias("chg_idx", "_c"),
     )
     typed_cells = F.expr(
         "transform(variant_get(_c, '$.columnvalues', 'array<variant>'),"
@@ -67,6 +87,8 @@ def parse_wal2json(payload_df: DataFrame, payload_col: str = "payload") -> DataF
     )
     names = F.expr("variant_get(_c, '$.columnnames', 'array<string>')")
     out = ch.select(
+        "seq",
+        "chg_idx",
         F.expr("variant_get(_c, '$.table', 'string')").alias("table"),
         F.expr("variant_get(_c, '$.kind', 'string')").alias("kind"),
         names.alias("columnnames"),

@@ -91,7 +91,14 @@ class Engine:
         when ``auth`` (cdc.auth.AuthInfo) and ``authorizer``
         (cdc.auth.SubscriptionAuthorizer) are supplied, applies the
         reference's restrict_auth gate (403 analog) before
-        registering."""
+        registering.
+
+        A subscription registered (or removed) while a watch()/
+        watch_db() query is running takes effect when that query is
+        next started, not live — the registry is snapshotted into the
+        broadcast routing side at watch() time (the reference applies
+        WebSocket subscriptions to the live forwarder immediately;
+        restart-to-apply is this engine's documented deviation)."""
         watch = parse_ws_query(dsl_query, self.tables)
         if auth is not None:
             if authorizer is None:
@@ -112,8 +119,13 @@ class Engine:
 
     # -- CDC dispatch (EP2 + EP3) --------------------------------------
 
-    def _changes(self, payloads: DataFrame, lookup: Optional[DataFrame]):
-        changes = parse_wal2json(payloads)
+    def _changes(
+        self,
+        payloads: DataFrame,
+        lookup: Optional[DataFrame],
+        seq_col: Optional[str] = None,
+    ):
+        changes = parse_wal2json(payloads, seq_col=seq_col)
         if lookup is not None:
             changes = normalize_hypertables(changes, lookup)
         else:
@@ -139,10 +151,23 @@ class Engine:
         max_files_per_trigger: int = 1,
         exactly_once: bool = False,
         available_now: bool = False,
+        mode: str = "driver",
     ):
         """Start the streaming fan-out (EP2->EP3): change feed ->
         parse -> normalize -> route -> per-subscriber delivery, with
-        at-least-once offsets in ``checkpoint_dir`` (LSN-ack analog)."""
+        at-least-once offsets in ``checkpoint_dir`` (LSN-ack analog).
+
+        Subscription snapshot semantics: the standing-subscription
+        registry is read ONCE here — subscribe()/unsubscribe() while
+        the query runs takes effect on the next watch()/watch_db()
+        start, not on the live query (the reference applies new
+        WebSocket subscriptions to its live forwarder immediately;
+        restart-to-apply is this engine's documented deviation, pinned
+        in tests/test_engine.py).
+
+        The file feed carries no WAL position, so per-subscriber
+        payload order is per-message only (chg_idx); watch_db's lsn
+        gives full per-batch WAL order."""
         stream = self._changes(
             file_change_feed(self.spark, feed_dir, max_files_per_trigger),
             lookup,
@@ -158,6 +183,7 @@ class Engine:
             ),
             checkpoint_dir,
             available_now=available_now,
+            mode=mode,
         )
 
     def watch_db(
@@ -169,10 +195,15 @@ class Engine:
         deliver: Optional[Callable] = None,
         exactly_once: bool = False,
         available_now: bool = False,
+        mode: str = "driver",
     ):
         """Like :meth:`watch`, but the feed is a database polled with a
         monotonic LSN cursor (streaming.wal_source — the R1-R7
-        replication-connection analog with acked offsets)."""
+        replication-connection analog with acked offsets). The lsn is
+        carried through parse as the ``seq`` order key, so each
+        subscriber's outbox is in WAL order within every microbatch
+        (the reference's ordered-channel contract, forwarder/mod.rs:44).
+        Subscription changes apply on restart, as in :meth:`watch`."""
         from speculare_pgcdc_spark.streaming import wal_source
 
         wal_source.register(self.spark)
@@ -180,10 +211,10 @@ class Engine:
             self.spark.readStream.format("wal_poll")
             .option("path", db_path)
             .load()
-            .select("payload")
+            .select("lsn", "payload")
         )
         return start_fanout_query(
-            self._changes(src, lookup),
+            self._changes(src, lookup, seq_col="lsn"),
             self.subscriptions(),
             deliver
             or (
@@ -193,4 +224,5 @@ class Engine:
             ),
             checkpoint_dir,
             available_now=available_now,
+            mode=mode,
         )

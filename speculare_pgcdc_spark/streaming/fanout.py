@@ -26,6 +26,29 @@ from pyspark.sql import functions as F
 Delivery = Callable[..., None]
 
 
+def _takes_batch(deliver: Delivery) -> bool:
+    # two-arg adapters (the original Delivery contract) keep working;
+    # only batch-aware adapters receive the batch_id. Decided by
+    # signature, not by retrying on TypeError — a retry would re-invoke
+    # (and double-deliver through) an adapter that raised for its own
+    # reasons.
+    try:
+        params = inspect.signature(deliver).parameters
+        return len(params) >= 3 or any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL
+            for p in params.values()
+        )
+    except (TypeError, ValueError):
+        return True
+
+
+#: ordering columns carried through the pipeline (cdc.pipeline
+#: parse_wal2json); fan-out sorts each subscriber's payloads on these
+#: when present, restoring the reference's per-client WAL order
+#: (forwarder/mod.rs:44-72). Order scope: per microbatch.
+ORDER_COLUMNS = ("seq", "chg_idx")
+
+
 def fanout_batch(
     routed: DataFrame, deliver: Delivery, batch_id: int = -1
 ) -> None:
@@ -34,32 +57,68 @@ def fanout_batch(
     The groupBy happens in Spark (one small shuffle over the batch);
     only the per-subscriber payload lists cross to the driver — mirroring
     the reference where the forwarder thread hands lists to per-client
-    writer tasks. For very large fan-outs, swap the driver-side loop for
-    a foreachPartition writer (adapter unchanged).
+    writer tasks. Payload lists are in WAL order (see ORDER_COLUMNS):
+    collect_list after a shuffle is nondeterministically ordered, so the
+    order key is collected WITH the payload and sort_array re-establishes
+    it. For very large fan-outs use :func:`fanout_partitions`.
     """
-    grouped = (
-        routed.groupBy("sub_id")
-        .agg(F.collect_list("change_json").alias("payloads"))
-        .collect()
-    )
-    # two-arg adapters (the original Delivery contract) keep working;
-    # only batch-aware adapters receive the batch_id. Decided by
-    # signature, not by retrying on TypeError — a retry would re-invoke
-    # (and double-deliver through) an adapter that raised for its own
-    # reasons.
-    try:
-        params = inspect.signature(deliver).parameters
-        takes_batch = len(params) >= 3 or any(
-            p.kind == inspect.Parameter.VAR_POSITIONAL
-            for p in params.values()
+    order = [c for c in ORDER_COLUMNS if c in routed.columns]
+    if order:
+        payloads = F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(*order, "change_json"))
+            ),
+            lambda s: s.getField("change_json"),
         )
-    except (TypeError, ValueError):
-        takes_batch = True
+    else:
+        payloads = F.collect_list("change_json")
+    grouped = (
+        routed.groupBy("sub_id").agg(payloads.alias("payloads")).collect()
+    )
+    takes_batch = _takes_batch(deliver)
     for row in grouped:
         if takes_batch:
             deliver(row["sub_id"], row["payloads"], batch_id)
         else:
             deliver(row["sub_id"], row["payloads"])
+
+
+def fanout_partitions(
+    routed: DataFrame, deliver: Delivery, batch_id: int = -1
+) -> None:
+    """Executor-side fan-out: no payload ever crosses to the driver.
+
+    ``repartition(sub_id)`` co-locates each subscriber's changes (one
+    shuffle, same cost as fanout_batch's groupBy), a within-partition
+    sort restores (sub_id, WAL) order, and the delivery adapter runs
+    INSIDE ``foreachPartition`` on the executors — ``itertools.groupby``
+    over the sorted iterator hands each subscriber its ordered payload
+    list without materializing the partition. This is the 100 TB path:
+    driver memory is O(1) in fan-out size, and delivery parallelism
+    scales with shuffle partitions. Requires a picklable adapter (the
+    file-outbox adapters are; each subscriber lands in exactly one
+    partition, so adapters never race on a subscriber's outbox).
+    """
+    order = [c for c in ORDER_COLUMNS if c in routed.columns]
+    slim = routed.select("sub_id", *order, "change_json")
+    parted = slim.repartition("sub_id").sortWithinPartitions(
+        "sub_id", *order
+    )
+    takes_batch = _takes_batch(deliver)
+
+    def run(rows) -> None:
+        import itertools
+
+        for sub_id, grp in itertools.groupby(
+            rows, key=lambda r: r["sub_id"]
+        ):
+            payloads = [r["change_json"] for r in grp]
+            if takes_batch:
+                deliver(sub_id, payloads, batch_id)
+            else:
+                deliver(sub_id, payloads)
+
+    parted.foreachPartition(run)
 
 
 def outbox_deliver(out_dir: str) -> Delivery:
@@ -132,9 +191,16 @@ def start_fanout_query(
     checkpoint_dir: str,
     query_name: str = "cdc-fanout",
     available_now: bool = False,
+    mode: str = "driver",
 ):
     """Wire the full streaming EP3: parse/normalize is upstream; here the
     stream-static routing join + foreachBatch fan-out, checkpointed.
+
+    mode="driver" (default) funnels per-subscriber payload lists through
+    the driver (fanout_batch — fine at reference-scale fan-out, where
+    one forwarder thread does the same); mode="partitions" delivers on
+    the executors (fanout_partitions — the large-fan-out path; the
+    adapter must be picklable).
 
     available_now=True runs in drain-and-stop mode (Trigger.AvailableNow):
     process everything committed so far in rate-limited microbatches,
@@ -142,9 +208,13 @@ def start_fanout_query(
     consecutive drains resume where the last one stopped."""
     from speculare_pgcdc_spark.cdc.pipeline import route
 
+    if mode not in ("driver", "partitions"):
+        raise ValueError(f"unknown fan-out mode: {mode!r}")
+    fan = fanout_batch if mode == "driver" else fanout_partitions
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         routed = route(batch_df, subscriptions)
-        fanout_batch(routed, deliver, batch_id)
+        fan(routed, deliver, batch_id)
 
     writer = (
         changes_stream.writeStream.foreachBatch(process)

@@ -836,3 +836,185 @@ def test_available_now_drains_and_terminates(spark, tmp_path):
     payload_file(f"{feed_dir}/f2.json", 3, 2)
     drain()
     assert len(read_outbox(out_dir, 1)) == 5  # resumed, no reprocessing
+
+
+def test_fanout_partitions_matches_driver_path(spark, tmp_path):
+    """The executor-side fan-out must produce byte-identical outboxes to
+    the driver path, without any payload crossing to the driver — collect
+    is monkeypatched to raise for the duration of the partition path."""
+    from pyspark.sql import DataFrame
+    from speculare_pgcdc_spark.streaming.fanout import (
+        fanout_batch,
+        fanout_partitions,
+        idempotent_outbox_deliver,
+        read_outbox,
+    )
+
+    rows = [
+        # (sub_id, seq, chg_idx, change_json) deliberately scrambled
+        (2, 20, 1, "s2-b"),
+        (1, 10, 0, "s1-a"),
+        (2, 10, 0, "s2-a"),
+        (1, 20, 1, "s1-c"),
+        (1, 20, 0, "s1-b"),
+        (3, 10, 0, "s3-a"),
+    ]
+    routed = spark.createDataFrame(
+        rows, "sub_id int, seq bigint, chg_idx int, change_json string"
+    ).repartition(5)
+
+    drv_dir, exe_dir = str(tmp_path / "drv"), str(tmp_path / "exe")
+    fanout_batch(routed, idempotent_outbox_deliver(drv_dir), batch_id=1)
+
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError("fanout_partitions must not collect()")
+
+    DataFrame.collect = no_collect
+    try:
+        fanout_partitions(
+            routed, idempotent_outbox_deliver(exe_dir), batch_id=1
+        )
+    finally:
+        DataFrame.collect = real_collect
+
+    for sub in (1, 2, 3):
+        drv = read_outbox(drv_dir, sub)
+        exe = read_outbox(exe_dir, sub)
+        assert drv == exe, f"sub {sub}: driver {drv} != executor {exe}"
+    # and the order is WAL order, not shuffle order
+    assert read_outbox(drv_dir, 1) == ["s1-a", "s1-b", "s1-c"]
+
+
+def test_fanout_modes_through_streaming_query(spark, tmp_path):
+    """start_fanout_query(mode='partitions') end-to-end: same routed
+    outbox contents as the driver mode over a real StreamingQuery."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        idempotent_outbox_deliver,
+        read_outbox,
+        start_fanout_query,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    with open(f"{feed_dir}/f1.json", "w") as f:
+        for i in range(6):
+            f.write(
+                json.dumps(
+                    _wal2json_line("insert", "events_a", ["id"], [i])
+                )
+                + "\n"
+            )
+    subs = subscriptions_df(spark, [(1, "insert:events_a")], FEED_TABLES)
+
+    outs = {}
+    for mode in ("driver", "partitions"):
+        out_dir = str(tmp_path / f"out_{mode}")
+        stream = normalize_hypertables(
+            parse_wal2json(file_change_feed(spark, feed_dir)),
+            lookup_df(spark),
+        )
+        q = start_fanout_query(
+            stream,
+            subs,
+            idempotent_outbox_deliver(out_dir),
+            str(tmp_path / f"ckpt_{mode}"),
+            available_now=True,
+            mode=mode,
+        )
+        assert q.awaitTermination(120)
+        outs[mode] = sorted(read_outbox(out_dir, 1))
+    assert outs["driver"] == outs["partitions"] and len(outs["driver"]) == 6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown fan-out mode"):
+        start_fanout_query(
+            stream, subs, idempotent_outbox_deliver(str(tmp_path / "x")),
+            str(tmp_path / "ckpt_x"), mode="bogus",
+        )
+
+
+def test_watch_db_outbox_in_wal_order(spark, tmp_path):
+    """ADVICE r1: per-subscriber delivery order. The wal_poll lsn rides
+    through parse (seq) with the intra-message posexplode index
+    (chg_idx); the outbox must list changes in (lsn, chg_idx) order even
+    though routing shuffles them."""
+    from speculare_pgcdc_spark.engine import Engine
+    from speculare_pgcdc_spark.streaming import wal_source
+    from speculare_pgcdc_spark.streaming.fanout import read_outbox
+
+    db = str(tmp_path / "wal.sqlite")
+    wal_source.ensure_wal_tables(db)
+
+    def msg(ids):
+        return json.dumps(
+            {
+                "change": [
+                    {
+                        "kind": "insert",
+                        "table": "events_a",
+                        "columnnames": ["id"],
+                        "columnvalues": [i],
+                    }
+                    for i in ids
+                ]
+            }
+        )
+
+    # descending lsn insert order; multi-change messages
+    wal_source.append_wal(db, 30, msg([5, 6]))
+    wal_source.append_wal(db, 10, msg([1, 2]))
+    wal_source.append_wal(db, 20, msg([3, 4]))
+
+    eng = Engine(spark=spark, tables=["events_a", "events_b"])
+    eng.subscribe(1, "insert:events_a")
+    for mode in ("driver", "partitions"):
+        out_dir = str(tmp_path / f"out_{mode}")
+        q = eng.watch_db(
+            db,
+            out_dir,
+            str(tmp_path / f"ckpt_{mode}"),
+            exactly_once=True,
+            available_now=True,
+            mode=mode,
+        )
+        assert q.awaitTermination(120)
+        got = [
+            json.loads(p)["columnvalues"][0]
+            for p in read_outbox(out_dir, 1)
+        ]
+        assert got == [1, 2, 3, 4, 5, 6], f"{mode}: {got}"
+
+
+def test_feedgen_escapes_special_content(spark):
+    """Fixture content with quotes/backslashes must round-trip the
+    wal2json frame (format_string interpolation would emit malformed
+    JSON that try_parse_json silently drops)."""
+    from speculare_pgcdc_spark.cdc import feedgen
+
+    e = spark.createDataFrame(
+        [
+            (1, 101, 'say "hi" \\ there', 1.5, "2024-01-01 00:00:00"),
+            (3, 102, "plain", float("nan"), "2024-01-01 00:01:00"),
+        ],
+        "event_id bigint, user_id bigint, event_type string,"
+        " value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(feedgen, "table", lambda s, sf, n: e):
+        feed = feedgen._build_feed(spark, "ignored")
+        changes = parse_wal2json(feed)
+        got = {
+            r["etype"]
+            for r in changes.select(
+                F.try_element_at(
+                    "row_typed", F.lit("event_type")
+                ).alias("etype")
+            ).collect()
+        }
+    # both frames parsed: the quoted/backslashed string survived intact
+    # and the NaN value became JSON null instead of a malformed frame
+    assert got == {'say "hi" \\ there', "plain"}
