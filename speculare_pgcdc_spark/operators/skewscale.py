@@ -21,7 +21,7 @@ rewrites with exact semantics (both oracle-checked in queries/extended).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,82 @@ def salted_agg(
             F.round(F.sum("_ps"), 2).cast("double").alias(sum_alias),
         )
     )
+
+
+def binned_range_count(
+    df: DataFrame,
+    val_col: str,
+    *,
+    preceding: float,
+    out_col: str = "cnt",
+) -> DataFrame:
+    """``COUNT(*) OVER (ORDER BY val RANGE BETWEEN preceding PRECEDING
+    AND CURRENT ROW)`` — the scale-safe companion to the global RANGE
+    window (q23), which Spark executes as ONE task holding every row.
+
+    Decomposition: frame-count(p) = N(<= p) - N(< p-preceding), both
+    prefix counts of the global value order. The prefix counts come
+    from a two-phase scan, the distributed-prefix-sum classic:
+
+    1. collapse to distinct values with multiplicities (one shuffle),
+    2. union in one "query point" per distinct value at v-preceding
+       (multiplicity 0, sorted BEFORE an equal real value so the lower
+       bound is strict-<; the upper bound keeps RANGE's peer-inclusive
+       semantics because the full multiplicity of v sits on one row),
+    3. bin by floor(v/preceding): per-bin subtotals (tiny frame, one
+       row per bin) get a cumulative sum, and a bin-partitioned window
+       ranks within bins — prefix(v) = cum(bins below) + within-bin.
+
+    Every data-sized stage is hash-partitioned (by value, then by bin);
+    the only unpartitioned window runs over the bins frame, which is
+    |value range| / preceding rows — at 100 TB still a few-MB frame
+    (recurse the same trick on super-bins if it ever isn't). The bins
+    frame is broadcast back, so the data path is: agg, window-by-bin,
+    one equi-join to reattach rows. Exact, including duplicate values
+    and frame bounds landing exactly on a value (double arithmetic on
+    the bound matches the window engines' own p - preceding)."""
+    c = F.count(F.lit(1)).alias("_c")
+    d = df.groupBy(val_col).agg(c)
+    v = F.col(val_col).cast("double")
+    prices = d.select(
+        F.col(val_col).alias("_orig"),
+        v.alias("_v"),
+        F.col("_c"),
+        F.lit(1).alias("_typ"),
+    )
+    queries = d.select(
+        F.col(val_col).alias("_orig"),
+        (v - F.lit(float(preceding))).alias("_v"),
+        F.lit(0).alias("_c"),
+        F.lit(0).alias("_typ"),
+    )
+    pts = prices.unionByName(queries).withColumn(
+        "_bin", F.floor(F.col("_v") / F.lit(float(preceding))).cast("bigint")
+    )
+    bins = pts.groupBy("_bin").agg(F.sum("_c").alias("_bt"))
+    wb = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    bins_cum = bins.select(
+        "_bin", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_below")
+    )
+    wv = (
+        Window.partitionBy("_bin")
+        .orderBy("_v", "_typ")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pts.join(F.broadcast(bins_cum), "_bin").select(
+        "_orig",
+        "_typ",
+        (F.col("_below") + F.sum("_c").over(wv)).alias("_cum"),
+    )
+    # each _orig has exactly one real row (typ 1) and one query row
+    # (typ 0); a conditional agg pairs them in ONE pass — a
+    # filter+self-join would execute the whole cum subtree twice
+    per_val = cum.groupBy("_orig").agg(
+        (
+            F.max(F.when(F.col("_typ") == 1, F.col("_cum")))
+            - F.max(F.when(F.col("_typ") == 0, F.col("_cum")))
+        )
+        .cast("bigint")
+        .alias(out_col)
+    )
+    return df.join(per_val, df[val_col] == per_val["_orig"]).drop("_orig")

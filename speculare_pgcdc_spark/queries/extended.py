@@ -520,3 +520,30 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q80_range_frame_binned",
+    oracle="""
+        SELECT o_orderkey,
+               COUNT(*) OVER (ORDER BY o_totalprice
+                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS cnt
+        FROM orders ORDER BY o_orderkey
+    """,
+    doc="W4 at scale: the SAME rows as q23's global RANGE frame, "
+    "computed without a single-partition window over the data — "
+    "operators/skewscale.binned_range_count decomposes the frame count "
+    "into two binned prefix counts (distinct-value agg -> per-bin "
+    "cumulative -> bin-partitioned window -> broadcast reattach). The "
+    "only unpartitioned stage is over the one-row-per-bin frame. Same "
+    "oracle SQL as q23; plan-linted in tests/test_plans.py.",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.skewscale import binned_range_count
+
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        binned_range_count(orders, "o_totalprice", preceding=100)
+        .select("o_orderkey", "cnt")
+        .orderBy("o_orderkey")
+    )

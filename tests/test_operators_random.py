@@ -131,3 +131,30 @@ def test_bin_range_join_nonzero_lower_bound(rnd_events):
         ).collect()
     }
     assert got == naive and naive
+
+
+def test_binned_range_count_duplicates_and_exact_bounds(spark):
+    """binned_range_count vs the single-partition window it replaces:
+    duplicate values, frame bound landing exactly on a value, and
+    values straddling bin edges must all agree."""
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.operators.skewscale import binned_range_count
+
+    vals = [0.0, 0.0, 99.0, 100.0, 100.0, 199.0, 200.0, 300.0, 301.5,
+            305.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v double"
+    )
+    got = {
+        (r.id, r.cnt)
+        for r in binned_range_count(df, "v", preceding=100).collect()
+    }
+    w = Window.orderBy("v").rangeBetween(-100, Window.currentRow)
+    expected = {
+        (r.id, r.cnt)
+        for r in df.select(
+            "id", F.count(F.lit(1)).over(w).alias("cnt")
+        ).collect()
+    }
+    assert got == expected

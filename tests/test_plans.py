@@ -180,3 +180,28 @@ def test_entire_registry_is_jvm_side_except_udf_family(q):
         if name not in PYTHON_ALLOWED and has_python_eval(q(name))
     ]
     assert not offenders, f"Python crept into hot paths: {offenders}"
+
+
+def test_q80_range_frame_has_no_global_window_over_data(q):
+    """q23's global RANGE frame moves every row into ONE WindowExec
+    task; its scale companion q80 must keep all data-sized windows
+    partitioned (by _bin) — the only unpartitioned window allowed is
+    the bins-cumulative over the one-row-per-bin aggregate (_bt)."""
+    import re
+
+    p = plan_string(q("q80_range_frame_binned"))
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines, "expected Window nodes in the q80 plan"
+    saw_partitioned = saw_bins = False
+    for ln in lines:
+        spec_head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert spec_head, ln
+        unpartitioned = (
+            " ASC" in spec_head.group(1) or " DESC" in spec_head.group(1)
+        )
+        if unpartitioned:
+            assert "sum(_bt" in ln, f"global window over data: {ln.strip()}"
+            saw_bins = True
+        else:
+            saw_partitioned = True
+    assert saw_partitioned and saw_bins
