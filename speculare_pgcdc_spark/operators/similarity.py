@@ -193,3 +193,118 @@ def srp_neardup_pairs(
         .filter(F.col("_c") >= threshold)
         .select("da", "db", F.round("_c", 4).alias("cos"))
     )
+
+
+def assign_nearest(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_cid",
+) -> DataFrame:
+    """Nearest-centroid assignment (by cosine) as a NARROW map: the
+    model (k x dim floats) is inlined as a literal array-of-arrays, so
+    assignment is pure codegen — no join, no shuffle. This is the right
+    distribution of labor at 100 TB: the data never moves for the model;
+    the model (a few KB) moves to the data. Ties and zero-norm vectors
+    resolve deterministically (first index / score -2)."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+    def cos(c):
+        denom = _norm(F.col(vec_col)) * _norm(c)
+        return F.when(denom == 0, F.lit(-2.0)).otherwise(
+            _dot(F.col(vec_col), c) / denom
+        )
+
+    scores = F.transform(carr, cos)
+    best = F.array_position(scores, F.array_max(scores))
+    return emb.withColumn(out_col, (best - 1).cast("int"))
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means in pure DataFrame ops — the trained quantizer for
+    IVF (upgrades ivf_centroids' per-label stand-in to a real index).
+
+    Per iteration: assignment is a narrow map (assign_nearest — the
+    literal-model trick), the update is posexplode -> avg per
+    (cluster, dim) — ONE shuffle of n*dim skinny rows. Only the MODEL
+    (k x dim floats) crosses to the driver between iterations; the data
+    never does — the standard k-means driver loop, bounded by `iters`.
+
+    Deterministic end-to-end: init picks the k vectors with the
+    smallest (xxhash64(id), id) — no RNG state; centroid means are
+    rounded to 6 decimals so shuffle-order ulp drift in avg() cannot
+    flip a later assignment; empty clusters keep their previous
+    centroid."""
+    init_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors to init {k} centroids")
+    for _ in range(iters):
+        assigned = assign_nearest(emb, cents, vec_col)
+        stats = (
+            assigned.select(
+                "_cid", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("_cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_cid[ci][p] for p in range(len(cents[ci]))]
+            if ci in by_cid
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a TRAINED quantizer (kmeans_centroids): rank the
+    centroids by cosine to the query, keep the nprobe nearest cells,
+    score only vectors assigned to those cells. Assignment and the cell
+    filter are narrow maps (literal model + isin over <= k ints); the
+    only shuffle-ish op is the final TakeOrdered. With nprobe == k every
+    cell is probed and the result degrades to exact brute force (the
+    q43 twin) — pinned in tests. At 100 TB the assignment is computed
+    once at ingest and stored as a partition column, making the cell
+    filter a partition-pruned scan."""
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+    probed = [
+        r["cid"]
+        for r in cosine_scores(cents_df, query, vec_col="centroid")
+        .orderBy(F.col("cos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    candidates = assign_nearest(emb, centroids, vec_col).filter(
+        F.col("_cid").isin(probed)
+    )
+    return cosine_topk(candidates.drop("_cid"), query, k, id_col, vec_col)

@@ -306,14 +306,20 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q53_ann_ivf",
     oracle=None,  # invariant-tested: nprobe=all == brute force (test_llm)
-    doc="L3 scale path: IVF approximate nearest neighbor — coarse "
-    "centroids (per-label means), probe top-3 partitions, exact top-5 "
-    "within. operators/similarity.ivf_topk.",
+    doc="L3 scale path: IVF approximate nearest neighbor over a TRAINED "
+    "quantizer — DataFrame Lloyd's k-means (k=8, deterministic init, "
+    "one n*dim shuffle per iteration, only the k*dim model crosses to "
+    "the driver), probe the 3 nearest cells, exact top-5 within. "
+    "operators/similarity.kmeans_centroids + ivf_topk_trained; recall "
+    "on clustered data and the nprobe=k==exact degradation are pinned "
+    "in tests/test_llm.py.",
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return sim.ivf_topk(emb.filter(F.col("vec_id") != 0), q, k=5, nprobe=3)
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = sim.kmeans_centroids(data, k=8, iters=2)
+    return sim.ivf_topk_trained(data, q, cents, k=5, nprobe=3)
 
 
 @register(

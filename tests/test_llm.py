@@ -264,3 +264,75 @@ def test_char_shingles_short_text_yields_no_rows(spark):
         got.setdefault(r.doc_id, set()).add(r.tok)
     assert 1 not in got and 2 not in got
     assert got[3] == {"abc", "bcd"}
+
+
+def _clustered_embeddings(spark, n_clusters=6, per_cluster=40, dim=16):
+    """Deterministic clustered vectors: cluster c's center is a one-hot-
+    ish axis vector; members jitter around it (hash-derived, no RNG
+    state). Near-neighbors are within-cluster by construction."""
+    import math
+
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            vec = []
+            for d in range(dim):
+                base = 1.0 if d == c else 0.0
+                jitter = (hash((c, i, d)) % 1000) / 10000.0  # < 0.1
+                vec.append(base + jitter)
+            norm = math.sqrt(sum(x * x for x in vec))
+            rows.append((c * per_cluster + i, c, [x / norm for x in vec]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, true_cluster int, embedding array<double>"
+    )
+
+
+def test_kmeans_ivf_recall_on_clustered_data(spark):
+    """The trained quantizer must recover cluster structure: IVF with
+    nprobe=2 of k=6 cells reaches recall@5 >= 0.9 against exact brute
+    force for queries from every cluster. (The parquet fixture's
+    embeddings are isotropic noise — no index can beat nprobe/k recall
+    there, so the recall pin uses constructed clusters; the fixture
+    covers the degradation invariant below.)"""
+    e = _clustered_embeddings(spark)
+    cents = sim.kmeans_centroids(e, k=6, iters=4)
+    hits = total = 0
+    for qc in range(6):
+        qid = qc * 40  # first member of each cluster as the query
+        q = e.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        rest = e.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in sim.cosine_topk(rest, q, k=5).collect()}
+        approx = {
+            r.vec_id
+            for r in sim.ivf_topk_trained(
+                rest, q, cents, k=5, nprobe=2
+            ).collect()
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    assert total == 30 and hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_kmeans_training_is_deterministic(spark):
+    e = _clustered_embeddings(spark, n_clusters=4, per_cluster=20)
+    c1 = sim.kmeans_centroids(e, k=4, iters=3)
+    c2 = sim.kmeans_centroids(e, k=4, iters=3)
+    assert c1 == c2
+
+
+def test_trained_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == k probes every cell, so trained IVF must degrade to
+    exact brute force — on the REAL fixture (isotropic embeddings)."""
+    e = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    cents = sim.kmeans_centroids(e, k=4, iters=2)
+    brute = [(r.vec_id, r.cos) for r in sim.cosine_topk(e, q, k=10).collect()]
+    ivf_all = [
+        (r.vec_id, r.cos)
+        for r in sim.ivf_topk_trained(e, q, cents, k=10, nprobe=4).collect()
+    ]
+    assert ivf_all == brute
