@@ -56,9 +56,23 @@ def feed_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    chunk_table = F.concat(
+def feed_messages_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json format-2 twin of :func:`feed_messages`: ONE change per
+    line (action/columns/identity framing), same deterministic mapping
+    from the events fixture — so the v2 parse branch is checkable
+    against the very same DuckDB oracle as q35."""
+    key = (id(spark._jsparkSession), sf_dir, "v2")
+    cached = _FEED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _build_feed_v2(spark, sf_dir).persist()
+    df.count()
+    _FEED_CACHE[key] = df
+    return df
+
+
+def _chunk_table_col():
+    return F.concat(
         F.lit("_hyper_"),
         F.when(F.col("event_id") % 11 == 0, F.lit("9"))
         .when(F.col("user_id") % 2 == 1, F.lit("1"))
@@ -67,6 +81,57 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7).cast("string"),
         F.lit("_chunk"),
     )
+
+
+def _etype_json_literal():
+    # JSON string literal (quoted + escaped) of event_type: to_json of a
+    # 1-array, minus the brackets
+    arr = F.to_json(F.array(F.col("event_type")))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def _value_json_literal():
+    # non-finite doubles have no JSON literal; emit null
+    return F.when(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf")),
+        F.col("value").cast("string"),
+    ).otherwise(F.lit("null"))
+
+
+def _build_feed_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    action = (
+        F.when(F.col("event_id") % 3 == 0, "I")
+        .when(F.col("event_id") % 3 == 1, "U")
+        .otherwise("D")
+    )
+    row_json = F.format_string(
+        '{"action":"%s","schema":"public","table":"%s","columns":['
+        '{"name":"event_id","type":"bigint","value":%s},'
+        '{"name":"event_type","type":"text","value":%s},'
+        '{"name":"value","type":"double precision","value":%s}]}',
+        action,
+        _chunk_table_col(),
+        F.col("event_id").cast("string"),
+        _etype_json_literal(),
+        _value_json_literal(),
+    )
+    del_json = F.format_string(
+        '{"action":"D","schema":"public","table":"%s","identity":['
+        '{"name":"event_id","type":"bigint","value":%s}]}',
+        _chunk_table_col(),
+        F.col("event_id").cast("string"),
+    )
+    return e.select(
+        F.when(action == "D", del_json).otherwise(row_json).alias("payload")
+    )
+
+
+def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    chunk_table = _chunk_table_col()
     kind = (
         F.when(F.col("event_id") % 3 == 0, "insert")
         .when(F.col("event_id") % 3 == 1, "update")
@@ -74,18 +139,10 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # event_type goes through to_json so quotes/backslashes in fixture
     # content are escaped (format_string would emit a malformed frame
-    # that try_parse_json silently drops, skewing the oracle); to_json
-    # of a 1-array is the JSON literal incl. quotes, minus the brackets.
-    etype_arr = F.to_json(F.array(F.col("event_type")))
-    etype_lit = etype_arr.substr(F.lit(2), F.length(etype_arr) - 2)
-    # non-finite doubles have no JSON literal (cast -> "NaN"/"Infinity"
-    # is invalid JSON); emit null instead of a malformed frame
-    val_lit = F.when(
-        F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs("value") != float("inf")),
-        F.col("value").cast("string"),
-    ).otherwise(F.lit("null"))
+    # that try_parse_json silently drops, skewing the oracle); non-
+    # finite doubles likewise become JSON null, not "NaN"
+    etype_lit = _etype_json_literal()
+    val_lit = _value_json_literal()
     row_json = F.format_string(
         '{"kind":"%s","table":"%s",'
         '"columnnames":["event_id","event_type","value"],'

@@ -40,9 +40,22 @@ def parse_wal2json(
     payload_df: DataFrame,
     payload_col: str = "payload",
     seq_col: str | None = None,
+    fmt: str = "v1",
 ) -> DataFrame:
-    """One row per change event from a frame of wal2json transaction
-    messages (R8 parse + R9 explode + R10 project/validate).
+    """One row per change event from a frame of wal2json messages
+    (R8 parse + R9 explode + R10 project/validate).
+
+    ``fmt`` selects the wal2json output format. "v1" (the reference's
+    pin — it creates its slot with plugin defaults,
+    src/cdc/replication.rs:35) frames one TRANSACTION per message with
+    a ``change`` array. "v2" (format-version 2, what a real PG >= 10
+    deployment commonly runs) frames one CHANGE per message:
+    ``action`` I/U/D (B/C begin/commit and M/T message/truncate frames
+    are dropped, matching v1's kind filter), ``columns`` as
+    [{name,type,value}] objects, ``identity`` instead of oldkeys on
+    deletes. Both formats produce the identical normalized schema
+    (CHANGE_COLUMNS), so everything downstream — normalize, route,
+    fan-out — is format-agnostic.
 
     Messages without a ``change`` array are dropped (forwarder
     mod.rs:85-91 logs + continues); changes missing table/kind are
@@ -64,12 +77,16 @@ def parse_wal2json(
     # the reference logs the simd-json error and continues
     # (forwarder/mod.rs:83-91); strict parse_json would fail the whole
     # microbatch on one bad frame.
+    if fmt not in ("v1", "v2"):
+        raise ValueError(f"unknown wal2json format: {fmt!r}")
     seq = (
         F.col(seq_col).cast("bigint") if seq_col is not None else F.lit(0)
     ).alias("seq")
     v = payload_df.select(
         seq, F.try_parse_json(F.col(payload_col)).alias("_msg")
     ).filter(F.col("_msg").isNotNull())
+    if fmt == "v2":
+        return _changes_v2(v)
     ch = v.select(
         "seq",
         F.posexplode(
@@ -100,6 +117,49 @@ def parse_wal2json(
         F.col("table").isNotNull()
         & F.col("kind").isNotNull()
         & F.col("kind").isin("insert", "update", "delete")
+    )
+
+
+def _changes_v2(v: DataFrame) -> DataFrame:
+    """wal2json format-2 branch: ``v`` is (seq, _msg variant) with one
+    CHANGE per message, so chg_idx is always 0 — WAL order within a
+    batch is carried entirely by seq. ``columns`` [{name,type,value}]
+    maps onto the same typed/lenient cell rule as v1's columnvalues
+    (row_typed keeps only string-typed JSON values — the reference's
+    specific_filter quirk); deletes carry ``identity`` only, which like
+    v1's oldkeys yields null row maps."""
+    act = F.expr("variant_get(_msg, '$.action', 'string')")
+    kind = (
+        F.when(act == "I", "insert")
+        .when(act == "U", "update")
+        .when(act == "D", "delete")
+    )
+    names = F.expr(
+        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
+        " c -> variant_get(c, '$.name', 'string'))"
+    )
+    typed_cells = F.expr(
+        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
+        " c -> CASE WHEN schema_of_variant(variant_get(c, '$.value'))"
+        "      = 'STRING'"
+        "      THEN variant_get(c, '$.value', 'string') END)"
+    )
+    lenient_cells = F.expr(
+        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
+        " c -> cast(variant_get(c, '$.value') AS string))"
+    )
+    out = v.select(
+        "seq",
+        F.lit(0).alias("chg_idx"),
+        F.expr("variant_get(_msg, '$.table', 'string')").alias("table"),
+        kind.alias("kind"),
+        names.alias("columnnames"),
+        F.map_from_arrays(names, typed_cells).alias("row_typed"),
+        F.map_from_arrays(names, lenient_cells).alias("row_str"),
+        F.expr("to_json(_msg)").alias("change_json"),
+    )
+    return out.filter(
+        F.col("table").isNotNull() & F.col("kind").isNotNull()
     )
 
 

@@ -96,3 +96,33 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     return routed.select(
         F.try_element_at("row_str", F.lit("event_id")).alias("id")
     ).orderBy("id")
+
+
+@register(
+    "q81_cdc_pipeline_v2",
+    oracle=_BASE_CTE
+    + """
+    SELECT table_name, kind,
+           CASE WHEN kind <> 'delete' THEN CAST(event_id AS VARCHAR) END AS id,
+           CASE WHEN kind <> 'delete' THEN event_type END AS etype
+    FROM base ORDER BY table_name, kind, id
+    """,
+    doc="C1 over wal2json FORMAT 2 (one change per line, "
+    "action/columns/identity framing — what a real PG >= 10 deployment "
+    "commonly runs; the reference pins v1 via plugin defaults, "
+    "replication.rs:35). Same deterministic feed mapping, same "
+    "normalized schema, SAME oracle as q35 — proving the two formats "
+    "converge after parse.",
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.cdc.feedgen import feed_messages_v2
+
+    feed = feed_messages_v2(spark, sf)
+    changes = parse_wal2json(feed, fmt="v2")
+    normalized = normalize_hypertables(changes, lookup_df(spark))
+    return normalized.select(
+        "table_name",
+        "kind",
+        F.try_element_at("row_str", F.lit("event_id")).alias("id"),
+        F.try_element_at("row_typed", F.lit("event_type")).alias("etype"),
+    ).orderBy("table_name", "kind", "id")

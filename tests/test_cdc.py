@@ -165,3 +165,63 @@ def test_malformed_payload_skipped_not_fatal(spark):
     )
     rows = parse_wal2json(df).collect()
     assert len(rows) == 1 and rows[0]["kind"] == "insert"
+
+
+def test_wal2json_v2_parse_matches_v1_normalized_output(spark, sf_dir):
+    """The v1 (transaction + change array) and v2 (one change per line)
+    feeds derived from the same events must normalize identically —
+    kind, table, typed/lenient row maps."""
+    from speculare_pgcdc_spark.cdc.feedgen import (
+        feed_messages,
+        feed_messages_v2,
+    )
+
+    def normalized(feed, fmt):
+        return {
+            (r.kind, r.table, r.id, r.etype, r.val)
+            for r in parse_wal2json(feed, fmt=fmt)
+            .select(
+                "kind",
+                "table",
+                F.try_element_at("row_str", F.lit("event_id")).alias("id"),
+                F.try_element_at(
+                    "row_typed", F.lit("event_type")
+                ).alias("etype"),
+                F.try_element_at("row_str", F.lit("value")).alias("val"),
+            )
+            .collect()
+        }
+
+    v1 = normalized(feed_messages(spark, sf_dir), "v1")
+    v2 = normalized(feed_messages_v2(spark, sf_dir), "v2")
+    assert v1 and v1 == v2
+
+
+def test_wal2json_v2_drops_transaction_control_frames(spark):
+    """B/C (begin/commit) and M/T (message/truncate) v2 frames must be
+    filtered exactly like v1's non-insert/update/delete kinds."""
+    lines = [
+        '{"action":"B"}',
+        '{"action":"I","schema":"public","table":"t",'
+        '"columns":[{"name":"id","type":"integer","value":1}]}',
+        '{"action":"M","prefix":"x","content":"y"}',
+        '{"action":"D","schema":"public","table":"t",'
+        '"identity":[{"name":"id","type":"integer","value":1}]}',
+        '{"action":"T","schema":"public","table":"t"}',
+        '{"action":"C"}',
+        "not json at all",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "payload string")
+    rows = parse_wal2json(df, fmt="v2").select("kind", "table").collect()
+    assert sorted((r.kind, r.table) for r in rows) == [
+        ("delete", "t"),
+        ("insert", "t"),
+    ]
+
+
+def test_wal2json_unknown_format_rejected(spark):
+    df = spark.createDataFrame([("{}",)], "payload string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown wal2json format"):
+        parse_wal2json(df, fmt="v3")
