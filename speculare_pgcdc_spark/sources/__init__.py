@@ -33,6 +33,66 @@ def read_jsonl(
     return spark.read.schema(schema).json(path)
 
 
+def jdbc_reader_config(
+    url: str,
+    table: str,
+    *,
+    partition_column: Optional[str] = None,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+    fetch_size: int = 10_000,
+    predicates: Optional[list[str]] = None,
+    **options: str,
+) -> dict[str, str]:
+    """Validate + build the option map a JDBC read will run with.
+
+    Split out from :func:`jdbc_scan` so the generated configuration is
+    directly assertable without a database on the wire (tests pin it
+    against a URL/partitioning matrix): what you test is exactly what
+    ``.load()`` will use.
+    """
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"not a JDBC url: {url!r}")
+    range_opts = (partition_column, lower_bound, upper_bound)
+    if predicates and any(o is not None for o in range_opts):
+        raise ValueError("predicates and range partitioning are exclusive")
+    if any(o is not None for o in range_opts) or (
+        num_partitions is not None and num_partitions > 1
+    ):
+        if any(o is None for o in range_opts) or num_partitions is None:
+            raise ValueError(
+                "half-specified JDBC range partitioning (need all of "
+                "partition_column, lower_bound, upper_bound, "
+                "num_partitions) — refusing to fall back to a "
+                "single-task read"
+            )
+        if upper_bound <= lower_bound:
+            raise ValueError(
+                f"empty JDBC bound range [{lower_bound}, {upper_bound})"
+            )
+    elif not predicates and num_partitions != 1:
+        raise ValueError(
+            "unpartitioned JDBC scan executes as one task; pass "
+            "num_partitions=1 to confirm the table is tiny, or supply "
+            "range partitioning / predicates"
+        )
+    cfg = {
+        "url": url,
+        "dbtable": table,
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        cfg.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    cfg.update(options)
+    return cfg
+
+
 def jdbc_scan(
     spark: SparkSession,
     url: str,
@@ -61,41 +121,18 @@ def jdbc_scan(
     Specifying neither would read the whole table in ONE task — allowed
     only for explicitly tiny tables via num_partitions=1.
     """
-    range_opts = (partition_column, lower_bound, upper_bound)
-    if predicates and any(o is not None for o in range_opts):
-        raise ValueError("predicates and range partitioning are exclusive")
-    if any(o is not None for o in range_opts) or (
-        num_partitions is not None and num_partitions > 1
-    ):
-        if any(o is None for o in range_opts) or num_partitions is None:
-            raise ValueError(
-                "half-specified JDBC range partitioning (need all of "
-                "partition_column, lower_bound, upper_bound, "
-                "num_partitions) — refusing to fall back to a "
-                "single-task read"
-            )
-    elif not predicates and num_partitions != 1:
-        raise ValueError(
-            "unpartitioned JDBC scan executes as one task; pass "
-            "num_partitions=1 to confirm the table is tiny, or supply "
-            "range partitioning / predicates"
-        )
-
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("fetchsize", str(fetch_size))
+    cfg = jdbc_reader_config(
+        url,
+        table,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        fetch_size=fetch_size,
+        predicates=predicates,
+        **options,
     )
-    if partition_column is not None:
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
-        )
-    for k, v in options.items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").options(**cfg)
     if predicates:
         # Predicate partitioning has no reader-option form —
         # DataFrameReader.jdbc(predicates=...) is the only public route,

@@ -42,14 +42,45 @@ def _connect(db_path: str) -> sqlite3.Connection:
     return con
 
 
+def pg_lsn_to_int(lsn: str) -> int:
+    """PostgreSQL pg_lsn text ('hi/lo' in hex) -> 64-bit integer.
+
+    The cursor column MUST order numerically: pg_lsn as TEXT sorts
+    '0/9' AFTER '0/10', so a text-typed cursor would skip or replay
+    ranges. Against real PG, convert at the edge with this helper (or
+    use the server-side pg_lsn type, which orders correctly) and keep
+    every comparison on the integer form."""
+    try:
+        hi_s, lo_s = lsn.split("/")
+        hi, lo = int(hi_s, 16), int(lo_s, 16)
+    except (ValueError, AttributeError) as e:
+        raise ValueError(f"not a pg_lsn: {lsn!r}") from e
+    if not (0 <= hi <= 0xFFFFFFFF and 0 <= lo <= 0xFFFFFFFF):
+        raise ValueError(f"pg_lsn parts out of range: {lsn!r}")
+    return (hi << 32) | lo
+
+
+def int_to_pg_lsn(v: int) -> str:
+    """Inverse of :func:`pg_lsn_to_int` (for standby status updates)."""
+    if not 0 <= v <= 0xFFFFFFFFFFFFFFFF:
+        raise ValueError(f"lsn out of 64-bit range: {v}")
+    return f"{v >> 32:X}/{v & 0xFFFFFFFF:X}"
+
+
 def ensure_wal_tables(db_path: str) -> None:
-    """Create the wal + wal_ack tables (test/demo helper)."""
+    """Create the wal + wal_ack tables (test/demo helper). wal_ack is a
+    SINGLE-row table (fixed key 0): the ack is a high-water mark, not a
+    log — an append-per-microbatch table would grow unboundedly on a
+    long-running stream and degrade every ack lookup."""
     con = _connect(db_path)
     try:
         con.execute(
             "CREATE TABLE IF NOT EXISTS wal (lsn INTEGER, payload TEXT)"
         )
-        con.execute("CREATE TABLE IF NOT EXISTS wal_ack (lsn INTEGER)")
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS wal_ack ("
+            "id INTEGER PRIMARY KEY CHECK (id = 0), lsn INTEGER)"
+        )
         con.commit()
     finally:
         con.close()
@@ -67,7 +98,9 @@ def append_wal(db_path: str, lsn: int, payload: str) -> None:
 def acked_lsn(db_path: str) -> int:
     con = _connect(db_path)
     try:
-        row = con.execute("SELECT MAX(lsn) FROM wal_ack").fetchone()
+        row = con.execute(
+            "SELECT lsn FROM wal_ack WHERE id = 0"
+        ).fetchone()
         return row[0] if row and row[0] is not None else 0
     finally:
         con.close()
@@ -116,6 +149,14 @@ class WalPollReader(SimpleDataSourceStreamReader):
         # replay after restart: fetch the WHOLE checkpointed range —
         # deliberately no batch_limit here, a restart with a smaller
         # limit must not truncate a committed microbatch
+        if end["lsn"] < start["lsn"]:
+            # a backwards range means corrupted/mixed checkpoints (e.g.
+            # a text-ordered cursor upstream); silent empty replay would
+            # LOSE the committed batch — fail loudly instead
+            raise ValueError(
+                f"non-monotonic offset range: start={start['lsn']} "
+                f"> end={end['lsn']}"
+            )
         con = _connect(self.db_path)
         try:
             rows = con.execute(
@@ -130,10 +171,18 @@ class WalPollReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # standby-status-update analog: persist the acked LSN only after
         # the microbatch committed; a crash before this re-polls the
-        # same rows (at-least-once), never skips them
+        # same rows (at-least-once), never skips them. Single-row upsert
+        # keeping MAX: the ack is a high-water mark (append-forever grew
+        # unboundedly), and a late/replayed commit can never move it
+        # backwards.
         con = _connect(self.db_path)
         try:
-            con.execute("INSERT INTO wal_ack VALUES (?)", (end["lsn"],))
+            con.execute(
+                "INSERT INTO wal_ack (id, lsn) VALUES (0, ?) "
+                "ON CONFLICT(id) DO UPDATE SET "
+                "lsn = MAX(wal_ack.lsn, excluded.lsn)",
+                (end["lsn"],),
+            )
             con.commit()
         finally:
             con.close()

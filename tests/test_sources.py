@@ -174,3 +174,114 @@ def test_jdbc_scan_predicates_returns_loader(spark):
         predicates=["user_id < 50", "user_id >= 50"],
     )
     assert callable(loader) and not hasattr(loader, "option")
+
+
+def test_jdbc_reader_config_matrix():
+    """The generated option map IS what .load() runs with — pin it
+    across dialect URLs and partitioning modes."""
+    from speculare_pgcdc_spark.sources import jdbc_reader_config
+
+    urls = [
+        "jdbc:postgresql://db:5432/app",
+        "jdbc:mysql://db:3306/app",
+        "jdbc:sqlite:/tmp/x.db",
+        "jdbc:oracle:thin:@db:1521:app",
+    ]
+    for url in urls:
+        cfg = jdbc_reader_config(
+            url,
+            "events",
+            partition_column="event_id",
+            lower_bound=0,
+            upper_bound=1_000_000,
+            num_partitions=32,
+            sessionInitStatement="SET search_path TO app",
+        )
+        assert cfg == {
+            "url": url,
+            "dbtable": "events",
+            "fetchsize": "10000",
+            "partitionColumn": "event_id",
+            "lowerBound": "0",
+            "upperBound": "1000000",
+            "numPartitions": "32",
+            "sessionInitStatement": "SET search_path TO app",
+        }
+    # tiny-table mode carries no partitioning keys at all
+    tiny = jdbc_reader_config(urls[0], "nation", num_partitions=1)
+    assert "partitionColumn" not in tiny and tiny["dbtable"] == "nation"
+
+
+def test_jdbc_reader_config_rejects_bad_input():
+    from speculare_pgcdc_spark.sources import jdbc_reader_config
+
+    with pytest.raises(ValueError, match="not a JDBC url"):
+        jdbc_reader_config("postgresql://db/x", "t", num_partitions=1)
+    with pytest.raises(ValueError, match="empty JDBC bound range"):
+        jdbc_reader_config(
+            "jdbc:postgresql://db/x",
+            "t",
+            partition_column="id",
+            lower_bound=10,
+            upper_bound=10,
+            num_partitions=4,
+        )
+
+
+def test_pg_lsn_text_ordering_trap():
+    """pg_lsn as TEXT sorts '0/9' after '0/10'; the integer conversion
+    must restore WAL order — the cursor-type trap this source's bigint
+    lsn exists to avoid."""
+    from speculare_pgcdc_spark.streaming.wal_source import (
+        int_to_pg_lsn,
+        pg_lsn_to_int,
+    )
+
+    lsns = ["0/10", "0/9", "1/0", "0/FFFFFFFF", "A/1"]
+    text_order = sorted(lsns)
+    wal_order = sorted(lsns, key=pg_lsn_to_int)
+    assert wal_order == ["0/9", "0/10", "0/FFFFFFFF", "1/0", "A/1"]
+    assert text_order != wal_order  # the trap is real
+    for s in lsns:  # round-trip
+        assert int_to_pg_lsn(pg_lsn_to_int(s)) == s
+    for bad in ["junk", "0/", "1/FFFFFFFFF", None]:
+        with pytest.raises(ValueError):
+            pg_lsn_to_int(bad)
+
+
+def test_wal_ack_is_single_row_high_water_mark(tmp_path):
+    """commit() must keep wal_ack bounded (one row) and never move the
+    ack backwards on a late/replayed commit."""
+    import sqlite3
+
+    from speculare_pgcdc_spark.streaming.wal_source import (
+        WalPollReader,
+        acked_lsn,
+        ensure_wal_tables,
+    )
+
+    db = str(tmp_path / "wal.sqlite")
+    ensure_wal_tables(db)
+    reader = WalPollReader({"path": db})
+    for lsn in (10, 20, 15, 20, 30):  # includes a replayed/late ack
+        reader.commit({"lsn": lsn})
+    assert acked_lsn(db) == 30  # high-water mark, 15 never regressed it
+    con = sqlite3.connect(db)
+    try:
+        n = con.execute("SELECT COUNT(*) FROM wal_ack").fetchone()[0]
+    finally:
+        con.close()
+    assert n == 1  # bounded forever, not one row per microbatch
+
+
+def test_wal_poll_rejects_non_monotonic_replay_range(tmp_path):
+    from speculare_pgcdc_spark.streaming.wal_source import (
+        WalPollReader,
+        ensure_wal_tables,
+    )
+
+    db = str(tmp_path / "wal.sqlite")
+    ensure_wal_tables(db)
+    reader = WalPollReader({"path": db})
+    with pytest.raises(ValueError, match="non-monotonic"):
+        reader.readBetweenOffsets({"lsn": 50}, {"lsn": 10})
