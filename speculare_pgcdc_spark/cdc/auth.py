@@ -17,8 +17,13 @@ R20/R21); the authorization SEMANTICS are data-plane and live here:
 - filter column 'key': an api_key row with (customer_id = caller,
   key = filter value) must exist (auth.rs:191-211)
 - any other filter column: denied (auth.rs:213-218)
-- 'in'-list filters: every value must pass (the reference's eq-only
-  checks generalize pointwise)
+- 'in'-list filters: REJECTED for non-admins by default, matching the
+  reference exactly — restrict_auth reads the filter value with
+  ``as_variant::<String>``, which fails on an Array and returns
+  InvalidRequestError (auth.rs:152-211). Construct with
+  ``allow_in_lists=True`` to opt into the pointwise generalization
+  (every value must pass) when reference-parity is not required; both
+  behaviors are pinned in tests/test_auth.py.
 
 ``api_keys`` is a dimension frame (broadcast-scale at any SF); existence
 checks are memoized with a TTL, the moka-cache analog.
@@ -49,9 +54,15 @@ class SubscriptionAuthorizer:
     """restrict_auth with a TTL-memoized existence check (moka analog,
     auth.rs:25-35: 1h TTL)."""
 
-    def __init__(self, api_keys: DataFrame, ttl_seconds: int = 3600) -> None:
+    def __init__(
+        self,
+        api_keys: DataFrame,
+        ttl_seconds: int = 3600,
+        allow_in_lists: bool = False,
+    ) -> None:
         self.api_keys = api_keys
         self.ttl = ttl_seconds
+        self.allow_in_lists = allow_in_lists
         self._cache: dict[tuple, tuple[float, bool]] = {}
 
     def _exists(self, col: str, customer_id: str, value: str) -> bool:
@@ -79,6 +90,15 @@ class SubscriptionAuthorizer:
         if watch.specific is None:
             raise AuthError(
                 "non-admin subscriptions require a specific filter"
+            )
+        if watch.specific.op == "in" and not self.allow_in_lists:
+            # reference parity: restrict_auth's as_variant::<String>
+            # fails on an Array value -> InvalidRequestError (400), so
+            # an in-list subscription is never authorized for non-admins
+            raise AuthError(
+                "in-list filters are not authorizable for non-admin "
+                "subscriptions (reference parity; construct the "
+                "authorizer with allow_in_lists=True to opt out)"
             )
         col = watch.specific.column
         if col in ("host_uuid", "uuid"):

@@ -90,26 +90,69 @@ FRAME_SCHEMA = (
 )
 
 
+def _load_pil():
+    """Import-guarded decoder lookup: returns PIL's Image module when
+    the environment ships it, else None (this container does not; a
+    production cluster image would). Module-level so tests can inject a
+    stand-in and exercise the real-decode branch deterministically."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
 def resize_images(
-    with_payload: DataFrame, width: int = 224, height: int = 224
+    with_payload: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    use_decoder: bool | None = None,
 ) -> DataFrame:
-    """Image resize over mapInPandas (1:1 rows). The pixel work is
-    stubbed (PIL absent): the stand-in truncates/pads the payload to
-    width*height bytes, which keeps the REAL contract testable — output
-    schema, declared dims, payload size bound, Arrow batch iteration.
-    Plug `PIL.Image.open(io.BytesIO(p)).resize((w, h))` into the marked
-    line for production."""
+    """Image resize over mapInPandas (1:1 rows), with TWO pixel paths:
+
+    - real decode (taken when PIL imports, or forced via
+      ``use_decoder=True``): ``Image.open(BytesIO(p)).resize((w, h))``,
+      grayscale raw bytes out; a payload that fails to decode falls back
+      to the stand-in rather than poisoning the batch (the reference's
+      log-and-continue posture for malformed frames);
+    - stand-in (codec-less environments): truncate/pad the payload to
+      width*height bytes.
+
+    Both paths honor the same contract — output schema, declared dims,
+    exact payload size, Arrow batch iteration — and both are covered by
+    tests (the real branch via an injected fake decoder, since PIL is
+    absent in this container)."""
+    # resolve the decoder ON THE DRIVER so the chosen object rides into
+    # the closure (cloudpickle ships a real module by reference and an
+    # injected fake by value — either way the workers run what the
+    # driver selected, not a per-worker re-import)
+    image_mod = _load_pil() if use_decoder in (None, True) else None
+    if use_decoder is True and image_mod is None:
+        raise RuntimeError("use_decoder=True but PIL is not importable")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         n = width * height
+
+        def standin(p: bytes) -> bytes:
+            return bytes(p[:n]).ljust(n, b"\0")
+
+        def one(p: bytes) -> bytes:
+            if image_mod is None:
+                return standin(p)
+            try:
+                img = image_mod.open(io.BytesIO(p))
+                return img.convert("L").resize((width, height)).tobytes()
+            except Exception:
+                return standin(p)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    # decode_media(p, mime) -> .resize((width, height))
-                    "payload": [
-                        bytes(p[:n]).ljust(n, b"\0") for p in pdf["payload"]
-                    ],
+                    "payload": [one(bytes(p)) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

@@ -52,7 +52,28 @@ def test_host_uuid_must_be_owned(authz):
         authz.restrict(u, _watch("insert:cpustats:host_uuid.eq.host-c"))
 
 
-def test_in_list_requires_every_value(authz):
+def test_in_list_rejected_by_default_reference_parity(authz):
+    """The reference's restrict_auth reads the filter value as a String
+    variant, which FAILS on an in-list (Array) -> InvalidRequestError —
+    so by default an in-list subscription is never authorized for
+    non-admins, even when every value would pass pointwise."""
+    u = AuthInfo("cust1")
+    with pytest.raises(AuthError, match="in-list"):
+        authz.restrict(
+            u, _watch("insert:cpustats:host_uuid.in.host-a,host-b")
+        )
+    # admins still bypass the gate entirely
+    authz.restrict(
+        AuthInfo("root", is_admin=True),
+        _watch("insert:cpustats:host_uuid.in.host-a,host-zzz"),
+    )
+
+
+def test_in_list_pointwise_when_opted_in(spark):
+    keys = api_keys_df(
+        spark, [("cust1", "host-a", "k1"), ("cust1", "host-b", "k2")]
+    )
+    authz = SubscriptionAuthorizer(keys, allow_in_lists=True)
     u = AuthInfo("cust1")
     authz.restrict(u, _watch("insert:cpustats:host_uuid.in.host-a,host-b"))
     with pytest.raises(AuthError):

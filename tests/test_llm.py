@@ -336,3 +336,76 @@ def test_trained_ivf_full_probe_equals_brute_force(spark, emb):
         for r in sim.ivf_topk_trained(e, q, cents, k=10, nprobe=4).collect()
     ]
     assert ivf_all == brute
+
+
+def _fake_image_cls():
+    """Minimal PIL.Image stand-in: decodes our 'format' (payload =
+    b'IMG!' + raw bytes), resizes by truncate/repeat — enough to drive
+    the real-decode branch deterministically where PIL is absent.
+    Defined INSIDE a function so cloudpickle ships it by VALUE to the
+    executors (a module-level test class pickles by reference, and
+    workers cannot import the test module)."""
+
+    class FakeImage:
+        def __init__(self, data: bytes):
+            if not data.startswith(b"IMG!"):
+                raise ValueError("not an IMG! payload")
+            self.data = data[4:]
+            self.size = (0, 0)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.size = wh
+            return self
+
+        def tobytes(self):
+            n = self.size[0] * self.size[1]
+            return (self.data * (n // max(len(self.data), 1) + 1))[:n]
+
+        @staticmethod
+        def open(buf):
+            return FakeImage(buf.read())
+
+    return FakeImage
+
+
+@pytest.mark.parametrize("branch", ["decoder", "standin"])
+def test_resize_images_both_branches(spark, docs, branch, monkeypatch):
+    """The import-guarded real-decode path and the codec-less stand-in
+    must honor the same contract: schema, declared dims, exact payload
+    size. The decoder branch runs via an injected fake (PIL is absent
+    in this container); undecodable payloads fall back per-row."""
+    with_payload = mm.attach_payload(docs.limit(8))
+    if branch == "decoder":
+        monkeypatch.setattr(mm, "_load_pil", _fake_image_cls)
+        # fixture payloads are text bytes -> not IMG! -> per-row
+        # fallback must kick in, not poison the batch
+        out = mm.resize_images(with_payload, width=8, height=4,
+                               use_decoder=True)
+    else:
+        out = mm.resize_images(
+            with_payload, width=8, height=4, use_decoder=False
+        )
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4
+               for r in rows)
+
+    if branch == "decoder":
+        # a decodable payload goes through the fake decoder for real
+        img_df = spark.createDataFrame(
+            [(1, b"IMG!abc", {"mime": "image/fake", "n_bytes": 7})],
+            "doc_id bigint, payload binary, meta struct<mime:string,"
+            "n_bytes:bigint>",
+        )
+        (row,) = mm.resize_images(
+            img_df, width=4, height=2, use_decoder=True
+        ).collect()
+        assert row.payload == (b"abc" * 3)[:8]  # decoded, not padded
+
+
+def test_resize_use_decoder_true_requires_decoder(docs):
+    with pytest.raises(RuntimeError, match="PIL is not importable"):
+        mm.resize_images(mm.attach_payload(docs), use_decoder=True)
