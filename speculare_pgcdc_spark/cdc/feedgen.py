@@ -124,9 +124,14 @@ def _build_feed_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _chunk_table_col(),
         F.col("event_id").cast("string"),
     )
+    # one change per line means NO grouping shuffle on this path (v1's
+    # groupBy repartitions as a side effect); without an explicit
+    # repartition the persisted feed inherits the parquet scan's
+    # partitioning — a single ~50 MB file at sf0.1 = ONE partition, and
+    # every downstream parse stage runs on one core
     return e.select(
         F.when(action == "D", del_json).otherwise(row_json).alias("payload")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

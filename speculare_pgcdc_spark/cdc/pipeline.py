@@ -82,11 +82,16 @@ def parse_wal2json(
     seq = (
         F.col(seq_col).cast("bigint") if seq_col is not None else F.lit(0)
     ).alias("seq")
+    if fmt == "v2":
+        v2 = payload_df.select(
+            seq,
+            F.col(payload_col).alias("_raw"),
+            F.try_parse_json(F.col(payload_col)).alias("_msg"),
+        ).filter(F.col("_msg").isNotNull())
+        return _changes_v2(v2)
     v = payload_df.select(
         seq, F.try_parse_json(F.col(payload_col)).alias("_msg")
     ).filter(F.col("_msg").isNotNull())
-    if fmt == "v2":
-        return _changes_v2(v)
     ch = v.select(
         "seq",
         F.posexplode(
@@ -121,34 +126,45 @@ def parse_wal2json(
 
 
 def _changes_v2(v: DataFrame) -> DataFrame:
-    """wal2json format-2 branch: ``v`` is (seq, _msg variant) with one
-    CHANGE per message, so chg_idx is always 0 — WAL order within a
+    """wal2json format-2 branch: ``v`` is (seq, _raw, _msg variant) with
+    one CHANGE per message, so chg_idx is always 0 — WAL order within a
     batch is carried entirely by seq. ``columns`` [{name,type,value}]
     maps onto the same typed/lenient cell rule as v1's columnvalues
     (row_typed keeps only string-typed JSON values — the reference's
     specific_filter quirk); deletes carry ``identity`` only, which like
-    v1's oldkeys yields null row maps."""
+    v1's oldkeys yields null row maps.
+
+    Cost shape (profiled at sf0.1): the columns array is materialized
+    ONCE into ``_cols`` and the three cell transforms run over it —
+    repeating variant_get(_msg, '$.columns') per transform re-walks the
+    variant; and ``change_json`` is the RAW payload line verbatim (in
+    v2 the message IS the change frame), because to_json on a variant
+    costs more than the entire rest of the parse."""
     act = F.expr("variant_get(_msg, '$.action', 'string')")
     kind = (
         F.when(act == "I", "insert")
         .when(act == "U", "update")
         .when(act == "D", "delete")
     )
-    names = F.expr(
-        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
-        " c -> variant_get(c, '$.name', 'string'))"
+    w = v.select(
+        "seq",
+        "_raw",
+        "_msg",
+        F.expr("variant_get(_msg, '$.columns', 'array<variant>')").alias(
+            "_cols"
+        ),
     )
+    names = F.expr("transform(_cols, c -> variant_get(c, '$.name', 'string'))")
     typed_cells = F.expr(
-        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
+        "transform(_cols,"
         " c -> CASE WHEN schema_of_variant(variant_get(c, '$.value'))"
         "      = 'STRING'"
         "      THEN variant_get(c, '$.value', 'string') END)"
     )
     lenient_cells = F.expr(
-        "transform(variant_get(_msg, '$.columns', 'array<variant>'),"
-        " c -> cast(variant_get(c, '$.value') AS string))"
+        "transform(_cols, c -> cast(variant_get(c, '$.value') AS string))"
     )
-    out = v.select(
+    out = w.select(
         "seq",
         F.lit(0).alias("chg_idx"),
         F.expr("variant_get(_msg, '$.table', 'string')").alias("table"),
@@ -156,7 +172,7 @@ def _changes_v2(v: DataFrame) -> DataFrame:
         names.alias("columnnames"),
         F.map_from_arrays(names, typed_cells).alias("row_typed"),
         F.map_from_arrays(names, lenient_cells).alias("row_str"),
-        F.expr("to_json(_msg)").alias("change_json"),
+        F.col("_raw").alias("change_json"),
     )
     return out.filter(
         F.col("table").isNotNull() & F.col("kind").isNotNull()
