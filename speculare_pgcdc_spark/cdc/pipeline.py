@@ -98,30 +98,71 @@ def parse_wal2json(
             F.expr("variant_get(_msg, '$.change', 'array<variant>')")
         ).alias("chg_idx", "_c"),
     )
-    typed_cells = F.expr(
-        "transform(variant_get(_c, '$.columnvalues', 'array<variant>'),"
-        " x -> CASE WHEN schema_of_variant(x) = 'STRING'"
-        "      THEN variant_get(x, '$', 'string') END)"
-    )
-    lenient_cells = F.expr(
-        "transform(variant_get(_c, '$.columnvalues', 'array<variant>'),"
-        " x -> cast(x AS string))"
+    typed_cells, lenient_cells = _cell_transforms(
+        "variant_get(_c, '$.columnvalues', 'array<variant>')", "x"
     )
     names = F.expr("variant_get(_c, '$.columnnames', 'array<string>')")
-    out = ch.select(
+    pre = ch.select(
         "seq",
         "chg_idx",
         F.expr("variant_get(_c, '$.table', 'string')").alias("table"),
         F.expr("variant_get(_c, '$.kind', 'string')").alias("kind"),
         names.alias("columnnames"),
-        F.map_from_arrays(names, typed_cells).alias("row_typed"),
-        F.map_from_arrays(names, lenient_cells).alias("row_str"),
+        typed_cells.alias("_tc"),
+        lenient_cells.alias("_lc"),
         F.expr("to_json(_c)").alias("change_json"),
-    )
-    return out.filter(
+    ).filter(
         F.col("table").isNotNull()
         & F.col("kind").isNotNull()
         & F.col("kind").isin("insert", "update", "delete")
+        & _valid_names("columnnames")
+    )
+    return _with_row_maps(pre)
+
+
+def _cell_transforms(arr_expr: str, value_acc: str):
+    """The typed/lenient cell rule, shared by both wal2json formats and
+    parameterized on how the value variant is reached from an array
+    element ``x`` (v1: the element IS the value; v2: ``variant_get(x,
+    '$.value')``). row_typed keeps ONLY string-typed JSON cells — the
+    reference's specific_filter quirk (specific_filter.rs:36-46) —
+    while row_str leniently casts any scalar. One definition so the
+    quirk cannot silently fork between formats."""
+    typed = F.expr(
+        f"transform({arr_expr},"
+        f" x -> CASE WHEN schema_of_variant({value_acc}) = 'STRING'"
+        f"      THEN variant_get({value_acc}, '$', 'string') END)"
+    )
+    lenient = F.expr(f"transform({arr_expr}, x -> cast({value_acc} AS string))")
+    return typed, lenient
+
+
+def _valid_names(col: str):
+    """Drop-malformed guard for the column-name array: a null element
+    or a duplicate name would make map_from_arrays throw (NULL_MAP_KEY /
+    DUPLICATED_MAP_KEY), turning one bad frame into a poison pill that
+    fails the microbatch on every retry. The contract is log-and-
+    continue (forwarder/mod.rs:83-91): such changes are dropped. A null
+    ARRAY stays valid — deletes carry no columns."""
+    c = F.col(col)
+    no_null_elem = ~F.exists(c, lambda n: n.isNull())
+    no_dupes = F.size(c) == F.size(F.array_distinct(c))
+    return c.isNull() | (no_null_elem & no_dupes)
+
+
+def _with_row_maps(pre: DataFrame) -> DataFrame:
+    """Build row_typed/row_str AFTER the validity filter (building them
+    in the same projection would evaluate map_from_arrays on the very
+    rows the filter exists to drop)."""
+    return pre.select(
+        "seq",
+        "chg_idx",
+        "table",
+        "kind",
+        "columnnames",
+        F.map_from_arrays("columnnames", "_tc").alias("row_typed"),
+        F.map_from_arrays("columnnames", "_lc").alias("row_str"),
+        "change_json",
     )
 
 
@@ -154,29 +195,25 @@ def _changes_v2(v: DataFrame) -> DataFrame:
             "_cols"
         ),
     )
-    names = F.expr("transform(_cols, c -> variant_get(c, '$.name', 'string'))")
-    typed_cells = F.expr(
-        "transform(_cols,"
-        " c -> CASE WHEN schema_of_variant(variant_get(c, '$.value'))"
-        "      = 'STRING'"
-        "      THEN variant_get(c, '$.value', 'string') END)"
+    names = F.expr("transform(_cols, x -> variant_get(x, '$.name', 'string'))")
+    typed_cells, lenient_cells = _cell_transforms(
+        "_cols", "variant_get(x, '$.value')"
     )
-    lenient_cells = F.expr(
-        "transform(_cols, c -> cast(variant_get(c, '$.value') AS string))"
-    )
-    out = w.select(
+    pre = w.select(
         "seq",
         F.lit(0).alias("chg_idx"),
         F.expr("variant_get(_msg, '$.table', 'string')").alias("table"),
         kind.alias("kind"),
         names.alias("columnnames"),
-        F.map_from_arrays(names, typed_cells).alias("row_typed"),
-        F.map_from_arrays(names, lenient_cells).alias("row_str"),
+        typed_cells.alias("_tc"),
+        lenient_cells.alias("_lc"),
         F.col("_raw").alias("change_json"),
+    ).filter(
+        F.col("table").isNotNull()
+        & F.col("kind").isNotNull()
+        & _valid_names("columnnames")
     )
-    return out.filter(
-        F.col("table").isNotNull() & F.col("kind").isNotNull()
-    )
+    return _with_row_maps(pre)
 
 
 def normalize_hypertables(

@@ -163,7 +163,7 @@ class Engine:
         start, not on the live query (the reference applies new
         WebSocket subscriptions to its live forwarder immediately;
         restart-to-apply is this engine's documented deviation, pinned
-        in tests/test_engine.py).
+        in tests/test_streaming.py::test_subscription_update_across_restart).
 
         The file feed carries no WAL position, so per-subscriber
         payload order is per-message only (chg_idx); watch_db's lsn

@@ -243,34 +243,45 @@ def kmeans_centroids(
     rounded to 6 decimals so shuffle-order ulp drift in avg() cannot
     flip a later assignment; empty clusters keep their previous
     centroid."""
-    init_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
-    if len(cents) < k:
-        raise ValueError(f"need >= {k} vectors to init {k} centroids")
-    for _ in range(iters):
-        assigned = assign_nearest(emb, cents, vec_col)
-        stats = (
-            assigned.select(
-                "_cid", F.posexplode(vec_col).alias("pos", "val")
+    # persist the training projection for the loop: init + every
+    # iteration re-scans it (iters+1 passes), and without the cache
+    # each pass re-reads parquet and re-runs the upstream lineage —
+    # the standard iterative-ML caching pattern
+    data = emb.select(id_col, vec_col).persist()
+    try:
+        init_rows = (
+            data.orderBy(
+                F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
             )
-            .groupBy("_cid", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .limit(k)
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cid.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
-        cents = [
-            [by_cid[ci][p] for p in range(len(cents[ci]))]
-            if ci in by_cid
-            else cents[ci]
-            for ci in range(k)
-        ]
+        cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+        if len(cents) < k:
+            raise ValueError(f"need >= {k} vectors to init {k} centroids")
+        for _ in range(iters):
+            assigned = assign_nearest(data, cents, vec_col)
+            stats = (
+                assigned.select(
+                    "_cid", F.posexplode(vec_col).alias("pos", "val")
+                )
+                .groupBy("_cid", "pos")
+                .agg(
+                    F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cid.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                [by_cid[ci][p] for p in range(len(cents[ci]))]
+                if ci in by_cid
+                else cents[ci]
+                for ci in range(k)
+            ]
+    finally:
+        data.unpersist()
     return cents
 
 

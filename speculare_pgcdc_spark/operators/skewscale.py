@@ -128,10 +128,30 @@ def binned_range_count(
     frame is broadcast back, so the data path is: agg, window-by-bin,
     one equi-join to reattach rows. Exact, including duplicate values
     and frame bounds landing exactly on a value (double arithmetic on
-    the bound matches the window engines' own p - preceding)."""
+    the bound matches the window engines' own p - preceding).
+
+    Null/NaN semantics: NULL-valued rows form their own peer group in
+    every engine's RANGE frame (their count is the null count; they
+    never enter a non-null row's frame) — handled exactly via a
+    separate null branch. NaN has no portable RANGE semantics (engines
+    disagree on frame-bound arithmetic vs ordering comparators), so a
+    NaN value fails loudly instead of returning silently wrong counts."""
     c = F.count(F.lit(1)).alias("_c")
-    d = df.groupBy(val_col).agg(c)
-    v = F.col(val_col).cast("double")
+    d_all = df.groupBy(val_col).agg(c)
+    d = d_all.filter(F.col(val_col).isNotNull())
+    null_cnt = d_all.filter(F.col(val_col).isNull()).select(
+        F.col("_c").alias("_null_cnt")
+    )
+    v_raw = F.col(val_col).cast("double")
+    v = F.when(
+        F.isnan(v_raw),
+        F.raise_error(
+            F.lit(
+                "binned_range_count: NaN values have no portable RANGE-"
+                "frame semantics; filter or impute them first"
+            )
+        ).cast("double"),
+    ).otherwise(v_raw)
     prices = d.select(
         F.col(val_col).alias("_orig"),
         v.alias("_v"),
@@ -173,4 +193,15 @@ def binned_range_count(
         .cast("bigint")
         .alias(out_col)
     )
-    return df.join(per_val, df[val_col] == per_val["_orig"]).drop("_orig")
+    nonnull = (
+        df.filter(F.col(val_col).isNotNull())
+        .join(per_val, df[val_col] == per_val["_orig"])
+        .drop("_orig")
+    )
+    nulls = (
+        df.filter(F.col(val_col).isNull())
+        .crossJoin(F.broadcast(null_cnt))
+        .withColumn(out_col, F.col("_null_cnt").cast("bigint"))
+        .drop("_null_cnt")
+    )
+    return nonnull.unionByName(nulls)

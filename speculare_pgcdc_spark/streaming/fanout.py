@@ -101,8 +101,14 @@ def fanout_partitions(
     """
     order = [c for c in ORDER_COLUMNS if c in routed.columns]
     slim = routed.select("sub_id", *order, "change_json")
+    # change_json joins the sort key as the final tiebreak: rows tying
+    # on (seq, chg_idx) — e.g. a seq-less file feed where every message
+    # gets seq=0 — would otherwise keep nondeterministic shuffle order,
+    # and a crash-replay could rewrite an idempotent batch file with a
+    # DIFFERENT line order than a consumer already tailed. fanout_batch
+    # gets the same guarantee for free from its struct sort_array.
     parted = slim.repartition("sub_id").sortWithinPartitions(
-        "sub_id", *order
+        "sub_id", *order, "change_json"
     )
     takes_batch = _takes_batch(deliver)
 
@@ -147,14 +153,25 @@ def idempotent_outbox_deliver(out_dir: str) -> Delivery:
     writer pattern from SURVEY §7's risk register)."""
 
     def deliver(sub_id: int, payloads: list[str], batch_id: int = -1) -> None:
+        import uuid
+
         d = os.path.join(out_dir, str(sub_id))
         os.makedirs(d, exist_ok=True)
         final = os.path.join(d, f"batch-{batch_id}.jsonl")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            for p in payloads:
-                f.write(p.rstrip("\n") + "\n")
-        os.replace(tmp, final)
+        # attempt-unique tmp name: in fanout_partitions mode this runs
+        # on executors, where a speculative/zombie duplicate attempt of
+        # the same partition would interleave writes into a SHARED
+        # fixed tmp path and os.replace could publish a corrupt file;
+        # unique tmps make the last os.replace the only visible write
+        tmp = f"{final}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
+        try:
+            with open(tmp, "w") as f:
+                for p in payloads:
+                    f.write(p.rstrip("\n") + "\n")
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     return deliver
 

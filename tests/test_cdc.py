@@ -5,6 +5,7 @@ Spark pipeline on tiny literal frames."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from speculare_pgcdc_spark.cdc.pipeline import (
@@ -225,3 +226,37 @@ def test_wal2json_unknown_format_rejected(spark):
 
     with _pytest.raises(ValueError, match="unknown wal2json format"):
         parse_wal2json(df, fmt="v3")
+
+
+@pytest.mark.parametrize("fmt", ["v1", "v2"])
+def test_malformed_column_names_dropped_not_poison(spark, fmt):
+    """A change whose column-name array contains a null or duplicate
+    must be DROPPED (log-and-continue contract), not raise
+    NULL_MAP_KEY/DUPLICATED_MAP_KEY and fail the microbatch on every
+    retry (a streaming poison pill)."""
+    if fmt == "v1":
+        lines = [
+            # malformed: null name
+            '{"change":[{"kind":"insert","table":"t",'
+            '"columnnames":[null],"columnvalues":[1]}]}',
+            # malformed: duplicate names
+            '{"change":[{"kind":"insert","table":"t",'
+            '"columnnames":["a","a"],"columnvalues":[1,2]}]}',
+            # fine
+            '{"change":[{"kind":"insert","table":"t",'
+            '"columnnames":["a"],"columnvalues":[1]}]}',
+        ]
+    else:
+        lines = [
+            '{"action":"I","table":"t",'
+            '"columns":[{"type":"integer","value":1}]}',  # name absent
+            '{"action":"I","table":"t","columns":['
+            '{"name":"a","type":"integer","value":1},'
+            '{"name":"a","type":"integer","value":2}]}',  # duplicate
+            '{"action":"I","table":"t",'
+            '"columns":[{"name":"a","type":"integer","value":1}]}',
+        ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "payload string")
+    rows = parse_wal2json(df, fmt=fmt).collect()
+    assert len(rows) == 1
+    assert rows[0]["row_str"] == {"a": "1"}

@@ -158,3 +158,29 @@ def test_binned_range_count_duplicates_and_exact_bounds(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_binned_range_count_null_and_nan_semantics(spark):
+    """NULL rows form their own peer group (count = null count, and
+    they never enter a non-null frame) — engine-portable RANGE
+    semantics; NaN fails loudly instead of silently diverging."""
+    from pyspark.sql.utils import PythonException
+
+    from speculare_pgcdc_spark.operators.skewscale import binned_range_count
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 50.0), (3, 120.0), (4, 160.0)],
+        "id bigint, v double",
+    )
+    got = {(r.id, r.cnt) for r in binned_range_count(df, "v", preceding=100).collect()}
+    # nulls: peer group of 2; 50 -> just itself; 120 -> {50,120};
+    # 160 -> {120,160} (50 < 60 is outside the frame)
+    assert got == {(0, 2), (1, 2), (2, 1), (3, 2), (4, 2)}
+
+    import pytest as _pytest
+
+    nan_df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan"))], "id bigint, v double"
+    )
+    with _pytest.raises(Exception, match="NaN values have no portable"):
+        binned_range_count(nan_df, "v", preceding=100).collect()

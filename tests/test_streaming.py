@@ -1018,3 +1018,28 @@ def test_feedgen_escapes_special_content(spark):
     # both frames parsed: the quoted/backslashed string survived intact
     # and the NaN value became JSON null instead of a malformed frame
     assert got == {'say "hi" \\ there', "plain"}
+
+
+def test_fanout_partitions_tie_order_deterministic(spark, tmp_path):
+    """Rows tying on (seq, chg_idx) — e.g. a seq-less file feed — must
+    still deliver in a deterministic order in partitions mode, so a
+    crash-replay rewrites an idempotent batch file with IDENTICAL line
+    order (consumers may have tailed the first write)."""
+    from speculare_pgcdc_spark.streaming.fanout import (
+        fanout_partitions,
+        idempotent_outbox_deliver,
+        read_outbox,
+    )
+
+    rows = [(1, 0, 0, f"payload-{i:02d}") for i in (5, 1, 9, 3, 7)]
+    outs = []
+    for attempt in range(2):
+        routed = spark.createDataFrame(
+            rows, "sub_id int, seq bigint, chg_idx int, change_json string"
+        ).repartition(7)  # scramble physical order differently per run
+        out_dir = str(tmp_path / f"o{attempt}")
+        fanout_partitions(
+            routed, idempotent_outbox_deliver(out_dir), batch_id=1
+        )
+        outs.append(read_outbox(out_dir, 1))
+    assert outs[0] == outs[1] == sorted(p for _, _, _, p in rows)
