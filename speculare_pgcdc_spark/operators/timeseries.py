@@ -3,16 +3,18 @@ analog — the reference's domain is Timescale monitoring data, where
 dashboards expect dense per-bucket series even when sources go quiet;
 cf. the hypertable machinery at /root/reference/src/cdc/mod.rs:49-72).
 
-Shape: bucket-aggregate (sparse) -> per-key bucket span -> explode a
-dense bucket grid -> left join the sparse aggs -> LOCF via
-last-non-null window. All codegen'd; shuffles: one for the agg, one for
-the window (same key — AQE reuses the exchange). Grid size is
-(keys x buckets-in-range), independent of raw row count — at 100 TB
-the dense grid is MUCH smaller than the input."""
+Shape: bucket-aggregate (sparse) -> window the SPARSE rows to attach
+carry/interpolation anchors and each row's gap extent (lead) -> explode
+each segment into its dense buckets with the fill computed inline. The
+dense grid never exists as a join/window input: the windows sort only
+the sparse aggregate (one row per non-empty bucket), and the explode is
+map-side. Shuffles: one for the agg, one for the window. At 100 TB the
+sparse aggregate is MUCH smaller than the input, and the dense fan-out
+happens after the last sort."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -24,6 +26,33 @@ def bucketize(
     """Add an epoch-grid bucket column (`bucket`, bigint)."""
     b = F.floor(F.col(ts_col).cast("double") / width_seconds).cast("bigint")
     return df.withColumn("bucket", b)
+
+
+def _segments(anchored: DataFrame, key: str) -> DataFrame:
+    """Explode each sparse row's segment [bucket, next_bucket) into its
+    dense buckets: `b` sweeps the row's own bucket plus the empty ones
+    before the key's next observation (the last row emits only itself,
+    so the grid ends at the key's max bucket). Map-side — runs after
+    the window sort, so no shuffle sees the fan-out."""
+    return anchored.withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                "bucket",
+                F.coalesce(F.col("_nb") - 1, F.col("bucket")),
+            )
+        ),
+    )
+
+
+def _grid_count() -> Column:
+    """Bucket row count on the dense grid: the sparse row's own count on
+    its own bucket, 0 on the gap buckets it fans out."""
+    return (
+        F.when(F.col("b") == F.col("bucket"), F.col("_c"))
+        .otherwise(F.lit(0))
+        .alias("c")
+    )
 
 
 def gapfill_locf(
@@ -39,7 +68,12 @@ def gapfill_locf(
     Returns (key, bucket, c, v_locf): `c` = rows in the bucket, `v_locf`
     = that bucket's mean value, carried forward from the last non-empty
     bucket when the bucket is a gap (null only before the first
-    observation — gapfill never invents a value)."""
+    observation — gapfill never invents a value).
+
+    The carry value is resolved on the SPARSE rows (running last-non-
+    null window), then exploded: every dense bucket of a segment shares
+    its sparse row's carry — including the row's own bucket, whose mean
+    (when present) IS the running last-non-null."""
     sparse = (
         bucketize(df, ts_col, width_seconds)
         .groupBy(key, "bucket")
@@ -52,26 +86,20 @@ def gapfill_locf(
             ).cast("double").alias("_v"),
         )
     )
-    grid = (
-        sparse.groupBy(key)
-        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
-        .select(
-            key, F.explode(F.sequence("_mn", "_mx")).alias("bucket")
-        )
+    w_asc = Window.partitionBy(key).orderBy("bucket")
+    wp = w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchored = sparse.select(
+        key,
+        "bucket",
+        "_c",
+        F.last("_v", ignorenulls=True).over(wp).alias("_locf"),
+        F.lead("bucket").over(w_asc).alias("_nb"),
     )
-    w = (
-        Window.partitionBy(key)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(sparse, [key, "bucket"], "left")
-        .select(
-            key,
-            "bucket",
-            F.coalesce("_c", F.lit(0)).alias("c"),
-            F.last("_v", ignorenulls=True).over(w).alias("v_locf"),
-        )
+    return _segments(anchored, key).select(
+        key,
+        F.col("b").alias("bucket"),
+        _grid_count(),
+        F.col("_locf").alias("v_locf"),
     )
 
 
@@ -85,8 +113,16 @@ def gapfill_interpolate(
     """Like :func:`gapfill_locf` but gaps get LINEAR interpolation
     between the surrounding non-empty buckets (Timescale `interpolate`
     analog). Buckets before the first / after the last observation stay
-    null. Same two-shuffle plan: the prev/next windows share the key
-    partitioning.
+    null.
+
+    The prev/next anchors are resolved on the SPARSE rows: `_p` = last
+    non-null (mu, bucket) at-or-before the row, `_nx` = first non-null
+    strictly after it (DESCENDING running frame excluding current —
+    Spark's (currentRow, unboundedFollowing) frames recompute per row,
+    O(n^2); the reversed running frame is the O(n) path and shares the
+    key partitioning). A gap bucket `b` exploded from sparse row `s`
+    then interpolates between `_p` (s itself when its mean exists) and
+    `_nx`; `s`'s own bucket uses `_nx` only if its own mean is null.
 
     Cross-engine determinism: the bucket mean is quantized to integer
     MICRO-units (exact decimal sum x 1e6, one deterministic rounding),
@@ -94,7 +130,11 @@ def gapfill_interpolate(
     at the end — every intermediate is an integer below 2^53, so Spark
     and any oracle engine produce bit-identical doubles regardless of
     aggregation/evaluation order. Naive double lerp drifts by 1 ulp
-    between engines and flips the 4th decimal."""
+    between engines and flips the 4th decimal. The final rounding is in
+    INTEGER deci-milli units (1e-4): integer halves are exactly
+    representable doubles, so the half-up tie-break agrees across
+    engines — ROUND(double, 4) does not (its .xxxx5 ties are not
+    representable and engines disagree on the stored neighbor)."""
     mu = F.round(
         (F.sum(F.col(val_col).cast("decimal(28,6)")) * 1_000_000)
         .cast("double")
@@ -105,47 +145,44 @@ def gapfill_interpolate(
         .groupBy(key, "bucket")
         .agg(F.count(F.lit(1)).alias("_c"), mu.alias("_mu"))
     )
-    grid = (
-        sparse.groupBy(key)
-        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
-        .select(key, F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
-    )
-    joined = grid.join(sparse, [key, "bucket"], "left")
-    wp = (
-        Window.partitionBy(key)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # "next non-null" via DESCENDING order + a running last() frame:
-    # Spark evaluates (currentRow, unboundedFollowing) frames with
-    # UnboundedFollowingWindowFunctionFrame, which recomputes the
-    # aggregate from scratch per row — O(n^2) per partition. The
-    # reversed running frame is the O(n) streaming path and shares the
-    # same hash partitioning (one exchange, two sorts).
-    wn = (
+    w_asc = Window.partitionBy(key).orderBy("bucket")
+    wp = w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn_excl = (
         Window.partitionBy(key)
         .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     vb = F.struct("_mu", "bucket")
-    prev = F.last(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wp)
-    nxt = F.last(F.when(F.col("_mu").isNotNull(), vb), ignorenulls=True).over(wn)
-    span = nxt["bucket"] - prev["bucket"]
-    num = prev["_mu"] * (nxt["bucket"] - F.col("bucket")) + nxt["_mu"] * (
-        F.col("bucket") - prev["bucket"]
+    anchor = F.when(F.col("_mu").isNotNull(), vb)
+    anchored = sparse.select(
+        key,
+        "bucket",
+        "_c",
+        "_mu",
+        F.last(anchor, ignorenulls=True).over(wp).alias("_p"),
+        F.last(anchor, ignorenulls=True).over(wn_excl).alias("_nx"),
+        F.lead("bucket").over(w_asc).alias("_nb"),
     )
-    # round in INTEGER deci-milli units (1e-4): integer halves are
-    # exactly representable doubles, so the half-up tie-break agrees
-    # across engines — ROUND(double, 4) does not (its .xxxx5 ties are
-    # not representable and engines disagree on the stored neighbor)
+    filled = _segments(anchored, key)
+    on_own = F.col("b") == F.col("bucket")
+    # the row's own bucket is its own "next" anchor when its mean
+    # exists; gap buckets always look strictly ahead
+    nxt = F.when(on_own & F.col("_mu").isNotNull(), vb).otherwise(
+        F.col("_nx")
+    )
+    prev = F.col("_p")
+    span = nxt["bucket"] - prev["bucket"]
+    num = prev["_mu"] * (nxt["bucket"] - F.col("b")) + nxt["_mu"] * (
+        F.col("b") - prev["bucket"]
+    )
     dm = F.when(
         span == 0, F.round(prev["_mu"].cast("double") / 100)
     ).otherwise(
         F.round(num.cast("double") / (span.cast("double") * 100))
     ).cast("bigint")
-    return joined.select(
+    return filled.select(
         key,
-        "bucket",
-        F.coalesce("_c", F.lit(0)).alias("c"),
+        F.col("b").alias("bucket"),
+        _grid_count(),
         (dm.cast("double") / 10_000).alias("v_interp"),
     )
