@@ -235,3 +235,175 @@ def df_capped_tokens(
     )
     keep = df_counts.filter(F.col("_df") <= max_df).select("tok")
     return tok.join(keep, "tok", "left_semi")
+
+
+def dup_components(
+    pairs: DataFrame,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iter: int = 20,
+    driver_limit: int = 200_000,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> dedup CLUSTERS: the
+    step that turns pairwise output (jaccard_pairs / minhash_lsh_pairs)
+    into a keep-one-per-group decision. Returns (id, component) for
+    every doc appearing in >= 1 pair, component = MIN doc id in the
+    component (so `id == component` selects the canonical survivor);
+    singleton docs never enter and need no row.
+
+    Two strategies, same result:
+
+    - Edge lists up to `driver_limit` pairs run union-find ON THE
+      DRIVER (one count + one collect of two-long rows). Near-dup
+      edge lists are tiny relative to the corpus — 100 TB of text
+      yields pairs proportional to the DUPLICATED subset — so this is
+      the common production case, and it avoids per-round job
+      overhead entirely.
+    - Larger graphs run distributed min-label propagation: each node
+      starts labeled with its own id; per round every node takes
+      min(own label, neighbor labels) — a groupBy-min plus one
+      equi-join per round, converging in graph-diameter rounds
+      (near-dup clusters are short-diameter, so 2-4 rounds in
+      practice; `max_iter` bounds adversarial chains). The changed
+      count rides the same job that materializes the round, so ONE
+      action per round reaches the driver. Alternating large-star/
+      small-star halves the round count if diameters grow.
+
+    Set driver_limit=0 to force the distributed path.
+    """
+    if driver_limit:
+        # cache the (possibly expensive) pair computation across the
+        # size probe and whichever strategy consumes it
+        pairs = pairs.persist()
+        try:
+            if pairs.count() <= driver_limit:
+                return _components_driver(pairs, a_col, b_col)
+            return _components_distributed(pairs, a_col, b_col, max_iter)
+        finally:
+            pairs.unpersist()
+    return _components_distributed(pairs, a_col, b_col, max_iter)
+
+
+def _components_driver(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Union-find by min root over a collected (small) edge list."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in pairs.select(a_col, b_col).collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min root so the label IS the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    id_type = dict(pairs.dtypes)[a_col]
+    return pairs.sparkSession.createDataFrame(
+        out, f"id {id_type}, comp {id_type}"
+    )
+
+
+def _components_distributed(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("comp").alias("_nmin"))
+            )
+            # carry the old label so the convergence count shares the
+            # job that materializes the round (one action per round)
+            nxt = (
+                labels.select("id", F.col("comp").alias("_old"))
+                .join(nbr, F.col("id") == nbr["src"], "left")
+                .select(
+                    "id",
+                    "_old",
+                    F.least(
+                        F.col("_old"),
+                        F.coalesce("_nmin", F.col("_old")),
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = nxt.filter(F.col("comp") != F.col("_old")).count()
+            labels.unpersist()
+            labels = nxt
+            if changed == 0:
+                break
+        return labels.select("id", "comp")
+    finally:
+        sym.unpersist()
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check (the decontamination stage of a
+    pretraining pipeline): for each training doc, how many of its
+    distinct word n-grams appear in ANY eval-set doc. Returns
+    (id, n_grams, n_hit) — INTEGER counts, so the caller derives any
+    overlap-fraction flag with a rounding-tie-free integer
+    cross-multiply.
+
+    Scale shape: the eval side (benchmarks, at most millions of
+    n-grams) collapses to a distinct gram set and BROADCASTS; the
+    corpus side is a narrow explode + one hash agg — no corpus-sized
+    shuffle beyond the per-doc count."""
+    from speculare_pgcdc_spark.operators.textstats import word_ngrams
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    train = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(t, n))).alias("_g"),
+    )
+    ev = (
+        eval_docs.select(
+            F.explode(F.array_distinct(word_ngrams(t, n))).alias("_g")
+        )
+        .distinct()
+    )
+    total = train.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hit = (
+        train.join(F.broadcast(ev), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nh"))
+    )
+    return total.join(hit, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hit"),
+    )

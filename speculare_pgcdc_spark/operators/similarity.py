@@ -30,6 +30,16 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def l2_normalize(a, eps: float = 0.0):
+    """Unit-normalize a vector column: x / ||x||2, null for zero-norm
+    vectors (nullif guard — a training pipeline must surface degenerate
+    embeddings, not emit NaN/Inf rows). The fold runs left-to-right in
+    double in every engine, so the norm — and the normalized components
+    — are bit-identical cross-engine. Narrow map, no shuffle."""
+    n = F.nullif(_norm(a), F.lit(eps))
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def cosine_scores(
     emb: DataFrame,
     query: DataFrame,
@@ -200,6 +210,7 @@ def assign_nearest(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "_cid",
+    out_score: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (by cosine) as a NARROW map: the
     model (k x dim floats) is inlined as a literal array-of-arrays, so
@@ -219,7 +230,10 @@ def assign_nearest(
 
     scores = F.transform(carr, cos)
     best = F.array_position(scores, F.array_max(scores))
-    return emb.withColumn(out_col, (best - 1).cast("int"))
+    out = emb.withColumn(out_col, (best - 1).cast("int"))
+    if out_score is not None:
+        out = out.withColumn(out_score, F.array_max(scores))
+    return out
 
 
 def kmeans_centroids(

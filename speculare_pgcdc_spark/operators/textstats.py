@@ -129,6 +129,92 @@ def rolling_fingerprint(
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Consecutive word n-grams of the whitespace tokens, each joined
+    with single spaces. NB: ``sequence(1, m)`` with m < 1 is DESCENDING
+    in Spark, not empty — texts with fewer than `n` tokens must
+    short-circuit to an empty array or they grow phantom n-grams."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _toks(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_counts(text: Column, n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition signal (Rae et al. 2021, "Scaling
+    Language Models", repetition filters): how much of a document is
+    duplicated n-grams. All counts are INTEGER columns — a dup-fraction
+    ratio of two ints can land on a .xxxx5 rounding tie that Spark and
+    an oracle engine break differently, so the exact counts are the
+    contract and any float ratio is derived by the caller.
+
+    Returns column map: n_tok, n_tok_distinct, n_gram, n_gram_distinct.
+    """
+    t = F.coalesce(text, F.lit(""))
+    toks = _toks(t)
+    grams = word_ngrams(t, n)
+    return {
+        "n_tok": F.size(toks).cast("bigint"),
+        "n_tok_distinct": F.size(F.array_distinct(toks)).cast("bigint"),
+        "n_gram": F.size(grams).cast("bigint"),
+        "n_gram_distinct": F.size(F.array_distinct(grams)).cast("bigint"),
+    }
+
+
+def chunk_texts(
+    docs: DataFrame,
+    chunk: int = 50,
+    stride: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into overlapping training
+    chunks of `chunk` tokens every `stride` tokens (overlap =
+    chunk - stride) — the context-window packing stage of a training
+    pipeline. Returns (id, chunk_idx, n_tok_chunk, fp): the md5-prefix
+    fingerprint stands in for the chunk text so downstream exact-dedup
+    can run on chunks without materializing them twice.
+
+    Chunk count is exact integer arithmetic: 1 for docs up to `chunk`
+    tokens, else 1 + ceil((n_tok - chunk) / stride) (final chunk may
+    be short); zero-token docs yield NO rows — guarded, since
+    sequence(0, -1) is DESCENDING in Spark, not empty. Pure array
+    expressions + one posexplode: a narrow 1:N map, no shuffle."""
+    if chunk < 1 or stride < 1:
+        raise ValueError(f"chunk/stride must be >= 1: {chunk}/{stride}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _toks(t)
+    n = F.size(toks)
+    nch = F.when(n <= 0, F.lit(0)).when(n <= chunk, F.lit(1)).otherwise(
+        1 + F.floor((n - chunk + stride - 1) / F.lit(stride))
+    )
+    chunks = F.when(
+        nch > 0,
+        F.transform(
+            F.sequence(F.lit(0), (nch - 1).cast("int")),
+            lambda i: F.array_join(
+                F.slice(toks, i * stride + 1, chunk), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(F.split("_chunk", " ")).cast("bigint").alias(
+            "n_tok_chunk"
+        ),
+        fingerprint(F.col("_chunk")).alias("fp"),
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All stats in one narrow projection."""
     t = F.col(text_col)

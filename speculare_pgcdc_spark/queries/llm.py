@@ -420,3 +420,342 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     capped = df_capped_tokens(tokens(docs), max_df=40)
     return jaccard_pairs(capped, threshold=0.6).orderBy("da", "db")
+
+
+@register(
+    "q82_repetition_signal",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id, toks,
+                   list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' ')) AS bg
+            FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_tok_distinct,
+               CAST(len(bg) AS BIGINT) AS n_gram,
+               CAST(len(list_distinct(bg)) AS BIGINT) AS n_gram_distinct,
+               (len(bg) - len(list_distinct(bg))) * 5 > len(bg)
+                   AS is_repetitive
+        FROM g ORDER BY doc_id
+    """,
+    doc="L4 repetition quality signal (Gopher-style duplicate-n-gram "
+    "filter): per-doc token/bigram totals and distinct counts, plus a "
+    "duplicate-bigram-fraction > 0.2 flag evaluated by integer cross-"
+    "multiply (a float ratio of two ints can land on a .xxxx5 rounding "
+    "tie that engines break differently — the counts ARE the contract). "
+    "Pure JVM array expressions, narrow map over the corpus. "
+    "operators/textstats.repetition_counts.",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    cnt = ts.repetition_counts(F.col("text"), n=2)
+    return (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            cnt["n_tok"].alias("n_tok"),
+            cnt["n_tok_distinct"].alias("n_tok_distinct"),
+            cnt["n_gram"].alias("n_gram"),
+            cnt["n_gram_distinct"].alias("n_gram_distinct"),
+            (
+                (cnt["n_gram"] - cnt["n_gram_distinct"]) * 5
+                > cnt["n_gram"]
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q83_label_centroids",
+    oracle="""
+        WITH e AS (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings),
+        dims AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+                       / COUNT(*) AS m,
+                   COUNT(*) AS n
+            FROM e GROUP BY label, pos),
+        cents AS (
+            SELECT label, MAX(n) AS n_vecs,
+                   list(m ORDER BY pos) AS c
+            FROM dims GROUP BY label)
+        SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+               ROUND(sqrt(list_dot_product(c, c)), 4) AS centroid_l2,
+               ROUND(c[1] / nullif(sqrt(list_dot_product(c, c)), 0), 4)
+                   AS unit0
+        FROM cents ORDER BY label
+    """,
+    doc="L3/L5 per-label embedding centroid + L2 normalization — the "
+    "class-prototype / embedding-averaging stage of a training "
+    "pipeline. Dimension-wise mean via posexplode -> hash agg on "
+    "(label, pos) (partial map-side agg; dims x labels output rows "
+    "regardless of corpus size), re-assembled with an ordered "
+    "collect_list, normalized by operators/similarity.l2_normalize. "
+    "Sum goes through decimal(28,8) so shuffle order cannot change "
+    "the mean; float inputs are dyadic rationals so the decimal cast "
+    "has no rounding ties cross-engine.",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    dims = e.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cents = dims.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c"),
+    )
+    unit = sim.l2_normalize(F.col("c"))
+    return cents.select(
+        "label",
+        "n_vecs",
+        F.round(sim._norm(F.col("c")), 4).alias("centroid_l2"),
+        F.round(F.element_at(unit, 1), 4).alias("unit0"),
+    ).orderBy("label")
+
+
+@register(
+    "q84_pii_redaction",
+    oracle="""
+        WITH m AS (
+            SELECT c_nationkey,
+                   length(c_name)
+                     - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+                       AS d,
+                   CASE WHEN length(c_name) <= 4 THEN c_name
+                        ELSE regexp_replace(
+                                 substr(c_name, 1, length(c_name) - 4),
+                                 '[0-9]', 'X', 'g')
+                             || substr(c_name, length(c_name) - 3, 4)
+                   END AS masked
+            FROM customer)
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(d) AS BIGINT) AS digits_redacted,
+               CAST(COUNT(DISTINCT masked) AS BIGINT) AS n_mask_shapes
+        FROM m GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="PII-scrub audit over customer identifier strings (the "
+    "redaction stage of a training-data pipeline): digits masked "
+    "keep-last-4, with the per-nation audit counters a compliance "
+    "pass must emit (rows scrubbed, characters redacted, surviving "
+    "mask shapes). Pure regexp_replace maps + one hash agg; patterns "
+    "stay in the char-class subset Java regex and RE2 read "
+    "identically. operators/pii.",
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators import pii
+
+    cust = table(spark, sf, "customer")
+    phone = F.col("c_name")
+    return (
+        cust.select(
+            "c_nationkey",
+            pii.digit_count(phone).alias("d"),
+            pii.redact_digits(phone, keep_last=4).alias("masked"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("d").cast("bigint").alias("digits_redacted"),
+            F.countDistinct("masked").cast("bigint").alias(
+                "n_mask_shapes"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q85_kmeans_clusters",
+    oracle=None,  # iterative algorithm; invariants pinned in tests
+    doc="L3 k-means clustering as a first-class query: train a k=8 "
+    "quantizer with DataFrame Lloyd's iterations (operators/"
+    "similarity.kmeans_centroids — per iteration one narrow assign "
+    "map + one skinny (cluster, dim) shuffle; only the model crosses "
+    "to the driver), then report per-cluster population and mean "
+    "cosine-to-centroid. Deterministic end-to-end (hash-ranked init, "
+    "6-decimal centroid rounding, decimal-summed cohesion) so reruns "
+    "are bit-stable. Invariants (sizes sum to corpus, cohesion "
+    "bounds, determinism) in tests/test_llm.py.",
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    cents = sim.kmeans_centroids(emb, k=8, iters=3)
+    assigned = sim.assign_nearest(emb, cents, out_score="_cos")
+    return (
+        assigned.groupBy(F.col("_cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("_cos"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mc"),
+        )
+        .select(
+            "cluster",
+            "n_vecs",
+            F.round(F.col("_mc"), 4).alias("mean_cos"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q86_dup_components",
+    oracle="""
+        WITH RECURSIVE docs AS (
+            SELECT * FROM documents WHERE doc_id < 200),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT da, db FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+        edges AS (
+            SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS id, CAST(MIN(b) AS BIGINT) AS comp,
+               a = MIN(b) AS is_canonical
+        FROM reach GROUP BY a ORDER BY id
+    """,
+    doc="L1/L2 near-dup CLUSTERS: connected components over the exact "
+    "Jaccard pairs (tau=0.6, q42's pair set), component = min doc_id, "
+    "`is_canonical` marks the keep-one survivor — the step that turns "
+    "pairwise near-dup output into a dedup decision. Iterative min-"
+    "label propagation (operators/dedup.dup_components): groupBy-min "
+    "+ equi-join per round, converges in graph-diameter rounds; only "
+    "a changed-count scalar reaches the driver. Oracle: DuckDB "
+    "recursive-CTE transitive closure over the same pairs.",
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    tok = dd.tokens(_docs_subset(spark, sf))
+    pairs = dd.jaccard_pairs(tok, 0.6)
+    comp = dd.dup_components(pairs)
+    return comp.select(
+        "id",
+        F.col("comp").cast("bigint").alias("comp"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("id")
+
+
+@register(
+    "q87_contamination",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> array_to_string(toks[i:i+7], ' '))) AS gs
+            FROM t),
+        train AS (
+            SELECT doc_id, unnest(gs) AS gram FROM g
+            WHERE doc_id % 25 <> 0),
+        ev AS (
+            SELECT DISTINCT unnest(gs) AS gram FROM g
+            WHERE doc_id % 25 = 0),
+        total AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM train GROUP BY doc_id),
+        hit AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM train JOIN ev USING (gram) GROUP BY doc_id)
+        SELECT doc_id, n_grams,
+               CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+               COALESCE(n_hit, 0) * 20 > n_grams AS contaminated
+        FROM total LEFT JOIN hit USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: per training doc (doc_id % 25 != "
+    "0), how many of its distinct 8-gram windows appear in any eval-"
+    "set doc (doc_id % 25 == 0), flagged at >5% overlap by integer "
+    "cross-multiply. The eval gram set broadcasts (benchmarks are "
+    "small); the corpus side is one narrow explode + hash agg. "
+    "operators/dedup.contaminated_docs.",
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    out = dd.contaminated_docs(train, ev, n=8)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        (F.col("n_hit") * 20 > F.col("n_grams")).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q88_chunking",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        c AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        WHEN len(toks) <= 50 THEN 1
+                        ELSE 1 + CAST(FLOOR(
+                            (len(toks) - 50 + 39) / 40.0) AS BIGINT)
+                   END AS nch
+            FROM t)
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
+               CAST(len(toks[(i-1)*40+1 : (i-1)*40+50]) AS BIGINT)
+                   AS n_tok_chunk,
+               substr(md5(lower(trim(array_to_string(
+                   toks[(i-1)*40+1 : (i-1)*40+50], ' ')))), 1, 16) AS fp
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, nch)) AS i
+              FROM c WHERE nch > 0)
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window packing: overlapping 50-token chunks every 40 "
+    "tokens per doc (final chunk may be short), each with its token "
+    "count and md5-prefix fingerprint so chunk-level exact dedup can "
+    "chain on. Pure array expressions + one posexplode — narrow 1:N "
+    "map, no shuffle. operators/textstats.chunk_texts.",
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    return ts.chunk_texts(
+        table(spark, sf, "documents"), chunk=50, stride=40
+    ).orderBy("doc_id", "chunk_idx")

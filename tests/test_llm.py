@@ -409,3 +409,163 @@ def test_resize_images_both_branches(spark, docs, branch, monkeypatch):
 def test_resize_use_decoder_true_requires_decoder(docs):
     with pytest.raises(RuntimeError, match="PIL is not importable"):
         mm.resize_images(mm.attach_payload(docs), use_decoder=True)
+
+
+def test_repetition_counts_edge_cases(spark):
+    """Short/empty/null texts must not grow phantom n-grams (the
+    sequence(1, m<1) descending trap), and a fully repeated text must
+    trip the integer cross-multiply flag."""
+    from speculare_pgcdc_spark.operators.textstats import (
+        repetition_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "solo"),
+            (3, "a b"),
+            (4, "spam spam spam spam spam spam"),
+            (5, "all distinct words here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cnt = repetition_counts(F.col("text"), n=2)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[cnt[k].alias(k) for k in cnt],
+            ((cnt["n_gram"] - cnt["n_gram_distinct"]) * 5 > cnt["n_gram"])
+            .alias("rep"),
+        ).collect()
+    }
+    assert (rows[0]["n_tok"], rows[0]["n_gram"]) == (0, 0)
+    assert (rows[1]["n_tok"], rows[1]["n_gram"]) == (0, 0)
+    assert (rows[2]["n_tok"], rows[2]["n_gram"]) == (1, 0)
+    assert (rows[3]["n_gram"], rows[3]["n_gram_distinct"]) == (1, 1)
+    # "spam spam" x5 bigrams, 1 distinct: dup frac 4/5 > 0.2
+    assert (rows[4]["n_gram"], rows[4]["n_gram_distinct"]) == (5, 1)
+    assert rows[4]["rep"] is True
+    assert rows[5]["rep"] is False
+    assert rows[0]["rep"] is False  # 0 > 0 is false, not null
+
+
+def test_pii_redaction_operators(spark):
+    """Digit masking with/without keep-last, short-string edge, email
+    redaction + counting."""
+    from speculare_pgcdc_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "25-989-741-2988", "mail me at bob.smith+x@corp.example.com ok"),
+            (1, "abc", "no pii here"),
+            (2, "12", "two mails: a@b.io and c.d@e-f.org!"),
+        ],
+        "id bigint, phone string, body string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii.redact_digits(F.col("phone")).alias("full"),
+            pii.redact_digits(F.col("phone"), keep_last=4).alias("last4"),
+            pii.digit_count(F.col("phone")).alias("nd"),
+            pii.redact_emails(F.col("body")).alias("clean"),
+            pii.email_count(F.col("body")).alias("ne"),
+        ).collect()
+    }
+    assert rows[0]["full"] == "XX-XXX-XXX-XXXX"
+    assert rows[0]["last4"] == "XX-XXX-XXX-2988"
+    assert rows[0]["nd"] == 12
+    assert rows[0]["clean"] == "mail me at <EMAIL> ok"
+    assert rows[0]["ne"] == 1
+    assert rows[1]["full"] == "abc" and rows[1]["nd"] == 0
+    # string shorter than keep_last stays verbatim
+    assert rows[2]["last4"] == "12"
+    assert rows[2]["clean"] == "two mails: <EMAIL> and <EMAIL>!"
+    assert rows[2]["ne"] == 2
+
+
+def test_kmeans_clusters_query_invariants(spark):
+    """q85: cluster sizes sum to the corpus, cohesion is a valid
+    cosine, and the whole pipeline is deterministic across reruns."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    fn = reg["q85_kmeans_clusters"].fn
+    a = fn(spark, "/root/testdata/sf0.001").collect()
+    total = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert sum(r["n_vecs"] for r in a) == total
+    assert all(-1.0 <= r["mean_cos"] <= 1.0 for r in a)
+    assert len(a) <= 8
+    b = fn(spark, "/root/testdata/sf0.001").collect()
+    assert a == b
+
+
+@pytest.mark.parametrize("driver_limit", [200_000, 0])
+def test_dup_components_chain_and_convergence(spark, driver_limit):
+    """A 4-node chain (needs >1 propagation round), a 2-node pair, and
+    an isolated pair: components resolve to min-id labels exactly —
+    identically on the driver union-find fast path (driver_limit
+    default) and the distributed min-label loop (driver_limit=0)."""
+    from speculare_pgcdc_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "da bigint, db bigint",
+    )
+    got = {
+        (r.id, r.comp)
+        for r in dup_components(pairs, driver_limit=driver_limit).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_chunk_texts_edges(spark):
+    """Zero-token docs emit no chunks (sequence(0,-1) trap); short docs
+    emit exactly one; stride/overlap arithmetic is exact."""
+    from speculare_pgcdc_spark.operators.textstats import chunk_texts
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "solo"), (3, mk(50)), (4, mk(51)),
+         (5, mk(130))],
+        "doc_id bigint, text string",
+    )
+    rows = {}
+    for r in chunk_texts(df, chunk=50, stride=40).collect():
+        rows.setdefault(r.doc_id, []).append(r)
+    assert 0 not in rows and 1 not in rows
+    assert [c.n_tok_chunk for c in rows[2]] == [1]
+    assert [c.n_tok_chunk for c in rows[3]] == [50]
+    # 51 tokens: chunks at 0 and 40 -> lengths 50, 11
+    assert [c.n_tok_chunk for c in sorted(rows[4], key=lambda c: c.chunk_idx)] == [50, 11]
+    # 130 tokens: starts 0,40,80 cover to 130 -> 1+ceil(80/40)=3 chunks
+    assert [c.n_tok_chunk for c in sorted(rows[5], key=lambda c: c.chunk_idx)] == [50, 50, 50]
+
+
+def test_contamination_counts(spark):
+    """Doc sharing an 8-gram window with the eval set is counted; a
+    disjoint doc scores zero hits."""
+    from speculare_pgcdc_spark.operators.dedup import contaminated_docs
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [(1, shared + " tail1 tail2"), (2, "all fresh words only here now lots more")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix " + shared)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_grams, r.n_hit)
+           for r in contaminated_docs(train, ev, n=8).collect()}
+    # doc 1: 10 tokens -> 3 distinct 8-grams, exactly one shared
+    assert got[1] == (3, 1)
+    assert got[2] == (1, 0)
