@@ -37,6 +37,9 @@ TIER2 = [
     "q79_jaccard_df_capped",
     "q80_range_frame_binned",
     "q81_cdc_pipeline_v2",
+    "q83_label_centroids",
+    "q87_contamination",
+    "q88_chunking",
 ]
 
 

@@ -332,6 +332,7 @@ def _components_distributed(
         .persist()
     )
     try:
+        changed = -1
         for _ in range(max_iter):
             nbr = (
                 sym.join(labels, sym["dst"] == labels["id"])
@@ -358,7 +359,21 @@ def _components_distributed(
             labels = nxt
             if changed == 0:
                 break
-        return labels.select("id", "comp")
+        if changed != 0:
+            # labels are mid-propagation: returning them would split
+            # real components into multiple "canonical" survivors and
+            # let duplicates through SILENTLY — fail instead
+            raise RuntimeError(
+                f"dup_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing): the duplicate "
+                f"graph has a longer diameter than max_iter — raise it"
+            )
+        # truncate lineage so every persisted round can be released
+        # now; the checkpoint blocks themselves are GC-cleaned with
+        # the returned DataFrame
+        out = labels.select("id", "comp").localCheckpoint(eager=True)
+        labels.unpersist()
+        return out
     finally:
         sym.unpersist()
 
@@ -394,16 +409,17 @@ def contaminated_docs(
         )
         .distinct()
     )
-    total = train.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    hit = (
-        train.join(F.broadcast(ev), "_g")
+    # ONE pass: a left join against the (distinct) broadcast eval set
+    # marks each gram, so total and hit counts ride the same agg — the
+    # corpus-side explode is the expensive part and must not run twice
+    marked = ev.withColumn("_hit", F.lit(1))
+    return (
+        train.join(F.broadcast(marked), "_g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_nh"))
-    )
-    return total.join(hit, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hit"),
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
     )

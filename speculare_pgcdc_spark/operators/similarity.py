@@ -31,13 +31,18 @@ def _norm(a):
 
 
 def l2_normalize(a, eps: float = 0.0):
-    """Unit-normalize a vector column: x / ||x||2, null for zero-norm
-    vectors (nullif guard — a training pipeline must surface degenerate
-    embeddings, not emit NaN/Inf rows). The fold runs left-to-right in
-    double in every engine, so the norm — and the normalized components
-    — are bit-identical cross-engine. Narrow map, no shuffle."""
-    n = F.nullif(_norm(a), F.lit(eps))
-    return F.transform(a, lambda x: x.cast("double") / n)
+    """Unit-normalize a vector column: x / ||x||2, null components for
+    degenerate vectors with norm <= eps — a training pipeline must
+    surface those, not emit NaN/Inf rows (and under Spark 4's default
+    ANSI mode a raw zero division would THROW, poisoning the whole
+    job). The guard is a threshold comparison, not exact equality, so
+    sub-eps norms are caught too. The fold runs left-to-right in
+    double in every engine, so the norm — and the normalized
+    components — are bit-identical cross-engine. Narrow map, no
+    shuffle."""
+    n = _norm(a)
+    safe = F.when(n > eps, n)  # null when norm <= eps; x/null -> null
+    return F.transform(a, lambda x: x.cast("double") / safe)
 
 
 def cosine_scores(

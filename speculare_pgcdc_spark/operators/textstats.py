@@ -188,6 +188,15 @@ def chunk_texts(
     expressions + one posexplode: a narrow 1:N map, no shuffle."""
     if chunk < 1 or stride < 1:
         raise ValueError(f"chunk/stride must be >= 1: {chunk}/{stride}")
+    if stride > chunk:
+        # a gap between windows would (a) leave tokens covered by NO
+        # chunk and (b) let the final slice start past the doc end,
+        # emitting a phantom empty chunk whose md5('') fingerprint
+        # cross-matches every other phantom in chunk-level dedup
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk ({chunk}): "
+            "windows must tile the token stream without gaps"
+        )
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = _toks(t)
     n = F.size(toks)

@@ -76,6 +76,11 @@ def gapfill_locf(
     (when present) IS the running last-non-null."""
     sparse = (
         bucketize(df, ts_col, width_seconds)
+        # a null timestamp has no bucket: drop it BEFORE the windows,
+        # or its row sorts first (asc-nulls-first), leaks its value
+        # into the carry/anchor windows, then vanishes in the segment
+        # explode — poisoning real buckets with an invented value
+        .filter(F.col("bucket").isNotNull())
         .groupBy(key, "bucket")
         .agg(
             F.count(F.lit(1)).alias("_c"),
@@ -142,6 +147,9 @@ def gapfill_interpolate(
     ).cast("bigint")
     sparse = (
         bucketize(df, ts_col, width_seconds)
+        # null-timestamp rows have no bucket — drop before windowing
+        # (see gapfill_locf: they would otherwise poison the anchors)
+        .filter(F.col("bucket").isNotNull())
         .groupBy(key, "bucket")
         .agg(F.count(F.lit(1)).alias("_c"), mu.alias("_mu"))
     )

@@ -602,14 +602,20 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     cents = sim.kmeans_centroids(emb, k=8, iters=3)
     assigned = sim.assign_nearest(emb, cents, out_score="_cos")
+    # assign_nearest scores zero-norm vectors with a -2.0 sentinel
+    # (no cosine exists); averaging it in would push mean_cos below
+    # -1 — exclude such vectors from cohesion, keep them in n_vecs
+    valid = F.when(
+        F.col("_cos") >= -1.0,
+        F.round(F.col("_cos"), 6).cast("decimal(28,6)"),
+    )
+    n_valid = F.count(valid)
     return (
         assigned.groupBy(F.col("_cid").alias("cluster"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            (
-                F.sum(F.round(F.col("_cos"), 6).cast("decimal(28,6)"))
-                .cast("double")
-                / F.count(F.lit(1))
+            F.when(
+                n_valid > 0, F.sum(valid).cast("double") / n_valid
             ).alias("_mc"),
         )
         .select(
@@ -759,3 +765,100 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     return ts.chunk_texts(
         table(spark, sf, "documents"), chunk=50, stride=40
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q89_source_mixing",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source,
+                   CAST(CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       AS BIGINT) AS hv,
+                   (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT)
+                       % 4 + 1) * 13107 AS thr
+            FROM documents)
+        SELECT doc_id, source, hv FROM r
+        WHERE hv < thr ORDER BY doc_id
+    """,
+    doc="Data-mixing stage: per-source weighted sampling with a "
+    "CONTENT-DETERMINISTIC keep rule — keep a doc iff the first 16 "
+    "bits of md5(doc_id) fall under the source's rate threshold "
+    "(source tier -> 20/40/60/80%). md5 is bit-identical in every "
+    "engine, so the sample is exactly reproducible (and exactly "
+    "auditable by the oracle) across engines, restarts, and "
+    "speculative re-execution — unlike rand(seed), whose draw depends "
+    "on partitioning. Narrow map, no shuffle.",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    tier = (
+        F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int") % 4
+    )
+    thr = (tier + 1) * 13107
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", "source", hv.alias("hv"), thr.alias("_thr"))
+        .filter(F.col("hv") < F.col("_thr"))
+        .drop("_thr")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q90_token_budget",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       t -> t <> '')) AS BIGINT) AS n_tok,
+                   ROUND((least(len(list_filter(string_split(text, ' '),
+                           t -> t <> '')) / 20.0, 1.0)
+                      + (1.0 - len(list_filter(string_split(text, ' '),
+                           t -> list_contains(
+                               ['the','a','of','and','to','in'], t)))
+                          * 1.0 / greatest(len(list_filter(
+                               string_split(text, ' '), t -> t <> '')),
+                               1))) / 2.0, 4) AS quality
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, source, n_tok, quality,
+                   CAST(SUM(n_tok) OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tok
+            FROM scored)
+        SELECT doc_id, source, n_tok, quality, cum_tok
+        FROM ranked WHERE cum_tok <= 800
+        ORDER BY doc_id
+    """,
+    doc="Curation under a token budget: per source, keep the highest-"
+    "quality docs until an 800-token budget fills (quality desc, "
+    "doc_id tiebreak -> total order, so the cumulative window is "
+    "deterministic; token counts are INTEGER so the running sum has "
+    "no float drift). One window shuffle on source — the standard "
+    "per-domain curation pass of a pretraining mix.",
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        ts.token_count_ws(F.col("text")).alias("n_tok"),
+        ts.quality_score(F.col("text")).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tok", F.sum("n_tok").over(w).cast("bigint")
+        )
+        .filter(F.col("cum_tok") <= 800)
+        .orderBy("doc_id")
+    )

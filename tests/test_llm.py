@@ -569,3 +569,104 @@ def test_contamination_counts(spark):
     # doc 1: 10 tokens -> 3 distinct 8-grams, exactly one shared
     assert got[1] == (3, 1)
     assert got[2] == (1, 0)
+
+
+def test_dup_components_nonconvergence_raises(spark):
+    """The distributed loop must FAIL, not silently return split
+    components, when the graph diameter exceeds max_iter."""
+    from speculare_pgcdc_spark.operators.dedup import dup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "da bigint, db bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_components(chain, max_iter=2, driver_limit=0)
+
+
+def test_l2_normalize_degenerate_vectors(spark):
+    """Zero-norm (and sub-eps) vectors null out instead of raising
+    DIVIDE_BY_ZERO under ANSI mode or emitting ~1/eps garbage."""
+    from speculare_pgcdc_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1e-9, 0.0])],
+        "id bigint, v array<double>",
+    )
+    rows = {
+        r.id: r.u
+        for r in df.select(
+            "id", l2_normalize(F.col("v"), eps=1e-6).alias("u")
+        ).collect()
+    }
+    assert rows[0] == [0.6, 0.8]
+    assert rows[1] == [None, None]
+    assert rows[2] == [None, None]  # sub-eps caught by threshold
+
+
+def test_chunk_texts_rejects_gapped_stride(spark):
+    from speculare_pgcdc_spark.operators.textstats import chunk_texts
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="must be <= chunk"):
+        chunk_texts(df, chunk=2, stride=5)
+
+
+def test_gapfill_ignores_null_timestamps(spark):
+    """A null-timestamp row has no bucket: its value must NOT become
+    the LOCF carry / interpolation anchor for real buckets."""
+    import datetime as dt
+
+    from speculare_pgcdc_spark.operators.timeseries import (
+        gapfill_interpolate,
+        gapfill_locf,
+    )
+
+    rows = [
+        (1, None, 99.0),
+        (1, dt.datetime(2020, 1, 1, 10, 30), None),
+        (1, dt.datetime(2020, 1, 1, 12, 30), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    locf = sorted(
+        (r.bucket, r.c, r.v_locf)
+        for r in gapfill_locf(df, key="user_id").collect()
+    )
+    # buckets: 10:00 (null-value obs), 11:00 (gap), 12:00 (value 5.0);
+    # the 99.0 from the null-ts row must appear NOWHERE
+    assert [c for _, c, _ in locf] == [1, 0, 1]
+    assert [v for _, _, v in locf] == [None, None, 5.0]
+    interp = sorted(
+        (r.bucket, r.v_interp)
+        for r in gapfill_interpolate(df, key="user_id").collect()
+    )
+    assert [v for _, v in interp] == [None, None, 5.0]
+
+
+def test_q85_mean_cos_excludes_zero_norm_sentinel(spark):
+    """A zero embedding scores the -2.0 sentinel; cohesion must stay a
+    real cosine (>= -1) with the vector still counted in n_vecs."""
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assigned = sim.assign_nearest(emb, [[1.0, 0.0]], out_score="_cos")
+    valid = F.when(
+        F.col("_cos") >= -1.0,
+        F.round(F.col("_cos"), 6).cast("decimal(28,6)"),
+    )
+    n_valid = F.count(valid)
+    row = (
+        assigned.groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.when(n_valid > 0, F.sum(valid).cast("double") / n_valid)
+            .alias("mc"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 3
+    assert -1.0 <= row.mc <= 1.0
