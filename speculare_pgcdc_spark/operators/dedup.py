@@ -264,9 +264,11 @@ def dup_components(
       min(own label, neighbor labels) — a groupBy-min plus one
       equi-join per round, converging in graph-diameter rounds
       (near-dup clusters are short-diameter, so 2-4 rounds in
-      practice; `max_iter` bounds adversarial chains). The changed
-      count rides the same job that materializes the round, so ONE
-      action per round reaches the driver. Alternating large-star/
+      practice; `max_iter` bounds adversarial chains). Every round is
+      localCheckpoint'ed so the logical plan stays O(1) per round —
+      lineage otherwise doubles each iteration and the analyzer OOMs
+      near round 15; the convergence count is then a block-scan over
+      the checkpointed round, no recompute. Alternating large-star/
       small-star halves the round count if diameters grow.
 
     Set driver_limit=0 to force the distributed path.
@@ -317,65 +319,62 @@ def _components_driver(
 def _components_distributed(
     pairs: DataFrame, a_col: str, b_col: str, max_iter: int
 ) -> DataFrame:
+    # Each round references the previous round's DataFrame twice (once
+    # through nbr, once directly), so lineage DOUBLES per round —
+    # persist() caches data but not the logical plan, and by ~15 rounds
+    # the analyzer itself OOMs. localCheckpoint(eager) per round cuts
+    # the plan back to a leaf: O(1) plan size per round is what lets
+    # this loop run to graph-diameter depth on a real cluster too.
     sym = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        changed = -1
-        for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("comp").alias("_nmin"))
+    changed = -1
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        # carry the old label so convergence is read off the
+        # checkpointed round (a block-scan count, no recompute)
+        nxt = (
+            labels.select("id", F.col("comp").alias("_old"))
+            .join(nbr, F.col("id") == nbr["src"], "left")
+            .select(
+                "id",
+                "_old",
+                F.least(
+                    F.col("_old"),
+                    F.coalesce("_nmin", F.col("_old")),
+                ).alias("comp"),
             )
-            # carry the old label so the convergence count shares the
-            # job that materializes the round (one action per round)
-            nxt = (
-                labels.select("id", F.col("comp").alias("_old"))
-                .join(nbr, F.col("id") == nbr["src"], "left")
-                .select(
-                    "id",
-                    "_old",
-                    F.least(
-                        F.col("_old"),
-                        F.coalesce("_nmin", F.col("_old")),
-                    ).alias("comp"),
-                )
-                .persist()
-            )
-            changed = nxt.filter(F.col("comp") != F.col("_old")).count()
-            labels.unpersist()
-            labels = nxt
-            if changed == 0:
-                break
-        if changed != 0:
-            # labels are mid-propagation: returning them would split
-            # real components into multiple "canonical" survivors and
-            # let duplicates through SILENTLY — fail instead
-            raise RuntimeError(
-                f"dup_components did not converge in {max_iter} rounds "
-                f"({changed} labels still changing): the duplicate "
-                f"graph has a longer diameter than max_iter — raise it"
-            )
-        # truncate lineage so every persisted round can be released
-        # now; the checkpoint blocks themselves are GC-cleaned with
-        # the returned DataFrame
-        out = labels.select("id", "comp").localCheckpoint(eager=True)
-        labels.unpersist()
-        return out
-    finally:
-        sym.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("comp") != F.col("_old")).count()
+        labels = nxt  # old round's blocks are GC-released
+        if changed == 0:
+            break
+    if changed != 0:
+        # labels are mid-propagation: returning them would split
+        # real components into multiple "canonical" survivors and
+        # let duplicates through SILENTLY — fail instead
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the duplicate "
+            f"graph has a longer diameter than max_iter — raise it"
+        )
+    return labels.select("id", "comp")
 
 
 def contaminated_docs(

@@ -184,3 +184,128 @@ def test_binned_range_count_null_and_nan_semantics(spark):
     )
     with _pytest.raises(Exception, match="NaN values have no portable"):
         binned_range_count(nan_df, "v", preceding=100).collect()
+
+
+def test_chunk_texts_equals_python_reference(spark):
+    """Random token streams: every emitted chunk must equal the Python
+    slice reference (start grid, lengths, fingerprints), with full
+    token coverage and no phantom chunks."""
+    import hashlib
+
+    from speculare_pgcdc_spark.operators.textstats import chunk_texts
+
+    rng = random.Random(7)
+    C, S = 7, 5
+    docs = []
+    for i in range(60):
+        n = rng.choice([0, 1, C - 1, C, C + 1, 2 * C, rng.randrange(0, 40)])
+        docs.append((i, " ".join(f"w{rng.randrange(9)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tok_chunk, r.fp)
+        for r in chunk_texts(df, chunk=C, stride=S).collect()
+    }
+    exp = {}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        n = len(toks)
+        nch = 1 if n <= C else 1 + -(-(n - C) // S)
+        for ci in range(nch):
+            piece = " ".join(toks[ci * S : ci * S + C])
+            fp = hashlib.md5(piece.lower().encode()).hexdigest()[:16]
+            exp[(i, ci)] = (len(piece.split(" ")), fp)
+    assert got == exp
+
+
+@pytest.mark.parametrize("driver_limit", [10**6, 0])
+def test_dup_components_equals_union_find(spark, driver_limit):
+    """Random sparse graph: both strategies must equal a Python
+    union-find reference exactly."""
+    from speculare_pgcdc_spark.operators.dedup import dup_components
+
+    rng = random.Random(11)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(120), 2)))
+            for _ in range(90)
+        }
+    )
+    df = spark.createDataFrame(edges, "da bigint, db bigint")
+    got = {
+        (r.id, r.comp)
+        for r in dup_components(df, driver_limit=driver_limit).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    exp = {(x, find(x)) for x in parent}
+    assert got == exp
+
+
+def test_repetition_counts_equals_python_reference(spark):
+    from speculare_pgcdc_spark.operators.textstats import (
+        repetition_counts,
+    )
+
+    rng = random.Random(13)
+    docs = []
+    for i in range(50):
+        n = rng.randrange(0, 30)
+        toks = [f"t{rng.randrange(6)}" for _ in range(n)]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    cnt = repetition_counts(F.col("text"), n=2)
+    got = {
+        r.doc_id: (r.n_tok, r.n_tok_distinct, r.n_gram, r.n_gram_distinct)
+        for r in df.select("doc_id", *[cnt[k].alias(k) for k in cnt]).collect()
+    }
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        grams = [
+            f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)
+        ]
+        assert got[i] == (
+            len(toks),
+            len(set(toks)),
+            len(grams),
+            len(set(grams)),
+        ), f"doc {i}"
+
+
+def test_redact_digits_equals_python_reference(spark):
+    import re
+
+    from speculare_pgcdc_spark.operators.pii import redact_digits
+
+    rng = random.Random(17)
+    alphabet = "ab1 2-9Z"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        r.id: (r.full, r.last4)
+        for r in df.select(
+            "id",
+            redact_digits(F.col("s")).alias("full"),
+            redact_digits(F.col("s"), keep_last=4).alias("last4"),
+        ).collect()
+    }
+    for i, s in rows:
+        full = re.sub(r"[0-9]", "X", s)
+        last4 = s if len(s) <= 4 else re.sub(r"[0-9]", "X", s[:-4]) + s[-4:]
+        assert got[i] == (full, last4), f"id {i} {s!r}"
