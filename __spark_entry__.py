@@ -44,6 +44,11 @@ def _configure(spark: SparkSession) -> SparkSession:
                 "read the timestamp[ns] fixtures; set it when building "
                 "the SparkSession"
             )
+    # naive (isAdjustedToUTC=false) fixture timestamps must read as
+    # session-TZ timestamps, not TIMESTAMP_NTZ — epoch arithmetic
+    # (cast to double) is illegal on NTZ and every temporal query
+    # would throw (round-2 regression: fixtures flipped to naive)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # The driver verifies at sf<=0.01 (~10 MB) on a vanilla session whose
@@ -55,9 +60,48 @@ def _configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Fixture columns whose Spark read-back dtype the engine depends on.
+#: ``ts`` MUST come back as zoned ``timestamp`` — if it reads as
+#: ``timestamp_ntz`` the fixtures were regenerated with naive
+#: timestamps and the session is missing
+#: inferTimestampNTZ.enabled=false (round-2 failure mode: four cryptic
+#: CAST errors instead of one diagnosis).
+_EXPECTED_DTYPES = {
+    "events": {"ts": "timestamp", "event_id": "bigint", "value": "double"},
+    "orders": {"o_orderdate": "timestamp"},
+    "lineitem": {"l_shipdate": "timestamp", "l_quantity": "double"},
+    "embeddings": {"embedding": "array<float>"},
+}
+
+
+def preflight(spark: SparkSession, sf_dir: str) -> None:
+    """Fail fast (and actionably) if the fixtures read back with dtypes
+    the engine's epoch arithmetic can't handle."""
+    from speculare_pgcdc_spark.catalog import table
+
+    problems = []
+    for tname, cols in _EXPECTED_DTYPES.items():
+        dtypes = dict(table(spark, sf_dir, tname).dtypes)
+        for col, want in cols.items():
+            got = dtypes.get(col)
+            if got != want:
+                problems.append(f"{tname}.{col}: want {want}, got {got}")
+    if problems:
+        raise RuntimeError(
+            "fixture dtype pre-flight failed: "
+            + "; ".join(problems)
+            + ". If a timestamp column reads as timestamp_ntz, set "
+            "spark.sql.parquet.inferTimestampNTZ.enabled=false (naive "
+            "parquet timestamps must map to session-TZ timestamps); if "
+            "it reads as bigint, spark.sql.legacy.parquet.nanosAsLong "
+            "handling in catalog.table applies. See session.get_spark."
+        )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (Q15, TPC-H Q1 shape) on /root/testdata/sf0.001."""
     _configure(spark)
+    preflight(spark, "/root/testdata/sf0.001")
     registry = load_all()
     return registry["q15_groupby_agg"].fn(spark, "/root/testdata/sf0.001")
 

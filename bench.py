@@ -69,14 +69,18 @@ def main() -> None:
     # CDC feed fixtures — they are INPUT to the q35/q36/q81 pipelines (in
     # production they arrive from the replication connection), so their
     # construction is scaffolding, not engine work
-    registry["q01_scan_count"].fn(spark, sf_dir).collect()
-    from speculare_pgcdc_spark.cdc.feedgen import (
-        feed_messages,
-        feed_messages_v2,
-    )
+    warm_errors: dict[str, str] = {}
+    try:
+        registry["q01_scan_count"].fn(spark, sf_dir).collect()
+        from speculare_pgcdc_spark.cdc.feedgen import (
+            feed_messages,
+            feed_messages_v2,
+        )
 
-    feed_messages(spark, sf_dir)
-    feed_messages_v2(spark, sf_dir)
+        feed_messages(spark, sf_dir)
+        feed_messages_v2(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001 - the line must still print
+        warm_errors["warmup"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # steady-state measurement: one untimed warm run (plan compilation,
     # codegen JIT, broadcast build), then the best of two timed runs —
@@ -84,39 +88,57 @@ def main() -> None:
     # to the DuckDB same-machine numbers in BASELINE.md (also measured
     # warm). Min-of-2 filters same-machine interference noise (observed
     # up to 1.5x run-to-run on a busy 32-core box).
-    timings: dict[str, float] = {}
+    # Per-query failure ISOLATION: one broken query must cost its own
+    # number, never the whole bench (round-2 lesson: a single analysis
+    # error aborted the run before the JSON line printed — a round with
+    # zero perf signal). Failures time out as null and are listed in
+    # "errors"; the JSON line ALWAYS prints.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = dict(warm_errors)
     for name, spec in specs.items():
-        materialize(spec.fn(spark, sf_dir))
-        timings[name] = round(
-            _best_of(lambda: materialize(spec.fn(spark, sf_dir))), 3
-        )
+        try:
+            materialize(spec.fn(spark, sf_dir))
+            timings[name] = round(
+                _best_of(lambda: materialize(spec.fn(spark, sf_dir))), 3
+            )
+        except Exception as ex:  # noqa: BLE001 - isolation is the point
+            timings[name] = None
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
     # same-machine DuckDB per query (the BASELINE.md comparator), so
     # cross-round ratio regressions are attributable to a specific query
-    import duckdb
-
-    from speculare_pgcdc_spark.catalog import TABLES
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
     duck: dict[str, float] = {}
     ratio: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from speculare_pgcdc_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+    except Exception as ex:  # noqa: BLE001 - comparator is auxiliary
+        errors["duckdb_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+        con = None
     for name, spec in specs.items():
-        if spec.oracle is None:
+        if con is None or spec.oracle is None or timings.get(name) is None:
             continue
-        con.execute(spec.oracle).fetchall()  # warm
-        duck[name] = round(
-            _best_of(lambda: con.execute(spec.oracle).fetchall()), 3
-        )
+        try:
+            con.execute(spec.oracle).fetchall()  # warm
+            duck[name] = round(
+                _best_of(lambda: con.execute(spec.oracle).fetchall()), 3
+            )
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"duckdb {type(ex).__name__}: {ex}"[:300]
+            continue
         if duck[name] > 0:
             ratio[name] = round(timings[name] / duck[name], 2)
 
-    total = round(sum(timings[n] for n in tier1), 3)
-    tier2_total = round(sum(timings[n] for n in TIER2), 3)
+    total = round(sum(timings[n] or 0.0 for n in tier1), 3)
+    tier2_total = round(sum(timings[n] or 0.0 for n in TIER2), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -129,6 +151,7 @@ def main() -> None:
                 "tier2_total": tier2_total,
                 "duckdb_sec": duck,
                 "spark_over_duckdb": ratio,
+                "errors": errors,
                 "sf": float(sf) if sf else sf_dir,
             }
         )

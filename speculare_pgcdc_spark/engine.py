@@ -94,11 +94,12 @@ class Engine:
         registering.
 
         A subscription registered (or removed) while a watch()/
-        watch_db() query is running takes effect when that query is
-        next started, not live — the registry is snapshotted into the
-        broadcast routing side at watch() time (the reference applies
-        WebSocket subscriptions to the live forwarder immediately;
-        restart-to-apply is this engine's documented deviation)."""
+        watch_db() query is running takes effect on that query's NEXT
+        microbatch — the routing side is re-read from this registry at
+        the top of every batch (the reference's live-forwarder
+        semantics: new WebSocket subscriptions apply immediately,
+        api/ws_handler.rs:79-143; pinned in tests/test_streaming.py::
+        test_subscription_applies_mid_stream)."""
         watch = parse_ws_query(dsl_query, self.tables)
         if auth is not None:
             if authorizer is None:
@@ -157,13 +158,12 @@ class Engine:
         parse -> normalize -> route -> per-subscriber delivery, with
         at-least-once offsets in ``checkpoint_dir`` (LSN-ack analog).
 
-        Subscription snapshot semantics: the standing-subscription
-        registry is read ONCE here — subscribe()/unsubscribe() while
-        the query runs takes effect on the next watch()/watch_db()
-        start, not on the live query (the reference applies new
-        WebSocket subscriptions to its live forwarder immediately;
-        restart-to-apply is this engine's documented deviation, pinned
-        in tests/test_streaming.py::test_subscription_update_across_restart).
+        Subscription semantics are LIVE: the registry is re-read at
+        the top of every microbatch, so subscribe()/unsubscribe()
+        while the query runs applies on the next batch — matching the
+        reference's immediate WebSocket-subscription application
+        (api/ws_handler.rs:79-143; pinned in tests/test_streaming.py::
+        test_subscription_applies_mid_stream).
 
         The file feed carries no WAL position, so per-subscriber
         payload order is per-message only (chg_idx); watch_db's lsn
@@ -174,7 +174,7 @@ class Engine:
         )
         return start_fanout_query(
             stream,
-            self.subscriptions(),
+            self.subscriptions,
             deliver
             or (
                 idempotent_outbox_deliver(out_dir)
@@ -203,7 +203,8 @@ class Engine:
         carried through parse as the ``seq`` order key, so each
         subscriber's outbox is in WAL order within every microbatch
         (the reference's ordered-channel contract, forwarder/mod.rs:44).
-        Subscription changes apply on restart, as in :meth:`watch`."""
+        Subscription changes apply live per microbatch, as in
+        :meth:`watch`."""
         from speculare_pgcdc_spark.streaming import wal_source
 
         wal_source.register(self.spark)
@@ -215,7 +216,7 @@ class Engine:
         )
         return start_fanout_query(
             self._changes(src, lookup, seq_col="lsn"),
-            self.subscriptions(),
+            self.subscriptions,
             deliver
             or (
                 idempotent_outbox_deliver(out_dir)

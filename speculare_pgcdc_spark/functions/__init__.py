@@ -27,6 +27,17 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def epoch_seconds(col: str | Column) -> Column:
+    """Epoch seconds (double, fractional µs preserved) from a timestamp
+    column, robust to the column arriving as TIMESTAMP_NTZ (naive
+    parquet + inferTimestampNTZ on): NTZ has no direct numeric cast, but
+    NTZ -> TIMESTAMP (session TZ; the engine pins UTC, so naive == UTC)
+    -> DOUBLE is always legal. On an already-zoned timestamp the first
+    cast is a no-op. Matches DuckDB's epoch(ts) bit-for-bit on the
+    shared fixtures."""
+    return _c(col).cast("timestamp").cast("double")
+
+
 def money_sum(col: str | Column, alias: str, scale: int = 2) -> Column:
     """Order-independent SUM for float money columns (exact in decimal)."""
     return F.round(F.sum(_c(col).cast(MONEY)), scale).cast("double").alias(alias)

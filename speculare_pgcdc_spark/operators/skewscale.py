@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from speculare_pgcdc_spark.functions import epoch_seconds
+
 
 def bin_range_join(
     left: DataFrame,
@@ -51,14 +53,14 @@ def bin_range_join(
             "for windows reaching before the left row, swap the inputs"
         )
     width = upper
-    lbin = F.floor(F.col(left_ts).cast("double") / width).cast("bigint")
-    rbin = F.floor(F.col(right_ts).cast("double") / width).cast("bigint")
+    lbin = F.floor(epoch_seconds(left_ts) / width).cast("bigint")
+    rbin = F.floor(epoch_seconds(right_ts) / width).cast("bigint")
     l_exp = left.withColumn(
         "_bin", F.explode(F.array(lbin, lbin + F.lit(1)))
     )
     r_b = right.withColumn("_bin", rbin)
-    lo = F.col(right_ts).cast("double") > F.col(left_ts).cast("double") + lower
-    hi = F.col(right_ts).cast("double") <= F.col(left_ts).cast("double") + upper
+    lo = epoch_seconds(right_ts) > epoch_seconds(left_ts) + lower
+    hi = epoch_seconds(right_ts) <= epoch_seconds(left_ts) + upper
     return l_exp.join(r_b, on="_bin").filter(lo & hi).drop("_bin")
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from speculare_pgcdc_spark.functions import epoch_seconds
+
 
 def bucketize(
     df: DataFrame,
@@ -24,7 +26,7 @@ def bucketize(
     width_seconds: int = 3600,
 ) -> DataFrame:
     """Add an epoch-grid bucket column (`bucket`, bigint)."""
-    b = F.floor(F.col(ts_col).cast("double") / width_seconds).cast("bigint")
+    b = F.floor(epoch_seconds(ts_col) / width_seconds).cast("bigint")
     return df.withColumn("bucket", b)
 
 

@@ -28,6 +28,43 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Names promoted to the FRONT of the registry's iteration order. The
+#: driver sweeps ~50 queries per round in iteration order under a
+#: wall-clock budget; after two rounds the q01-q55/q61-q79 block has
+#: multiple green driver rows while this tail has none (round-2 verdict:
+#: "17 registered queries have never had a driver row"). Front-loading
+#: them — plus the six queries whose NTZ breakage was fixed this round —
+#: gets each its attested CORRECTNESS row; the long-green block fills
+#: whatever budget remains.
+SWEEP_FIRST = [
+    # never driver-swept (rounds 1-2)
+    "q56_tpch_q3_shipping_priority",
+    "q57_tpch_q5_local_supplier",
+    "q58_tpch_q10_returned_items",
+    "q59_tpch_q12_late_lines",
+    "q60_tpch_q18_large_orders",
+    "q75_udtf_ngrams",
+    "q80_range_frame_binned",
+    "q81_cdc_pipeline_v2",
+    "q82_repetition_signal",
+    "q83_label_centroids",
+    "q84_pii_redaction",
+    "q85_kmeans_clusters",
+    "q86_dup_components",
+    "q87_contamination",
+    "q88_chunking",
+    "q89_source_mixing",
+    "q90_token_budget",
+    # broken in round 2 (TIMESTAMP_NTZ), fixed this round — need a
+    # fresh driver row attesting the fix
+    "q37_tumbling_window",
+    "q38_session_window",
+    "q55_sliding_window",
+    "q67_binned_range_join",
+    "q72_gapfill_locf",
+    "q73_gapfill_interpolate",
+]
+
 
 def register(name: str, oracle: Optional[str] = None, doc: str = "",
              bench: bool = False):
@@ -47,13 +84,13 @@ def load_all() -> dict[str, QuerySpec]:
     silently shrink the declared operator inventory (the driver counts
     registry entries as the correctness surface).
 
-    Import ORDER is load-bearing: the driver sweeps the registry in
-    insertion order under a wall-clock budget, so the SURVEY §2B
-    contract core (relational -> temporal -> udf -> tpch -> cdc)
-    registers FIRST; the §2D extensions and LLM-pipeline queries
-    follow. A budget-truncated sweep then still covers the contract
-    surface (round-1 lesson: the sweep stopped mid-registry and left
-    38 core queries without a driver row).
+    Iteration ORDER is load-bearing: the driver sweeps the registry in
+    iteration order under a wall-clock budget (~50 queries/round), so
+    the names in SWEEP_FIRST — queries with no driver row yet, plus
+    this round's regression fixes — are promoted to the front; the
+    already-multiply-attested block follows in its original
+    (relational -> temporal -> udf -> tpch -> cdc -> llm -> extended)
+    order.
     """
     from speculare_pgcdc_spark.queries import (  # noqa: F401
         relational,
@@ -65,4 +102,9 @@ def load_all() -> dict[str, QuerySpec]:
         extended,
     )
 
-    return REGISTRY
+    missing = [n for n in SWEEP_FIRST if n not in REGISTRY]
+    if missing:  # a rename must fail loudly, not silently de-prioritize
+        raise KeyError(f"SWEEP_FIRST names not in registry: {missing}")
+    head = {n: REGISTRY[n] for n in SWEEP_FIRST}
+    tail = {n: s for n, s in REGISTRY.items() if n not in head}
+    return {**head, **tail}

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from speculare_pgcdc_spark.catalog import table
-from speculare_pgcdc_spark.functions import money_sum, oracle_money_sum
+from speculare_pgcdc_spark.functions import (
+    epoch_seconds,
+    money_sum,
+    oracle_money_sum,
+)
 from speculare_pgcdc_spark.queries import register
 
 
@@ -30,7 +34,7 @@ from speculare_pgcdc_spark.queries import register
     "is bounded by time range so the shuffle is small at any scale.",
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
-    bucket = F.floor(F.col("ts").cast("double") / 3600.0).cast("bigint")
+    bucket = F.floor(epoch_seconds("ts") / 3600.0).cast("bigint")
     return (
         table(spark, sf, "events")
         .groupBy(bucket.alias("bucket"), F.col("event_type"))
@@ -66,7 +70,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     brk = F.when(gap > 1800, 1).otherwise(0)
     return (
         table(spark, sf, "events")
@@ -110,7 +114,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("c"), money_sum("value", "s"))
         .select(
-            F.col("w.start").cast("double").cast("bigint").alias("ws"),
+            epoch_seconds(F.col("w.start")).cast("bigint").alias("ws"),
             "event_type", "c", "s",
         )
         .orderBy("ws", "event_type")

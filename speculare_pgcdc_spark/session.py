@@ -53,6 +53,12 @@ def get_spark(
         # truncation DuckDB applies on read, so both engines see identical
         # values (verified in tests/test_oracle.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixtures may carry isAdjustedToUTC=false (naive timestamps);
+        # with NTZ inference on, Spark reads them as TIMESTAMP_NTZ and
+        # every epoch-arithmetic cast(ts as double) throws. Read them as
+        # session-TZ (UTC) timestamps instead — identical values to
+        # DuckDB's epoch(ts) on the same file (UTC session, naive==UTC).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # full PushedFilters/ReadSchema in plan strings (plan lints read
         # them; default truncates at 100 chars)
         .config("spark.sql.maxMetadataStringLength", "10000")

@@ -203,7 +203,7 @@ def read_outbox(out_dir: str, sub_id: int) -> list[str]:
 
 def start_fanout_query(
     changes_stream: DataFrame,
-    subscriptions: DataFrame,
+    subscriptions,
     deliver: Delivery,
     checkpoint_dir: str,
     query_name: str = "cdc-fanout",
@@ -212,6 +212,16 @@ def start_fanout_query(
 ):
     """Wire the full streaming EP3: parse/normalize is upstream; here the
     stream-static routing join + foreachBatch fan-out, checkpointed.
+
+    ``subscriptions`` is either a static DataFrame (registry snapshot,
+    fixed for the query's lifetime) or a ZERO-ARG CALLABLE returning
+    one — re-evaluated at the top of EVERY microbatch, so subscribe/
+    unsubscribe on a live registry applies on the next batch without a
+    restart: the reference's live-forwarder semantics (new WebSocket
+    subscriptions take effect immediately, api/ws_handler.rs:79-143).
+    The frame is registry-sized (broadcast side of the routing join),
+    so the per-batch rebuild is a driver-side createDataFrame — noise
+    next to the batch itself.
 
     mode="driver" (default) funnels per-subscriber payload lists through
     the driver (fanout_batch — fine at reference-scale fan-out, where
@@ -230,7 +240,8 @@ def start_fanout_query(
     fan = fanout_batch if mode == "driver" else fanout_partitions
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        routed = route(batch_df, subscriptions)
+        subs = subscriptions() if callable(subscriptions) else subscriptions
+        routed = route(batch_df, subs)
         fan(routed, deliver, batch_id)
 
     writer = (

@@ -41,3 +41,36 @@ def test_entry_runs_on_vanilla_session_conf(spark):
     # the driver builds its own session; _configure must be enough
     E._configure(spark)
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_preflight_accepts_fixtures(spark, sf_dir):
+    E._configure(spark)
+    E.preflight(spark, sf_dir)  # must not raise
+
+
+def test_preflight_catches_ntz(spark, sf_dir, tmp_path):
+    """A session missing the inferTimestampNTZ override must fail the
+    pre-flight with an actionable message, not four cryptic CAST errors
+    downstream (the round-2 failure mode)."""
+    import shutil
+
+    import pytest
+
+    for t in E._EXPECTED_DTYPES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    E._configure(spark)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        with pytest.raises(RuntimeError, match="inferTimestampNTZ"):
+            E.preflight(spark, str(tmp_path))
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "false"
+        )
+
+
+def test_sweep_first_heads_registry():
+    from speculare_pgcdc_spark.queries import SWEEP_FIRST
+
+    names = list(load_all())
+    assert names[: len(SWEEP_FIRST)] == SWEEP_FIRST

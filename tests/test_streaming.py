@@ -506,6 +506,61 @@ def test_subscription_update_across_restart(spark, tmp_path):
     assert len(outbox_lines(2)) == 1
 
 
+def test_subscription_applies_mid_stream(spark, tmp_path):
+    """Live-registry semantics (api/ws_handler.rs:79-143): the routing
+    side is re-read per microbatch, so a subscribe()/unsubscribe() on a
+    RUNNING watch() applies on the next batch — no restart. Subscriber 2
+    registers mid-stream and sees only post-registration events;
+    subscriber 1 is unsubscribed mid-stream and misses the tail."""
+    from speculare_pgcdc_spark.engine import Engine
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    def payload_file(name, msgs):
+        with open(os.path.join(feed_dir, name), "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+
+    eng = Engine(spark=spark, tables=FEED_TABLES)
+    eng.subscribe(1, "insert:events_a")
+    payload_file(
+        "f1.json",
+        [
+            _wal2json_line("insert", "events_a", ["id"], [1]),
+            _wal2json_line("insert", "events_a", ["id"], [2]),
+        ],
+    )
+    q = eng.watch(feed_dir, out_dir, ckpt, lookup=lookup_df(spark))
+    try:
+        q.processAllAvailable()
+
+        # registry changes on the LIVE query: 2 joins, 1 leaves
+        eng.subscribe(2, "*:events_a")
+        eng.unsubscribe(1)
+        payload_file(
+            "f2.json",
+            [_wal2json_line("insert", "events_a", ["id"], [3])],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def outbox_lines(sub_id):
+        p = os.path.join(out_dir, str(sub_id), "outbox.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [ln for ln in f if ln.strip()]
+
+    # sub 1: the pre-change batch only (unsubscribe applied live)
+    assert len(outbox_lines(1)) == 2
+    # sub 2: only events after its mid-stream registration
+    assert len(outbox_lines(2)) == 1
+
+
 def test_wal_poll_source_end_to_end(spark, tmp_path):
     """R1-R7 realized as a Python Data Source: poll-with-cursor source
     feeds the CDC pipeline; new rows appear in later microbatches; the
