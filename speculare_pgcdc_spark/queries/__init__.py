@@ -55,6 +55,7 @@ SWEEP_FIRST = [
     "q88_chunking",
     "q89_source_mixing",
     "q90_token_budget",
+    "q91_cluster_neardup",
     # broken in round 2 (TIMESTAMP_NTZ), fixed this round — need a
     # fresh driver row attesting the fix
     "q37_tumbling_window",

@@ -862,3 +862,27 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cum_tok") <= 800)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q91_cluster_neardup",
+    oracle=None,  # k-means quantizer is iterative, not SQL-expressible;
+    # subset-of-exact + recall + selectivity pinned in tests/test_llm.py
+    doc="L2/L3 LOW-threshold embedding near-dup scale path: deterministic "
+    "k-means coarse quantizer -> multi-probe (2) cell bucketing -> "
+    "same-cell candidate pairs -> exact cosine verify (tau=0.3). The "
+    "structure-aware complement to q71's SRP-LSH, which is provably "
+    "unselective below ~0.7 cosine (operators/similarity."
+    "cluster_neardup_pairs regime note). Candidates are bounded by cell "
+    "occupancy, not corpus²; at ingest the cell id becomes a partition "
+    "column and the candidate join is partition-local.",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    emb = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+    )
+    return sim.cluster_neardup_pairs(
+        emb, threshold=0.3, k=10, iters=4, probes=3
+    ).orderBy("da", "db")
