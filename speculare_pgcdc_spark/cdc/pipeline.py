@@ -97,10 +97,14 @@ def parse_wal2json(
         F.posexplode(
             F.expr("variant_get(_msg, '$.change', 'array<variant>')")
         ).alias("chg_idx", "_c"),
+    ).withColumn(
+        # materialize the columnvalues array ONCE before the two cell
+        # transforms — each variant_get over _c re-walks the variant
+        # (the same cost note as the v2 branch's _cols)
+        "_vals",
+        F.expr("variant_get(_c, '$.columnvalues', 'array<variant>')"),
     )
-    typed_cells, lenient_cells = _cell_transforms(
-        "variant_get(_c, '$.columnvalues', 'array<variant>')", "x"
-    )
+    typed_cells, lenient_cells = _cell_transforms("_vals", "x")
     names = F.expr("variant_get(_c, '$.columnnames', 'array<string>')")
     pre = ch.select(
         "seq",
