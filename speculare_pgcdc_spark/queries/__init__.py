@@ -56,6 +56,8 @@ SWEEP_FIRST = [
     "q89_source_mixing",
     "q90_token_budget",
     "q91_cluster_neardup",
+    "q92_window_dup_signal",
+    "q93_canonical_dedup",
     # broken in round 2 (TIMESTAMP_NTZ), fixed this round — need a
     # fresh driver row attesting the fix
     "q37_tumbling_window",

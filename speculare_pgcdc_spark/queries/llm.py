@@ -886,3 +886,160 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     return sim.cluster_neardup_pairs(
         emb, threshold=0.3, k=10, iters=4, probes=3
     ).orderBy("da", "db")
+
+
+@register(
+    "q92_window_dup_signal",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+        dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared
+            FROM grams JOIN dfc USING (g) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n_windows, 0) AS n_windows,
+               COALESCE(p.n_shared, 0) AS n_shared
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    doc="Cross-document repeated-window signal (the window-based form "
+    "of exact-substring dedup, cf. Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better'): for each doc, how "
+    "many of its distinct 5-token windows also occur in ANOTHER doc. "
+    "Docs with high n_shared/n_windows are template/boilerplate "
+    "duplicates that survive doc-level near-dup checks. Plan: one "
+    "explode -> gram-frequency hash agg -> one equi-join back -> "
+    "per-doc agg: two shuffles total, no self-join, no broadcast "
+    "needed (unlike q87 the 'needle' set is the corpus itself). At "
+    "100 TB the gram key would be xxhash64-ed to a bigint to cut "
+    "shuffle width (kept as strings here for oracle exactness); "
+    "within-doc windows are already distinct so the frequency agg's "
+    "COUNT equals distinct-doc frequency.",
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(ts.word_ngrams(t, 5))).alias("g"),
+    )
+    dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(dfc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q93_canonical_dedup",
+    oracle="""
+        WITH RECURSIVE docs AS (
+            SELECT * FROM documents WHERE doc_id < 200),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+            SELECT da, db FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6),
+        edges AS (
+            SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+            SELECT a AS id, CAST(MIN(b) AS BIGINT) AS comp
+            FROM reach GROUP BY a),
+        scored AS (
+            SELECT doc_id,
+                   ROUND((least(len(list_filter(string_split(text, ' '),
+                           t -> t <> '')) / 20.0, 1.0)
+                      + (1.0 - len(list_filter(string_split(text, ' '),
+                           t -> list_contains(
+                               ['the','a','of','and','to','in'], t)))
+                          * 1.0 / greatest(len(list_filter(
+                               string_split(text, ' '), t -> t <> '')),
+                               1))) / 2.0, 4) AS quality
+            FROM docs),
+        merged AS (
+            SELECT s.doc_id,
+                   CAST(COALESCE(c.comp, s.doc_id) AS BIGINT) AS comp,
+                   s.quality
+            FROM scored s LEFT JOIN comp c ON c.id = s.doc_id),
+        ranked AS (
+            SELECT doc_id, comp, quality,
+                   ROW_NUMBER() OVER (PARTITION BY comp
+                       ORDER BY quality DESC, doc_id) AS rn
+            FROM merged)
+        SELECT doc_id, comp, quality, rn = 1 AS keep
+        FROM ranked ORDER BY doc_id
+    """,
+    doc="Dedup RESOLUTION — the decision a real pipeline ships: group "
+    "near-duplicates (q86's connected components over exact tau=0.6 "
+    "Jaccard pairs), then per component KEEP the highest-quality doc "
+    "(q90's deterministic quality signal; doc_id tiebreak), singletons "
+    "keep themselves. Unlike keep-min-id (q45/q86), quality-argmax is "
+    "what curation actually wants. Plan: pair+component machinery as "
+    "q86 (bounded subset; LSH scale path per q46), plus one narrow "
+    "quality map and one window over components — components are "
+    "dup-cluster-sized, so the window shuffle is tiny at any scale.",
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs_subset(spark, sf)
+    tok = dd.tokens(docs)
+    pairs = dd.jaccard_pairs(tok, 0.6)
+    comp = dd.dup_components(pairs)
+    scored = docs.select(
+        "doc_id", ts.quality_score(F.col("text")).alias("quality")
+    )
+    merged = (
+        scored.join(
+            comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .withColumn(
+            "comp", F.coalesce("comp", "doc_id").cast("bigint")
+        )
+    )
+    w = Window.partitionBy("comp").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "comp", "quality", (F.col("rn") == 1).alias("keep")
+        )
+        .orderBy("doc_id")
+    )
