@@ -137,8 +137,19 @@ def main() -> None:
         if duck[name] > 0:
             ratio[name] = round(timings[name] / duck[name], 2)
 
-    total = round(sum(timings[n] or 0.0 for n in tier1), 3)
-    tier2_total = round(sum(timings[n] or 0.0 for n in TIER2), 3)
+    # a broken constituent must yield a NULL total, not a smaller one —
+    # summing around the failure would report a phantom speedup in the
+    # cross-round/BASELINE.md comparison
+    total = (
+        None
+        if any(timings[n] is None for n in tier1)
+        else round(sum(timings[n] for n in tier1), 3)
+    )
+    tier2_total = (
+        None
+        if any(timings[n] is None for n in TIER2)
+        else round(sum(timings[n] for n in TIER2), 3)
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(

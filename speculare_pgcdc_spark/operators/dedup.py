@@ -95,17 +95,26 @@ def jaccard_pairs(
     )
 
 
+def _minhash_parts(num_hashes: int):
+    """The ONE definition of the MinHash signature: per-hash min
+    aggregates (seeded xxhash64 over tokens) plus the array packing.
+    Both minhash_signatures and minhash_lsh_pairs build from this, so
+    seeding/layout can never silently fork between them."""
+    mins = [
+        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return mins, sig
+
+
 def minhash_signatures(
     tok: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, signature array<bigint>) — k independent min-hashes via
     seeded xxhash64 over tokens. One hash aggregate; k mins computed
     map-side in a single pass."""
-    mins = [
-        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    mins, sig = _minhash_parts(num_hashes)
     return tok.groupBy(id_col).agg(*mins).select(
         F.col(id_col), sig.alias("signature")
     )
@@ -206,20 +215,11 @@ def minhash_lsh_pairs(
     /reliable checkpoints; the pass structure is what matters."""
     rows = num_hashes // bands
     tok = tokens(docs, id_col, text_col).localCheckpoint(eager=True)
-    mins = [
-        F.min(F.xxhash64("tok", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    mins, sig = _minhash_parts(num_hashes)
     sig_n = (
         tok.groupBy(id_col)
         .agg(*mins, F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col(id_col),
-            F.array(
-                *[F.col(f"h{i}") for i in range(num_hashes)]
-            ).alias("signature"),
-            "n",
-        )
+        .select(F.col(id_col), sig.alias("signature"), "n")
         .localCheckpoint(eager=True)
     )
     cands = lsh_candidate_pairs(

@@ -176,11 +176,15 @@ def srp_signature(
         *[F.array(*[F.lit(v) for v in row]) for row in planes_hi_first]
     )
 
+    # slice to dim: a LONGER vector must project onto the first dim
+    # components (the prior element_at semantics) — unsliced zip_with
+    # would pad the plane side with NULL, poison the fold, and emit
+    # sig=0 for every such vector (all colliding in every band)
+    vec = F.slice(F.col(vec_col), 1, dim)
+
     def dot(h):
         return F.aggregate(
-            F.zip_with(
-                F.col(vec_col), h, lambda x, w: x.cast("double") * w
-            ),
+            F.zip_with(vec, h, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

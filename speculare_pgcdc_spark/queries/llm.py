@@ -869,7 +869,7 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # k-means quantizer is iterative, not SQL-expressible;
     # subset-of-exact + recall + selectivity pinned in tests/test_llm.py
     doc="L2/L3 LOW-threshold embedding near-dup scale path: deterministic "
-    "k-means coarse quantizer -> multi-probe (2) cell bucketing -> "
+    "k-means coarse quantizer -> multi-probe (3) cell bucketing -> "
     "same-cell candidate pairs -> exact cosine verify (tau=0.3). The "
     "structure-aware complement to q71's SRP-LSH, which is provably "
     "unselective below ~0.7 cosine (operators/similarity."
@@ -932,6 +932,9 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(ts.word_ngrams(t, 5))).alias("g"),
     )
+    # grams feeds the frequency agg AND the join-back: materialize once
+    # (same no-cross-DAG-CSE rule as the dedup pipelines)
+    grams = grams.localCheckpoint(eager=True)
     dfc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         grams.join(dfc, "g")

@@ -806,3 +806,29 @@ def test_assign_probe_cells_top1_matches_assign_nearest(spark, sf_dir):
         for r in sim.assign_nearest(emb, cents).collect()
     }
     assert top1 == nearest
+
+
+def test_srp_signature_slices_long_vectors(spark):
+    """A vector LONGER than `dim` must project onto its first dim
+    components (the element_at semantics), not collapse to sig=0 via
+    NULL-padded zip_with — sig=0 vectors would collide in every LSH
+    band and quietly degrade the candidate join to all-pairs."""
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    dim = 8
+    long_vec = [1.0] * dim + [9.0] * 4  # 12 components, dim=8
+    short_vec = [1.0] * dim
+    df = spark.createDataFrame(
+        [(1, long_vec), (2, short_vec)],
+        "vec_id bigint, embedding array<float>",
+    )
+    sigs = {
+        r.vec_id: r.sig
+        for r in sim.srp_signature(df, planes=8, dim=dim).collect()
+    }
+    # identical first-dim prefix => identical signature; never 0 for a
+    # non-degenerate vector
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != 0
