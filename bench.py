@@ -150,6 +150,18 @@ def main() -> None:
         if any(timings[n] is None for n in TIER2)
         else round(sum(timings[n] for n in TIER2), 3)
     )
+    # CDC micro-bench: change events through parse->explode->normalize
+    # per second (the BASELINE.md ~79k events/s comparator; reference
+    # forwards one message at a time on one channel)
+    cdc_events_per_s = None
+    try:
+        t35 = timings.get("q35_cdc_pipeline")
+        if t35:
+            n_changes = registry["q35_cdc_pipeline"].fn(spark, sf_dir).count()
+            cdc_events_per_s = round(n_changes / t35)
+    except Exception as ex:  # noqa: BLE001
+        errors["cdc_micro"] = f"{type(ex).__name__}: {ex}"[:300]
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -162,6 +174,7 @@ def main() -> None:
                 "tier2_total": tier2_total,
                 "duckdb_sec": duck,
                 "spark_over_duckdb": ratio,
+                "cdc_events_per_s": cdc_events_per_s,
                 "errors": errors,
                 "sf": float(sf) if sf else sf_dir,
             }

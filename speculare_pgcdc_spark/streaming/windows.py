@@ -150,3 +150,48 @@ def running_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counts_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """T7 on the MODERN stateful API: transformWithStateInPandas
+    (Spark 4) — same per-key running counter as running_counts, but
+    with typed value state on the RocksDB state store. This is the API
+    a new deployment should prefer: composable state variables
+    (value/list/map), timers, and state TTL replace the single
+    state-tuple + timeout of applyInPandasWithState; semantics parity
+    with running_counts is pinned in tests/test_streaming.py.
+
+    Scale note: state lives per key in RocksDB with changelog
+    checkpointing — bounded memory per executor regardless of key
+    cardinality (the applyInPandasWithState HDFS-backed store holds
+    the working set in heap). Requires
+    spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider on the session, and the TWS driver
+    worker needs the `google.protobuf` package (absent in this
+    container — tests/test_streaming.py skips accordingly; on a real
+    deployment both ship with the distribution)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
