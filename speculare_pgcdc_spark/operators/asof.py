@@ -23,6 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from speculare_pgcdc_spark.functions import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -36,6 +38,7 @@ def asof_join(
     value_col: str,
     direction: str = "backward",
     strict: bool = False,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Latest-right-at-or-before-left join.
 
@@ -44,7 +47,14 @@ def asof_join(
 
     direction='backward': right_time <= left_time (or < when strict).
     direction='forward' : right_time >= left_time (earliest instead).
-    """
+
+    tolerance (seconds, pandas merge_asof's knob): additionally bound
+    the match's staleness — |left_time - right_time| <= tolerance.
+    Left rows whose only candidates are older drop out (join stays
+    inner). At scale the tolerance predicate ALSO shrinks the
+    candidate set the argmax aggregates over, which is the practical
+    fix when keys are dense and the unbounded form materializes huge
+    (left x rights-at-or-before) intermediates."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
     lt, rt = F.col(left_time), F.col(right_time)
@@ -53,6 +63,15 @@ def asof_join(
     else:
         time_cond = rt > lt if strict else rt >= lt
     cond = (F.col(left_key) == F.col(right_key)) & time_cond
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        gap = (
+            epoch_seconds(lt) - epoch_seconds(rt)
+            if direction == "backward"
+            else epoch_seconds(rt) - epoch_seconds(lt)
+        )
+        cond = cond & (gap <= tolerance)
     joined = left.join(right, cond, "inner")
     # max_by/min_by with a struct ordering key: hash-aggregable
     # (ObjectHashAggregate — no per-group sort), deterministic because

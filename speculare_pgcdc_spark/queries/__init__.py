@@ -58,6 +58,8 @@ SWEEP_FIRST = [
     "q91_cluster_neardup",
     "q92_window_dup_signal",
     "q93_canonical_dedup",
+    "q94_asof_tolerance",
+    "q95_weighted_sampling",
     # broken in round 2 (TIMESTAMP_NTZ), fixed this round — need a
     # fresh driver row attesting the fix
     "q37_tumbling_window",

@@ -547,3 +547,52 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "cnt")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q94_asof_tolerance",
+    oracle="""
+        SELECT event_id, prior_id FROM (
+            SELECT l.event_id, r.event_id AS prior_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                       ORDER BY r.ts DESC, r.event_id DESC) AS rn
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND r.ts < l.ts
+             AND epoch(l.ts) - epoch(r.ts) <= 300)
+        WHERE rn = 1 ORDER BY event_id
+    """,
+    doc="J7 as-of join with TOLERANCE (pandas merge_asof's staleness "
+    "bound): latest strictly-prior event of the same user no older "
+    "than 300 s; staler-only matches drop out. The tolerance predicate "
+    "both changes semantics AND bounds the candidate set the argmax "
+    "aggregates over — the practical fix for dense keys where the "
+    "unbounded as-of materializes (left x all-priors) intermediates. "
+    "operators/asof.asof_join(tolerance=300).",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.asof import asof_join
+
+    e = table(spark, sf, "events")
+    left = e.select(
+        "event_id",
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    right = e.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("prior_id"),
+    )
+    return asof_join(
+        left,
+        right,
+        left_key="l_user",
+        right_key="r_user",
+        left_time="l_ts",
+        right_time="r_ts",
+        group_cols=["event_id"],
+        value_col="prior_id",
+        strict=True,
+        tolerance=300,
+    ).orderBy("event_id")

@@ -1046,3 +1046,50 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q95_weighted_sampling",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, source,
+                   ROUND((least(len(list_filter(string_split(text, ' '),
+                           t -> t <> '')) / 20.0, 1.0)
+                      + (1.0 - len(list_filter(string_split(text, ' '),
+                           t -> list_contains(
+                               ['the','a','of','and','to','in'], t)))
+                          * 1.0 / greatest(len(list_filter(
+                               string_split(text, ' '), t -> t <> '')),
+                               1))) / 2.0, 4) AS quality,
+                   CAST(CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       AS BIGINT) AS hv
+            FROM documents)
+        SELECT doc_id, source, quality, hv FROM s
+        WHERE hv < FLOOR(quality * 65536) ORDER BY doc_id
+    """,
+    doc="Importance sampling for curation: each doc's keep probability "
+    "IS its quality score — keep iff the first 16 bits of md5(doc_id) "
+    "fall under floor(quality * 65536). Upweights high-quality docs "
+    "smoothly instead of a hard quality threshold (q90's budget cut), "
+    "the standard quality-weighted resampling stage of a pretraining "
+    "mix. Content-deterministic like q89: md5 and IEEE multiply are "
+    "bit-identical across engines/restarts/speculation, so the sample "
+    "is exactly reproducible and oracle-auditable; rand(seed) is "
+    "neither (draw depends on partitioning). Narrow map, no shuffle.",
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (
+        table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "source",
+            ts.quality_score(F.col("text")).alias("quality"),
+            hv.alias("hv"),
+        )
+        .filter(F.col("hv") < F.floor(F.col("quality") * 65536))
+        .orderBy("doc_id")
+    )
