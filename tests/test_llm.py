@@ -195,9 +195,11 @@ def test_asof_join_and_merge_variants_agree(spark, sf_dir):
 
 
 def test_srp_lsh_recall_vs_exact_cosine_pairs(spark, sf_dir):
-    """Embedding LSH scale path: verified SRP candidates are a subset of
-    the exact near-dup pairs, with high recall (planes=16, bands=8 ->
-    ~97% catch probability at tau=0.3)."""
+    """SRP banding: verified candidates are a subset of the exact pairs
+    with high recall. NB at tau=0.3 high recall comes at near-zero
+    selectivity (bit agreement 0.597 vs 0.5 random — see the regime
+    note on srp_neardup_pairs); this pins subset+recall only. The
+    selective low-threshold path is cluster_neardup_pairs (q91)."""
     from pyspark.sql import functions as F
 
     from speculare_pgcdc_spark.operators import similarity as sim
