@@ -110,6 +110,7 @@ class WsSidecar:
         read_lines: Optional[Callable[[int], list]] = None,
         poll_interval: float = 0.05,
         path: str = "/ws",
+        auth_from_headers: Optional[Callable[[dict], object]] = None,
     ) -> None:
         from speculare_pgcdc_spark.streaming.fanout import read_outbox
 
@@ -121,16 +122,32 @@ class WsSidecar:
         )
         self.poll_interval = poll_interval
         self.path = path
+        #: optional auth gate (the reference's cookie->AuthInfo extract,
+        #: auth.rs:100-123): maps request headers -> an auth object the
+        #: subscribe callable understands, raising cdc.auth.AuthError to
+        #: refuse the connection with 403 (restrict_auth analog). None
+        #: = auth feature off (the reference's non-auth build).
+        self.auth_from_headers = auth_from_headers
         self._server: asyncio.AbstractServer | None = None
 
     @classmethod
-    def for_engine(cls, engine, out_dir: str, **kw) -> "WsSidecar":
+    def for_engine(
+        cls, engine, out_dir: str, authorizer=None, **kw
+    ) -> "WsSidecar":
         """Wire straight onto an Engine's live registry: subscriptions
         registered here apply to a running watch() on its next
-        microbatch, and a disconnect stops routing the same way."""
+        microbatch, and a disconnect stops routing the same way.
+        Pass ``authorizer`` (cdc.auth.SubscriptionAuthorizer) together
+        with ``auth_from_headers`` to enable the restrict_auth gate."""
+
+        def subscribe(sub_id, dsl, auth=None):
+            return engine.subscribe(
+                sub_id, dsl, auth=auth, authorizer=authorizer
+            )
+
         return cls(
             out_dir,
-            subscribe=engine.subscribe,
+            subscribe=subscribe,
             unsubscribe=engine.unsubscribe,
             **kw,
         )
@@ -179,7 +196,23 @@ class WsSidecar:
             dsl = unquote(qs["query"][0])
             sub_id = next(_ids)
             try:
-                self.subscribe(sub_id, dsl)
+                if self.auth_from_headers is not None:
+                    from speculare_pgcdc_spark.cdc.auth import AuthError
+
+                    try:
+                        self.subscribe(
+                            sub_id,
+                            dsl,
+                            auth=self.auth_from_headers(headers),
+                        )
+                    except AuthError as ex:
+                        # restrict_auth rejection -> 403
+                        # (AuthorizationError analog, auth.rs:213-224)
+                        sub_id = None
+                        await self._http_error(writer, 403, str(ex))
+                        return
+                else:
+                    self.subscribe(sub_id, dsl)
             except Exception as ex:  # DslError -> 400, like the 400s
                 # the reference's query::parse_ws_query error path
                 sub_id = None
@@ -254,7 +287,11 @@ class WsSidecar:
     @staticmethod
     async def _http_error(writer, code: int, msg: str) -> None:
         body = msg.encode()
-        status = {400: "Bad Request", 404: "Not Found"}.get(code, "Error")
+        status = {
+            400: "Bad Request",
+            403: "Forbidden",
+            404: "Not Found",
+        }.get(code, "Error")
         writer.write(
             (
                 f"HTTP/1.1 {code} {status}\r\n"

@@ -175,3 +175,68 @@ def test_ws_bad_and_missing_query_get_400(spark, tmp_path):
             await sidecar.stop()
 
     asyncio.run(scenario())
+
+
+def test_ws_auth_gate_403_and_pass(spark, tmp_path):
+    """restrict_auth wired at the front door: a non-admin subscription
+    whose filter value isn't backed by an api_key row is refused with
+    HTTP 403 before the upgrade; an authorized one connects. Mirrors
+    the reference's auth feature (auth.rs:126-224 over the cookie
+    extract at :100-123); here the header->AuthInfo mapping is a
+    pluggable callback."""
+    from speculare_pgcdc_spark.cdc.auth import (
+        AuthInfo,
+        SubscriptionAuthorizer,
+        api_keys_df,
+    )
+    from speculare_pgcdc_spark.engine import Engine
+
+    eng = Engine(spark=spark, tables=FEED_TABLES)
+    authorizer = SubscriptionAuthorizer(
+        api_keys_df(spark, [("cust1", "host-a", "key-a")])
+    )
+
+    def auth_from_headers(headers):
+        return AuthInfo(
+            customer_id=headers.get("x-customer", ""), is_admin=False
+        )
+
+    async def connect(port, query, customer):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            (
+                f"GET /ws?query={query} HTTP/1.1\r\n"
+                f"Host: x\r\nX-Customer: {customer}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        status = (await reader.readline()).decode()
+        writer.close()
+        return status
+
+    async def scenario():
+        sidecar = WsSidecar.for_engine(
+            eng,
+            str(tmp_path / "out"),
+            authorizer=authorizer,
+            auth_from_headers=auth_from_headers,
+        )
+        port = await sidecar.start()
+        try:
+            # unauthorized host filter -> 403, nothing registered
+            s = await connect(
+                port, "insert:events_a:host_uuid.eq.host-EVIL", "cust1"
+            )
+            assert "403" in s
+            assert len(eng._subs) == 0
+            # authorized host filter -> 101 upgrade
+            s = await connect(
+                port, "insert:events_a:host_uuid.eq.host-a", "cust1"
+            )
+            assert "101" in s
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
