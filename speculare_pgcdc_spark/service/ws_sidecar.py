@@ -173,7 +173,11 @@ class WsSidecar:
         try:
             request = await reader.readuntil(b"\r\n\r\n")
             head = request.decode("latin-1").split("\r\n")
-            method, target, _ = head[0].split(" ", 2)
+            try:
+                method, target, _ = head[0].split(" ", 2)
+            except ValueError:
+                await self._http_error(writer, 400, "malformed request")
+                return
             headers = {}
             for line in head[1:]:
                 if ":" in line:
@@ -231,6 +235,7 @@ class WsSidecar:
             await self._serve_client(reader, writer, sub_id)
         except (
             asyncio.IncompleteReadError,
+            asyncio.LimitOverrunError,  # headers beyond the 64 KiB limit
             ConnectionResetError,
             BrokenPipeError,
         ):

@@ -240,3 +240,26 @@ def test_ws_auth_gate_403_and_pass(spark, tmp_path):
             await sidecar.stop()
 
     asyncio.run(scenario())
+
+
+def test_ws_malformed_request_line_gets_400(spark, tmp_path):
+    from speculare_pgcdc_spark.engine import Engine
+
+    eng = Engine(spark=spark, tables=FEED_TABLES)
+
+    async def scenario():
+        sidecar = WsSidecar.for_engine(eng, str(tmp_path / "out"))
+        port = await sidecar.start()
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", port
+            )
+            writer.write(b"GARBAGE\r\n\r\n")
+            await writer.drain()
+            status = (await reader.readline()).decode()
+            assert "400" in status
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
