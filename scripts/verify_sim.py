@@ -8,7 +8,12 @@ signal that decides whether the whole registry gets a CORRECTNESS row
 (round-1 lesson: the sweep truncated mid-registry). Run after any change
 that could slow a query:
 
-    python scripts/verify_sim.py [sf_dir]
+    python scripts/verify_sim.py [sf_dir] [--out SWEEP.json]
+
+``--out`` writes the full per-query result map as a committed sweep
+artifact (round-3 verdict item #2: the driver checks a rotating ~50-query
+subset per round, so a full-registry sweep at sf0.01 is the only record
+proving every query is green against the CURRENT fixture generation).
 """
 
 from __future__ import annotations
@@ -29,7 +34,13 @@ from tests.conftest import assert_oracle_match  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     # vanilla session, like the driver's: only the static ns conf (the
     # driver sets it at build per __spark_entry__'s RuntimeError contract)
     spark = (
@@ -47,6 +58,12 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+    # the driver's smoke check: entry() runs and returns rows
+    flagship = entrymod.entry(spark)
+    n_entry = len(flagship.collect())
+    assert n_entry >= 0 and flagship.schema.fieldNames()
+    print(f"entry() OK: {n_entry} rows", flush=True)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -76,6 +93,25 @@ def main() -> None:
     print(f"\nTOTAL {total:.1f}s over {len(results)} queries; "
           f"fails={len(fails)} {fails}")
     print("slowest:", json.dumps({n: r["sec"] for n, r in slow}))
+    if out_path:
+        counts = {
+            s: sum(1 for r in results.values() if r["status"] == s)
+            for s in ("ok", "rows_only", "FAIL")
+        }
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "entry_rows": n_entry,
+                    "n_queries": len(results),
+                    "counts": counts,
+                    "total_sec": round(total, 1),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}: {counts}")
 
 
 if __name__ == "__main__":

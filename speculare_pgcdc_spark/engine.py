@@ -152,7 +152,7 @@ class Engine:
         max_files_per_trigger: int = 1,
         exactly_once: bool = False,
         available_now: bool = False,
-        mode: str = "driver",
+        mode: str = "auto",
     ):
         """Start the streaming fan-out (EP2->EP3): change feed ->
         parse -> normalize -> route -> per-subscriber delivery, with
@@ -195,7 +195,7 @@ class Engine:
         deliver: Optional[Callable] = None,
         exactly_once: bool = False,
         available_now: bool = False,
-        mode: str = "driver",
+        mode: str = "auto",
     ):
         """Like :meth:`watch`, but the feed is a database polled with a
         monotonic LSN cursor (streaming.wal_source — the R1-R7

@@ -432,10 +432,12 @@ def kmeans_centroids(
     never does — the standard k-means driver loop, bounded by `iters`.
 
     Deterministic end-to-end: init picks the k vectors with the
-    smallest (xxhash64(id), id) — no RNG state; centroid means are
-    rounded to 6 decimals so shuffle-order ulp drift in avg() cannot
-    flip a later assignment; empty clusters keep their previous
-    centroid."""
+    smallest (md5(id), id) — no RNG state, and md5 (unlike xxhash64)
+    is computed identically by DuckDB, which is what lets the whole
+    training loop be unrolled as a staged-CTE oracle
+    (queries/_kmeans_sql.py); centroid means are rounded to 6 decimals
+    so shuffle-order ulp drift in avg() cannot flip a later
+    assignment; empty clusters keep their previous centroid."""
     # persist the training projection for the loop: init + every
     # iteration re-scans it (iters+1 passes), and without the cache
     # each pass re-reads parquet and re-runs the upstream lineage —
@@ -444,7 +446,7 @@ def kmeans_centroids(
     try:
         init_rows = (
             data.orderBy(
-                F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
             )
             .limit(k)
             .collect()

@@ -17,7 +17,7 @@ from speculare_pgcdc_spark.operators import dedup as dd
 from speculare_pgcdc_spark.operators import multimodal as mm
 from speculare_pgcdc_spark.operators import similarity as sim
 from speculare_pgcdc_spark.operators import textstats as ts
-from speculare_pgcdc_spark.queries import register
+from speculare_pgcdc_spark.queries import _kmeans_sql, register
 
 
 def _docs_subset(spark, sf, limit_id=200):
@@ -587,16 +587,23 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q85_kmeans_clusters",
-    oracle=None,  # iterative algorithm; invariants pinned in tests
+    oracle=_kmeans_sql.kmeans_clusters_sql(
+        "SELECT vec_id AS vid, embedding AS e FROM embeddings",
+        k=8,
+        iters=3,
+    ),
     doc="L3 k-means clustering as a first-class query: train a k=8 "
     "quantizer with DataFrame Lloyd's iterations (operators/"
     "similarity.kmeans_centroids — per iteration one narrow assign "
     "map + one skinny (cluster, dim) shuffle; only the model crosses "
     "to the driver), then report per-cluster population and mean "
-    "cosine-to-centroid. Deterministic end-to-end (hash-ranked init, "
+    "cosine-to-centroid. Deterministic end-to-end (md5-ranked init, "
     "6-decimal centroid rounding, decimal-summed cohesion) so reruns "
-    "are bit-stable. Invariants (sizes sum to corpus, cohesion "
-    "bounds, determinism) in tests/test_llm.py.",
+    "are bit-stable — which is what makes the oracle possible: the "
+    "fixed Lloyd iterations unroll as staged CTEs in DuckDB "
+    "(queries/_kmeans_sql.py), the q93 recursive-CTE move applied to "
+    "training. Invariants (sizes sum to corpus, cohesion bounds, "
+    "determinism) additionally pinned in tests/test_llm.py.",
 )
 def q85(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
@@ -866,8 +873,14 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q91_cluster_neardup",
-    oracle=None,  # k-means quantizer is iterative, not SQL-expressible;
-    # subset-of-exact + recall + selectivity pinned in tests/test_llm.py
+    oracle=_kmeans_sql.cluster_neardup_sql(
+        "SELECT vec_id AS vid, embedding AS e FROM embeddings"
+        " WHERE vec_id < 300",
+        k=10,
+        iters=4,
+        probes=3,
+        threshold=0.3,
+    ),
     doc="L2/L3 LOW-threshold embedding near-dup scale path: deterministic "
     "k-means coarse quantizer -> multi-probe (3) cell bucketing -> "
     "same-cell candidate pairs -> exact cosine verify (tau=0.3). The "
@@ -875,7 +888,10 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     "unselective below ~0.7 cosine (operators/similarity."
     "cluster_neardup_pairs regime note). Candidates are bounded by cell "
     "occupancy, not corpus²; at ingest the cell id becomes a partition "
-    "column and the candidate join is partition-local.",
+    "column and the candidate join is partition-local. Oracle: the "
+    "deterministic quantizer unrolls as staged CTEs "
+    "(queries/_kmeans_sql.py); recall/selectivity additionally "
+    "property-tested in tests/test_llm.py.",
 )
 def q91(spark: SparkSession, sf: str) -> DataFrame:
     emb = (

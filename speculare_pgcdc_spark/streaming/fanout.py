@@ -127,6 +127,40 @@ def fanout_partitions(
     parted.foreachPartition(run)
 
 
+#: auto mode: a routed microbatch at or below this many rows delivers
+#: via the driver (one collect — cheaper than a shuffle-write for small
+#: batches and friendly to driver-local adapters); anything larger goes
+#: executor-side, where driver memory stays O(1) in fan-out size. At
+#: ~1 KB/change this bounds the driver's transient batch footprint to
+#: ~100 MB — reference-scale fan-outs stay on the fast path, a 100×
+#: burst cannot balloon the driver.
+AUTO_DRIVER_MAX_ROWS = 100_000
+
+
+def fanout_auto(
+    routed: DataFrame, deliver: Delivery, batch_id: int = -1
+) -> None:
+    """Per-batch selection between :func:`fanout_batch` and
+    :func:`fanout_partitions` by routed-row count (round-3 verdict:
+    a fixed driver default is the wrong one at 100× — the decision
+    belongs to the batch, not the query). The batch is persisted so
+    the sizing count and the delivery pass share one evaluation of
+    the routing join. Adapters must be executor-safe (picklable,
+    shared-filesystem) for the large-batch path — the file-outbox
+    adapters are."""
+    routed = routed.persist()
+    try:
+        n = routed.count()
+        fan = (
+            fanout_batch
+            if n <= AUTO_DRIVER_MAX_ROWS
+            else fanout_partitions
+        )
+        fan(routed, deliver, batch_id)
+    finally:
+        routed.unpersist()
+
+
 def outbox_deliver(out_dir: str) -> Delivery:
     """Append-mode file outbox under <out_dir>/<sub_id>/.
 
@@ -208,7 +242,7 @@ def start_fanout_query(
     checkpoint_dir: str,
     query_name: str = "cdc-fanout",
     available_now: bool = False,
-    mode: str = "driver",
+    mode: str = "auto",
 ):
     """Wire the full streaming EP3: parse/normalize is upstream; here the
     stream-static routing join + foreachBatch fan-out, checkpointed.
@@ -223,11 +257,14 @@ def start_fanout_query(
     so the per-batch rebuild is a driver-side createDataFrame — noise
     next to the batch itself.
 
-    mode="driver" (default) funnels per-subscriber payload lists through
-    the driver (fanout_batch — fine at reference-scale fan-out, where
-    one forwarder thread does the same); mode="partitions" delivers on
-    the executors (fanout_partitions — the large-fan-out path; the
-    adapter must be picklable).
+    mode="auto" (default) sizes each microbatch and picks the path:
+    small batches funnel per-subscriber payload lists through the
+    driver (fanout_batch — fine at reference-scale fan-out, where one
+    forwarder thread does the same), batches over
+    ``AUTO_DRIVER_MAX_ROWS`` deliver on the executors
+    (fanout_partitions — the large-fan-out path; the adapter must be
+    picklable and filesystem-shared). mode="driver" / mode="partitions"
+    pin one path unconditionally.
 
     available_now=True runs in drain-and-stop mode (Trigger.AvailableNow):
     process everything committed so far in rate-limited microbatches,
@@ -235,9 +272,14 @@ def start_fanout_query(
     consecutive drains resume where the last one stopped."""
     from speculare_pgcdc_spark.cdc.pipeline import route
 
-    if mode not in ("driver", "partitions"):
+    fans = {
+        "auto": fanout_auto,
+        "driver": fanout_batch,
+        "partitions": fanout_partitions,
+    }
+    if mode not in fans:
         raise ValueError(f"unknown fan-out mode: {mode!r}")
-    fan = fanout_batch if mode == "driver" else fanout_partitions
+    fan = fans[mode]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         subs = subscriptions() if callable(subscriptions) else subscriptions

@@ -1174,3 +1174,58 @@ def test_transform_with_state_running_count(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_fanout_auto_selects_path_by_batch_size(spark, tmp_path, monkeypatch):
+    """Round-3 verdict #3: the default fan-out must not funnel large
+    batches through the driver. mode='auto' picks the driver path at or
+    below AUTO_DRIVER_MAX_ROWS and the executor path above it, and both
+    paths produce identical outboxes."""
+    from speculare_pgcdc_spark.streaming import fanout as fo
+
+    rows = [(1, 10, 0, "a"), (2, 10, 0, "b"), (1, 20, 0, "c")]
+    routed = spark.createDataFrame(
+        rows, "sub_id int, seq bigint, chg_idx int, change_json string"
+    )
+
+    calls = []
+    real_batch, real_parts = fo.fanout_batch, fo.fanout_partitions
+    monkeypatch.setattr(
+        fo,
+        "fanout_batch",
+        lambda *a, **k: (calls.append("driver"), real_batch(*a, **k)),
+    )
+    monkeypatch.setattr(
+        fo,
+        "fanout_partitions",
+        lambda *a, **k: (calls.append("partitions"), real_parts(*a, **k)),
+    )
+
+    out_small = str(tmp_path / "small")
+    fo.fanout_auto(routed, fo.outbox_deliver(out_small), batch_id=1)
+    assert calls == ["driver"]
+
+    monkeypatch.setattr(fo, "AUTO_DRIVER_MAX_ROWS", 2)  # 3 rows > 2
+    out_big = str(tmp_path / "big")
+    fo.fanout_auto(routed, fo.outbox_deliver(out_big), batch_id=1)
+    assert calls == ["driver", "partitions"]
+
+    assert (
+        fo.read_outbox(out_small, 1)
+        == fo.read_outbox(out_big, 1)
+        == ["a", "c"]
+    )
+
+
+def test_fanout_default_mode_is_auto():
+    """Pin the public defaults: Engine.watch / watch_db /
+    start_fanout_query all fan out in auto mode unless told otherwise."""
+    import inspect
+
+    from speculare_pgcdc_spark.engine import Engine
+    from speculare_pgcdc_spark.streaming.fanout import start_fanout_query
+
+    for fn in (Engine.watch, Engine.watch_db, start_fanout_query):
+        assert (
+            inspect.signature(fn).parameters["mode"].default == "auto"
+        ), fn.__qualname__
