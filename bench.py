@@ -83,27 +83,45 @@ def main() -> None:
         warm_errors["warmup"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # steady-state measurement: one untimed warm run (plan compilation,
-    # codegen JIT, broadcast build), then the best of two timed runs —
-    # the amortized cost a resident engine pays per query, comparable
-    # to the DuckDB same-machine numbers in BASELINE.md (also measured
-    # warm). Min-of-2 filters same-machine interference noise (observed
-    # up to 1.5x run-to-run on a busy 32-core box).
+    # codegen JIT, broadcast build), then SPARK_GRAFT_BENCH_RUNS (>= 3)
+    # timed ROUNDS over the whole suite — round-robin, so each query's
+    # samples are spread across the bench's lifetime instead of taken
+    # back-to-back, decorrelating the same-process interference that
+    # made round-over-round deltas unattributable (round-3 verdict #7:
+    # observed up to 1.5-2x run-to-run on a busy 32-core box). Reported
+    # per query: MIN (the headline, comparable to BASELINE.md and prior
+    # rounds) and MEDIAN (the noise indicator — a real regression moves
+    # both; noise moves only the median).
     # Per-query failure ISOLATION: one broken query must cost its own
     # number, never the whole bench (round-2 lesson: a single analysis
     # error aborted the run before the JSON line printed — a round with
     # zero perf signal). Failures time out as null and are listed in
     # "errors"; the JSON line ALWAYS prints.
-    timings: dict[str, float | None] = {}
+    runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in specs}
     errors: dict[str, str] = dict(warm_errors)
     for name, spec in specs.items():
         try:
             materialize(spec.fn(spark, sf_dir))
-            timings[name] = round(
-                _best_of(lambda: materialize(spec.fn(spark, sf_dir))), 3
-            )
         except Exception as ex:  # noqa: BLE001 - isolation is the point
-            timings[name] = None
             errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+    for _ in range(runs):
+        for name, spec in specs.items():
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                materialize(spec.fn(spark, sf_dir))
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+    timings = {
+        n: round(min(s), 3) if s else None for n, s in samples.items()
+    }
+    medians = {
+        n: round(sorted(s)[len(s) // 2], 3) if s else None
+        for n, s in samples.items()
+    }
 
     # same-machine DuckDB per query (the BASELINE.md comparator), so
     # cross-round ratio regressions are attributable to a specific query
@@ -152,13 +170,42 @@ def main() -> None:
     )
     # CDC micro-bench: change events through parse->explode->normalize
     # per second (the BASELINE.md ~79k events/s comparator; reference
-    # forwards one message at a time on one channel)
+    # forwards one message at a time on one channel). Measured on the
+    # PIPELINE itself (all CHANGE_COLUMNS incl. the change_json payload
+    # render, noop-materialized, min of `runs`) — rounds 1-3 derived
+    # this from q35's oracle-form timing, which adds a presentation
+    # select + global ORDER BY that is no part of the dispatch path the
+    # metric is defined over; q35's own timing still appears in
+    # "queries". The old basis is kept alongside as
+    # cdc_q35_events_per_s for cross-round comparability.
     cdc_events_per_s = None
+    cdc_q35_events_per_s = None
     try:
+        from speculare_pgcdc_spark.cdc.feedgen import (
+            feed_messages,
+            lookup_df,
+        )
+        from speculare_pgcdc_spark.cdc.pipeline import (
+            normalize_hypertables,
+            parse_wal2json,
+        )
+
+        def cdc_pipeline():
+            return normalize_hypertables(
+                parse_wal2json(feed_messages(spark, sf_dir)),
+                lookup_df(spark),
+            )
+
+        n_changes = cdc_pipeline().count()
+        materialize(cdc_pipeline())  # warm
+        pipe_sec = _best_of(
+            lambda: materialize(cdc_pipeline()), runs=runs
+        )
+        if pipe_sec > 0:
+            cdc_events_per_s = round(n_changes / pipe_sec)
         t35 = timings.get("q35_cdc_pipeline")
         if t35:
-            n_changes = registry["q35_cdc_pipeline"].fn(spark, sf_dir).count()
-            cdc_events_per_s = round(n_changes / t35)
+            cdc_q35_events_per_s = round(n_changes / t35)
     except Exception as ex:  # noqa: BLE001
         errors["cdc_micro"] = f"{type(ex).__name__}: {ex}"[:300]
 
@@ -170,11 +217,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "bench_runs": runs,
                 "tier1": tier1,
                 "tier2_total": tier2_total,
                 "duckdb_sec": duck,
                 "spark_over_duckdb": ratio,
                 "cdc_events_per_s": cdc_events_per_s,
+                "cdc_q35_events_per_s": cdc_q35_events_per_s,
                 "errors": errors,
                 "sf": float(sf) if sf else sf_dir,
             }

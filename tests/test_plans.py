@@ -103,7 +103,19 @@ def test_jaccard_join_is_equi_not_nested_loop(q):
     assert "CartesianProduct" not in p
 
 
-def test_hypertable_lookup_is_broadcast(q):
+def test_hypertable_lookup_is_literal_map_no_join(q):
+    # catalog-sized lookups inline as a literal map (the reference's
+    # startup-loaded HashMap, cdc/mod.rs:49-72): the CDC hot path must
+    # carry NO join at all — profiled ~2x on q35 vs the broadcast join
+    p = plan_string(q("q35_cdc_pipeline"))
+    assert "Join" not in p
+
+
+def test_hypertable_lookup_falls_back_to_broadcast_join(q, monkeypatch):
+    # catalogs over the inline cap keep the broadcast-join path
+    from speculare_pgcdc_spark.cdc import pipeline as pl
+
+    monkeypatch.setattr(pl, "LOOKUP_INLINE_MAX_ROWS", 0)
     p = plan_string(q("q35_cdc_pipeline"))
     assert "BroadcastHashJoin" in p
 
