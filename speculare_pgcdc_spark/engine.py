@@ -199,18 +199,21 @@ class Engine:
     ):
         """Like :meth:`watch`, but the feed is a database polled with a
         monotonic LSN cursor (streaming.wal_source — the R1-R7
-        replication-connection analog with acked offsets). The lsn is
-        carried through parse as the ``seq`` order key, so each
-        subscriber's outbox is in WAL order within every microbatch
-        (the reference's ordered-channel contract, forwarder/mod.rs:44).
-        Subscription changes apply live per microbatch, as in
-        :meth:`watch`."""
+        replication-connection analog with acked offsets). ``db_path``
+        is either a SQLite file (the harness backend) or a
+        ``jdbc:postgresql://`` URL (the production backend — same
+        cursor/ack protocol over psycopg). The lsn is carried through
+        parse as the ``seq`` order key, so each subscriber's outbox is
+        in WAL order within every microbatch (the reference's
+        ordered-channel contract, forwarder/mod.rs:44). Subscription
+        changes apply live per microbatch, as in :meth:`watch`."""
         from speculare_pgcdc_spark.streaming import wal_source
 
         wal_source.register(self.spark)
+        opt = "url" if db_path.startswith("jdbc:") else "path"
         src = (
             self.spark.readStream.format("wal_poll")
-            .option("path", db_path)
+            .option(opt, db_path)
             .load()
             .select("lsn", "payload")
         )

@@ -14,22 +14,31 @@ websocket sink), with the outbox as the durable channel.
 
 Protocol behavior mirrored from the reference:
 
-- ``GET <path>?query=<dsl>`` upgrade; a missing/invalid query returns
-  HTTP 400 BEFORE the upgrade (ws_handler.rs:35-46 ExplicitError) with
-  the DSL error text.
-- each accepted client gets a fresh id from a process-wide counter
-  (ID_COUNTER analog) used as its subscription id.
+- ``GET <path>?query=<dsl>`` upgrade; a missing/invalid query — or a
+  missing Sec-WebSocket-Key — returns HTTP 400 BEFORE the upgrade
+  (ws_handler.rs:35-46 ExplicitError) with the DSL error text.
+- ``/ping`` answers 200 "zpour" to any method (server.rs:27) — the
+  health route a load balancer probes.
+- each accepted client gets a fresh id from the sidecar's counter
+  (ID_COUNTER analog), skipping ids already registered out-of-band via
+  Engine.subscribe so a WS connect can never overwrite them.
 - client disconnect (close frame / EOF) unsubscribes it
   (ws_handler.rs ws_disconnected analog); with the live registry the
   routing join stops matching it on the next microbatch.
+- TLS (the reference's rustls path, server.rs:45-58): pass an
+  ``ssl.SSLContext`` to :meth:`WsSidecar.start` / cert+key paths to
+  :func:`run_sidecar_forever` for ``wss://``.
 
 The WebSocket layer itself is RFC 6455 with no dependencies: HTTP/1.1
 upgrade handshake (SHA-1 accept key), unmasked server->client text
 frames, masked client->server frames (only close/ping are expected and
-handled). Production deployments would terminate WS at any off-the-
-shelf gateway instead; this sidecar exists so the full reference
-surface — connect, subscribe via DSL, receive routed changes live —
-is runnable and tested end-to-end from this repo alone.
+handled; an unmasked client frame fails the connection with close 1002
+per §5.1, and a frame declaring more than MAX_CLIENT_FRAME bytes is
+refused with 1009 before any buffering). Production deployments would
+terminate WS at any off-the-shelf gateway instead; this sidecar exists
+so the full reference surface — connect, subscribe via DSL, receive
+routed changes live — is runnable and tested end-to-end from this repo
+alone.
 """
 
 from __future__ import annotations
@@ -39,13 +48,25 @@ import base64
 import hashlib
 import itertools
 import os
+import ssl as _ssl
 from typing import Callable, Optional
 from urllib.parse import parse_qs, unquote, urlsplit
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
-#: ID_COUNTER analog (monotone per process).
-_ids = itertools.count(1)
+#: client frames are control-plane only (close/ping/pong); anything
+#: declaring more than this many payload bytes is a protocol abuse —
+#: refuse before readexactly starts buffering toward a 2^63 header
+MAX_CLIENT_FRAME = 64 * 1024
+
+
+class WsProtocolError(Exception):
+    """Client violated RFC 6455; ``code`` is the close status to send
+    (1002 protocol error, 1009 message too big)."""
+
+    def __init__(self, code: int, msg: str) -> None:
+        super().__init__(msg)
+        self.code = code
 
 
 def accept_key(sec_websocket_key: str) -> str:
@@ -73,9 +94,20 @@ def encode_close_frame(code: int = 1000) -> bytes:
     return bytes([0x88, 2]) + code.to_bytes(2, "big")
 
 
-async def read_frame(reader: asyncio.StreamReader):
-    """Decode one client frame -> (opcode, payload bytes). Client
-    frames MUST be masked (RFC 6455 §5.1); raises on EOF."""
+async def read_frame(
+    reader: asyncio.StreamReader,
+    require_mask: bool = False,
+    max_len: int = 0,
+):
+    """Decode one frame -> (opcode, payload bytes); raises on EOF.
+
+    With ``require_mask`` (the server side of a client connection),
+    an unmasked frame raises :class:`WsProtocolError` 1002 — RFC 6455
+    §5.1 says the server MUST fail the connection, not silently decode
+    with a zero mask. ``max_len`` > 0 bounds the DECLARED length before
+    any payload is read, raising 1009 — otherwise one local client
+    could declare 2^63 bytes and balloon driver memory while
+    readexactly buffers toward it."""
     b1, b2 = await reader.readexactly(2)
     opcode = b1 & 0x0F
     masked = bool(b2 & 0x80)
@@ -84,11 +116,69 @@ async def read_frame(reader: asyncio.StreamReader):
         length = int.from_bytes(await reader.readexactly(2), "big")
     elif length == 127:
         length = int.from_bytes(await reader.readexactly(8), "big")
+    if require_mask and not masked:
+        raise WsProtocolError(1002, "client frame not masked")
+    if max_len and length > max_len:
+        raise WsProtocolError(1009, f"frame of {length} bytes refused")
     mask = await reader.readexactly(4) if masked else b"\x00" * 4
     data = await reader.readexactly(length)
     if masked:
         data = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
     return opcode, data
+
+
+class OutboxTailer:
+    """Incremental outbox reader: per-file byte offsets, so each poll
+    reads only APPENDED data instead of re-reading the whole outbox
+    (the previous read_lines-per-poll was O(total outbox) every 50 ms —
+    quadratic over a long-lived high-volume subscription). Understands
+    both delivery layouts (append-mode outbox.jsonl + per-batch files,
+    the fanout.read_outbox order) and only consumes complete lines, so
+    a half-appended line is left for the next poll. An idempotent
+    batch replay rewrites a file with identical bytes — the stored
+    offset already covers them, so replays emit nothing new."""
+
+    def __init__(self, out_dir: str, sub_id: int) -> None:
+        self.dir = os.path.join(out_dir, str(sub_id))
+        self._offsets: dict[str, int] = {}
+
+    @staticmethod
+    def _batch_no(name: str) -> int:
+        try:
+            return int(name.removeprefix("batch-").removesuffix(".jsonl"))
+        except ValueError:
+            return -1
+
+    def poll(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        names = sorted(
+            (n for n in os.listdir(self.dir) if n.endswith(".jsonl")),
+            key=lambda n: (n != "outbox.jsonl", self._batch_no(n)),
+        )
+        out: list[str] = []
+        for n in names:
+            path = os.path.join(self.dir, n)
+            off = self._offsets.get(n, 0)
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                continue
+            if size <= off:
+                continue
+            with open(path, "rb") as f:
+                f.seek(off)
+                chunk = f.read(size - off)
+            last_nl = chunk.rfind(b"\n")
+            if last_nl < 0:
+                continue
+            self._offsets[n] = off + last_nl + 1
+            out.extend(
+                ln.decode("utf-8")
+                for ln in chunk[: last_nl + 1].split(b"\n")[:-1]
+                if ln.strip()
+            )
+        return out
 
 
 class WsSidecar:
@@ -111,17 +201,29 @@ class WsSidecar:
         poll_interval: float = 0.05,
         path: str = "/ws",
         auth_from_headers: Optional[Callable[[dict], object]] = None,
+        id_taken: Optional[Callable[[int], bool]] = None,
     ) -> None:
         from speculare_pgcdc_spark.streaming.fanout import read_outbox
 
         self.out_dir = out_dir
         self.subscribe = subscribe
         self.unsubscribe = unsubscribe
+        #: custom read_lines keeps the suffix-framing contract; the
+        #: default outbox layout gets the offset-tracking OutboxTailer
+        self._custom_read_lines = read_lines
         self.read_lines = read_lines or (
             lambda sid: read_outbox(out_dir, sid)
         )
         self.poll_interval = poll_interval
         self.path = path
+        #: ID_COUNTER analog — per sidecar, and ``id_taken`` lets the
+        #: allocator skip ids registered directly via Engine.subscribe
+        #: (the public EP1 API): without the check a WS connect could
+        #: silently overwrite such a registry entry and then delete it
+        #: on disconnect. The reference avoids this only because its
+        #: ID_COUNTER is the sole id source (main.rs:52).
+        self._ids = itertools.count(1)
+        self._id_taken = id_taken or (lambda _i: False)
         #: optional auth gate (the reference's cookie->AuthInfo extract,
         #: auth.rs:100-123): maps request headers -> an auth object the
         #: subscribe callable understands, raising cdc.auth.AuthError to
@@ -149,12 +251,27 @@ class WsSidecar:
             out_dir,
             subscribe=subscribe,
             unsubscribe=engine.unsubscribe,
+            id_taken=lambda i: i in engine._subs,
             **kw,
         )
 
-    async def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+    def _next_id(self) -> int:
+        while True:
+            i = next(self._ids)
+            if not self._id_taken(i):
+                return i
+
+    async def start(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        ssl_context: Optional[_ssl.SSLContext] = None,
+    ) -> int:
+        """Bind and serve; returns the bound port. Pass a server-side
+        ``ssl.SSLContext`` for wss:// — the reference's rustls path
+        (server.rs:45-58), where cert/key come from config."""
         self._server = await asyncio.start_server(
-            self._handle, host, port
+            self._handle, host, port, ssl=ssl_context
         )
         return self._server.sockets[0].getsockname()[1]
 
@@ -184,11 +301,24 @@ class WsSidecar:
                     k, v = line.split(":", 1)
                     headers[k.strip().lower()] = v.strip()
             url = urlsplit(target)
+            if url.path == "/ping":
+                # health route, any method (server.rs:27)
+                await self._http_ok(writer, "zpour")
+                return
             if method != "GET" or url.path != self.path:
                 await self._http_error(writer, 404, "not found")
                 return
             if "websocket" not in headers.get("upgrade", "").lower():
                 await self._http_error(writer, 400, "expected upgrade")
+                return
+            key = headers.get("sec-websocket-key", "")
+            if not key.strip():
+                # computing the accept key over "" would complete a
+                # handshake no conforming client sent — reject like the
+                # other pre-upgrade validation paths
+                await self._http_error(
+                    writer, 400, "missing Sec-WebSocket-Key"
+                )
                 return
             qs = parse_qs(url.query)
             if "query" not in qs:
@@ -198,7 +328,7 @@ class WsSidecar:
                 )
                 return
             dsl = unquote(qs["query"][0])
-            sub_id = next(_ids)
+            sub_id = self._next_id()
             try:
                 if self.auth_from_headers is not None:
                     from speculare_pgcdc_spark.cdc.auth import AuthError
@@ -222,7 +352,6 @@ class WsSidecar:
                 sub_id = None
                 await self._http_error(writer, 400, str(ex))
                 return
-            key = headers.get("sec-websocket-key", "")
             writer.write(
                 (
                     "HTTP/1.1 101 Switching Protocols\r\n"
@@ -252,29 +381,47 @@ class WsSidecar:
         (close frame / EOF). One tailer + one reader task per client —
         the reference's per-client forward task + receive loop."""
         stop = asyncio.Event()
+        fail_code: list[int] = []
 
         async def recv_loop():
             try:
                 while True:
-                    opcode, data = await read_frame(reader)
+                    opcode, data = await read_frame(
+                        reader,
+                        require_mask=True,
+                        max_len=MAX_CLIENT_FRAME,
+                    )
                     if opcode == 0x8:  # close
                         break
                     if opcode == 0x9:  # ping -> pong
                         writer.write(bytes([0x8A, len(data)]) + data)
                         await writer.drain()
+            except WsProtocolError as ex:
+                # RFC 6455 §5.1 / §7.4.1: fail the connection with the
+                # violation's close status instead of silently decoding
+                fail_code.append(ex.code)
             except (asyncio.IncompleteReadError, ConnectionResetError):
                 pass
             finally:
                 stop.set()
 
         recv = asyncio.create_task(recv_loop())
-        sent = 0
+        if self._custom_read_lines is not None:
+            sent = 0
+
+            def poll() -> list[str]:
+                nonlocal sent
+                lines = self.read_lines(sub_id)
+                new = lines[sent:]
+                sent = max(sent, len(lines))
+                return new
+
+        else:
+            poll = OutboxTailer(self.out_dir, sub_id).poll
         try:
             while not stop.is_set():
-                lines = self.read_lines(sub_id)
-                for line in lines[sent:]:
+                for line in poll():
                     writer.write(encode_text_frame(line))
-                sent = max(sent, len(lines))
                 await writer.drain()
                 try:
                     await asyncio.wait_for(
@@ -282,12 +429,27 @@ class WsSidecar:
                     )
                 except asyncio.TimeoutError:
                     pass
-            writer.write(encode_close_frame())
+            writer.write(
+                encode_close_frame(fail_code[0] if fail_code else 1000)
+            )
             await writer.drain()
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:
             recv.cancel()
+
+    @staticmethod
+    async def _http_ok(writer, msg: str) -> None:
+        body = msg.encode()
+        writer.write(
+            (
+                "HTTP/1.1 200 OK\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            + body
+        )
+        await writer.drain()
 
     @staticmethod
     async def _http_error(writer, code: int, msg: str) -> None:
@@ -308,16 +470,40 @@ class WsSidecar:
         await writer.drain()
 
 
+def server_ssl_context(certfile: str, keyfile: str) -> _ssl.SSLContext:
+    """Server-side TLS context from PEM cert + key paths — the
+    RustlsConfig::from_pem_file analog (server.rs:48-55)."""
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    return ctx
+
+
 def run_sidecar_forever(
-    engine, out_dir: str, host: str = "127.0.0.1", port: int = 8080
+    engine,
+    out_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    certfile: Optional[str] = None,
+    keyfile: Optional[str] = None,
 ) -> None:
     """Blocking entry point: serve an Engine's subscriptions over WS
-    (the `create_server` + `axum::serve` analog, server.rs:18-66)."""
+    (the `create_server` + `axum::serve` analog, server.rs:18-66).
+    With ``certfile``/``keyfile`` the server speaks TLS (wss://) —
+    the CONFIG.https + key_cert/key_priv path (server.rs:45-58)."""
 
     async def main():
         sidecar = WsSidecar.for_engine(engine, out_dir)
-        bound = await sidecar.start(host, port)
-        print(f"ws sidecar listening on ws://{host}:{bound}{sidecar.path}")
+        ctx = (
+            server_ssl_context(certfile, keyfile)
+            if certfile and keyfile
+            else None
+        )
+        bound = await sidecar.start(host, port, ssl_context=ctx)
+        scheme = "wss" if ctx else "ws"
+        print(
+            f"ws sidecar listening on {scheme}://{host}:{bound}"
+            f"{sidecar.path}"
+        )
         await asyncio.Event().wait()
 
     asyncio.run(main())

@@ -1,0 +1,140 @@
+"""Config-file surface (utils/config.rs analog): TOML -> typed Config
+with the reference's defaults, required fields, and eager validation.
+No Spark needed — the config layer is pure Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from speculare_pgcdc_spark.config import (
+    DEFAULT_AUTH_MAXCONN,
+    DEFAULT_BINDING,
+    Config,
+    ConfigError,
+    config_from_dict,
+    load_config,
+)
+
+MINIMAL = """
+database_host = "db.internal"
+database_dbname = "app"
+database_user = "cdc"
+database_password = "secret"
+"""
+
+
+def _write(tmp_path, text, name="pgcdc.config"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_minimal_config_gets_reference_defaults(tmp_path):
+    cfg = load_config(_write(tmp_path, MINIMAL))
+    # config.rs:54-69 defaults
+    assert cfg.binding == DEFAULT_BINDING == "0.0.0.0:8080"
+    assert cfg.https is False
+    assert cfg.database_tls is False
+    assert cfg.auth_database_max_connection == DEFAULT_AUTH_MAXCONN == 10
+    assert cfg.key_cert is None and cfg.key_priv is None
+    assert not cfg.auth_enabled
+
+
+def test_missing_required_field_fails_at_load(tmp_path):
+    p = _write(tmp_path, 'database_host = "h"\ndatabase_dbname = "d"\n')
+    with pytest.raises(ConfigError, match="database_user"):
+        load_config(p)
+
+
+def test_malformed_toml_and_missing_file_raise_config_error(tmp_path):
+    with pytest.raises(ConfigError, match="malformed"):
+        load_config(_write(tmp_path, "database_host = [unclosed"))
+    with pytest.raises(ConfigError, match="cannot read"):
+        load_config(str(tmp_path / "nope.toml"))
+
+
+def test_https_requires_cert_and_key():
+    # field_isset! analog (server.rs:48-55), enforced at load time
+    with pytest.raises(ConfigError, match="key_cert and key_priv"):
+        config_from_dict(
+            {
+                "database_host": "h",
+                "database_dbname": "d",
+                "database_user": "u",
+                "database_password": "p",
+                "https": True,
+            }
+        )
+
+
+def test_full_config_round_trip(tmp_path):
+    cfg = load_config(
+        _write(
+            tmp_path,
+            MINIMAL
+            + """
+database_tls = true
+binding = "127.0.0.1:9443"
+https = true
+key_cert = "/etc/ssl/c.pem"
+key_priv = "/etc/ssl/k.pem"
+cookie_secret = "cs"
+admin_secret = "as"
+auth_database_url = "postgres://auth"
+auth_database_max_connection = 3
+""",
+        )
+    )
+    assert cfg.https and cfg.database_tls
+    assert cfg.auth_enabled
+    kw = cfg.sidecar_kwargs()
+    assert kw == {
+        "host": "127.0.0.1",
+        "port": 9443,
+        "certfile": "/etc/ssl/c.pem",
+        "keyfile": "/etc/ssl/k.pem",
+    }
+    assert (
+        cfg.jdbc_url()
+        == "jdbc:postgresql://db.internal:5432/app?ssl=true&sslmode=require"
+    )
+    assert cfg.jdbc_properties()["user"] == "cdc"
+
+
+def test_bad_binding_and_bad_types_rejected():
+    base = {
+        "database_host": "h",
+        "database_dbname": "d",
+        "database_user": "u",
+        "database_password": "p",
+    }
+    with pytest.raises(ConfigError, match="must be a boolean"):
+        config_from_dict({**base, "https": "yes"})
+    cfg = config_from_dict({**base, "binding": "nonsense"})
+    with pytest.raises(ConfigError, match="host:port"):
+        cfg.sidecar_kwargs()
+
+
+def test_unknown_keys_surface_in_extra():
+    cfg = config_from_dict(
+        {
+            "database_host": "h",
+            "database_dbname": "d",
+            "database_user": "u",
+            "database_password": "p",
+            "databsae_tls": True,  # typo'd key must be findable
+        }
+    )
+    assert cfg.extra == {"databsae_tls": True}
+
+
+def test_host_with_explicit_port_kept():
+    cfg = config_from_dict(
+        {
+            "database_host": "h:6432",
+            "database_dbname": "d",
+            "database_user": "u",
+            "database_password": "p",
+        }
+    )
+    assert cfg.jdbc_url() == "jdbc:postgresql://h:6432/d"

@@ -1,0 +1,144 @@
+"""wal_poll backend protocol (round-3 verdict #5): the reader's
+cursor/ack contract driven against a STUB backend — proving the
+protocol is backend-agnostic — plus the pure JDBC-URL plumbing of the
+PostgreSQL backend. The sqlite end-to-end twin (real readStream) lives
+in tests/test_streaming.py; no Spark needed here."""
+
+from __future__ import annotations
+
+import pytest
+
+from speculare_pgcdc_spark.streaming.wal_source import (
+    BACKENDS,
+    PostgresWalBackend,
+    WalBackend,
+    WalPollReader,
+    jdbc_url_to_dsn,
+)
+
+
+class StubBackend(WalBackend):
+    """In-memory WAL with call recording."""
+
+    def __init__(self, rows):
+        self.rows = sorted(rows)
+        self.acked = []
+        self.calls = []
+
+    def poll(self, after, limit):
+        self.calls.append(("poll", after, limit))
+        out = []
+        for lsn, payload in self.rows:
+            if lsn > after:
+                if len({x[0] for x in out}) >= limit and lsn not in {
+                    x[0] for x in out
+                }:
+                    break
+                out.append((lsn, payload))
+        return out
+
+    def fetch_range(self, start, end):
+        self.calls.append(("fetch_range", start, end))
+        return [(l, p) for l, p in self.rows if start < l <= end]
+
+    def ack(self, lsn):
+        self.acked.append(lsn)
+
+
+def _reader_with(stub):
+    BACKENDS["stub-test"] = lambda o: stub
+    try:
+        return WalPollReader({"backend": "stub-test", "batchlimit": "2"})
+    finally:
+        del BACKENDS["stub-test"]
+
+
+def test_reader_protocol_against_stub():
+    """The full offset lifecycle: initial -> poll-advance -> replay ->
+    ack, identical to the sqlite path's behavior tests."""
+    stub = StubBackend([(10, "a"), (20, "b"), (30, "c")])
+    r = _reader_with(stub)
+
+    start = r.initialOffset()
+    assert start == {"lsn": 0}
+
+    rows, end = r.read(start)
+    assert list(rows) == [(10, "a"), (20, "b")]  # batchlimit=2
+    assert end == {"lsn": 20}
+    assert stub.calls[0] == ("poll", 0, 2)
+
+    # replay of the committed range hits fetch_range with the exact
+    # checkpointed bounds, no batch limit
+    replay = list(r.readBetweenOffsets(start, end))
+    assert replay == [(10, "a"), (20, "b")]
+    assert stub.calls[-1] == ("fetch_range", 0, 20)
+
+    # commit acks the end offset (standby-status-update analog)
+    r.commit(end)
+    assert stub.acked == [20]
+
+    # next poll resumes past the cursor
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [(30, "c")] and end2 == {"lsn": 30}
+
+    # empty poll keeps the offset unchanged
+    rows3, end3 = r.read(end2)
+    assert list(rows3) == [] and end3 == end2
+
+
+def test_reader_rejects_backwards_replay_range():
+    r = _reader_with(StubBackend([]))
+    with pytest.raises(ValueError, match="non-monotonic"):
+        r.readBetweenOffsets({"lsn": 5}, {"lsn": 3})
+
+
+def test_backend_selection_errors_without_source():
+    with pytest.raises(ValueError, match="path.*url.*backend"):
+        WalPollReader({})
+
+
+def test_jdbc_url_to_dsn():
+    dsn = jdbc_url_to_dsn("jdbc:postgresql://db.example:6432/app")
+    assert dsn == {"host": "db.example", "port": 6432, "dbname": "app"}
+    # defaults + credentials via args override query params
+    dsn = jdbc_url_to_dsn(
+        "jdbc:postgresql://db/app?user=qu&password=qp&ssl=true",
+        user="u2",
+    )
+    assert dsn["port"] == 5432 and dsn["user"] == "u2"
+    assert dsn["password"] == "qp" and dsn["sslmode"] == "require"
+    for bad in (
+        "jdbc:mysql://h/d",
+        "jdbc:postgresql:///nodb",
+        "jdbc:postgresql://host",
+    ):
+        with pytest.raises(ValueError):
+            jdbc_url_to_dsn(bad)
+
+
+def test_postgres_backend_validates_without_driver():
+    """Construction validates the URL and table names eagerly; only
+    connecting needs psycopg (absent here -> ImportError, not a hang)."""
+    b = PostgresWalBackend("jdbc:postgresql://h/d", user="u")
+    assert b.dsn["host"] == "h"
+    with pytest.raises(ValueError, match="suspicious table name"):
+        PostgresWalBackend(
+            "jdbc:postgresql://h/d", wal_table="wal; DROP TABLE x"
+        )
+    with pytest.raises(ImportError, match="psycopg"):
+        b._connect()
+
+
+def test_backend_selection_by_option():
+    from speculare_pgcdc_spark.streaming.wal_source import (
+        SqliteWalBackend,
+        _backend_from_options,
+    )
+
+    assert isinstance(
+        _backend_from_options({"path": "/tmp/x.db"}), SqliteWalBackend
+    )
+    b = _backend_from_options(
+        {"url": "jdbc:postgresql://h/d", "wal_table": "relay"}
+    )
+    assert isinstance(b, PostgresWalBackend) and b.wal_table == "relay"

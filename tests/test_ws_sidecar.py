@@ -9,6 +9,8 @@ import asyncio
 import json
 import os
 
+import pytest
+
 from speculare_pgcdc_spark.cdc.feedgen import FEED_TABLES, lookup_df
 from speculare_pgcdc_spark.service.ws_sidecar import (
     WsSidecar,
@@ -258,6 +260,311 @@ def test_ws_malformed_request_line_gets_400(spark, tmp_path):
             await writer.drain()
             status = (await reader.readline()).decode()
             assert "400" in status
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+class _FakeRegistry:
+    """Engine-free subscribe/unsubscribe target so protocol tests don't
+    need a SparkSession."""
+
+    def __init__(self):
+        self.subs = {}
+
+    def subscribe(self, sub_id, dsl):
+        self.subs[sub_id] = dsl
+
+    def unsubscribe(self, sub_id):
+        self.subs.pop(sub_id, None)
+
+
+def _sidecar(tmp_path, **kw):
+    reg = _FakeRegistry()
+    sidecar = WsSidecar(
+        str(tmp_path / "out"),
+        subscribe=reg.subscribe,
+        unsubscribe=reg.unsubscribe,
+        poll_interval=0.01,
+        **kw,
+    )
+    return sidecar, reg
+
+
+def test_ping_health_route(tmp_path):
+    """/ping answers 200 "zpour" to any method (server.rs:27) — no
+    upgrade headers required."""
+
+    async def scenario():
+        sidecar, _ = _sidecar(tmp_path)
+        port = await sidecar.start()
+        try:
+            for method in ("GET", "POST"):
+                reader, writer = await asyncio.open_connection(
+                    "127.0.0.1", port
+                )
+                writer.write(
+                    f"{method} /ping HTTP/1.1\r\nHost: x\r\n\r\n".encode()
+                )
+                await writer.drain()
+                status = (await reader.readline()).decode()
+                assert "200" in status
+                body = await reader.read(1024)
+                assert b"zpour" in body
+                writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+def test_missing_sec_websocket_key_gets_400(tmp_path):
+    async def scenario():
+        sidecar, reg = _sidecar(tmp_path)
+        port = await sidecar.start()
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", port
+            )
+            writer.write(
+                b"GET /ws?query=insert:events_a HTTP/1.1\r\nHost: x\r\n"
+                b"Upgrade: websocket\r\nConnection: Upgrade\r\n\r\n"
+            )
+            await writer.drain()
+            status = (await reader.readline()).decode()
+            assert "400" in status
+            assert reg.subs == {}  # rejected before registration
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+async def _upgraded(tmp_path, sidecar_kw=None, query="insert:events_a"):
+    sidecar, reg = _sidecar(tmp_path, **(sidecar_kw or {}))
+    port = await sidecar.start()
+    reader, writer, status, _ = await _handshake(port, query)
+    assert "101" in status
+    return sidecar, reg, reader, writer
+
+
+def _read_close_code(data: bytes) -> int:
+    return int.from_bytes(data[:2], "big")
+
+
+def test_unmasked_client_frame_fails_connection_1002(tmp_path):
+    """RFC 6455 §5.1: the server must fail the connection on an
+    unmasked client frame, not silently decode it with a zero mask."""
+
+    async def scenario():
+        sidecar, reg, reader, writer = await _upgraded(tmp_path)
+        try:
+            # unmasked ping frame (mask bit unset)
+            writer.write(bytes([0x89, 0x00]))
+            await writer.drain()
+            while True:
+                opcode, data = await asyncio.wait_for(
+                    read_frame(reader), timeout=10
+                )
+                if opcode == 0x8:
+                    assert _read_close_code(data) == 1002
+                    break
+            await asyncio.sleep(0.05)
+            assert reg.subs == {}  # violation unsubscribes
+        finally:
+            writer.close()
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+def test_oversized_declared_frame_refused_1009(tmp_path):
+    """A client declaring a giant frame must be refused BEFORE the
+    payload is buffered (close 1009), not read toward 2^63 bytes."""
+
+    async def scenario():
+        sidecar, reg, reader, writer = await _upgraded(tmp_path)
+        try:
+            # masked frame declaring 2^40 bytes, no payload sent
+            writer.write(
+                bytes([0x81, 0x80 | 127])
+                + (1 << 40).to_bytes(8, "big")
+                + b"\x12\x34\x56\x78"
+            )
+            await writer.drain()
+            while True:
+                opcode, data = await asyncio.wait_for(
+                    read_frame(reader), timeout=10
+                )
+                if opcode == 0x8:
+                    assert _read_close_code(data) == 1009
+                    break
+        finally:
+            writer.close()
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+def test_ws_ids_skip_registry_entries(tmp_path):
+    """ADVICE r3: the WS id counter must not collide with ids
+    registered directly via Engine.subscribe — a colliding connect
+    would silently overwrite that entry and delete it on disconnect."""
+
+    async def scenario():
+        reg = _FakeRegistry()
+        reg.subs[1] = "pre-existing"  # registered out-of-band
+        reg.subs[2] = "pre-existing-2"
+        sidecar = WsSidecar(
+            str(tmp_path / "out"),
+            subscribe=reg.subscribe,
+            unsubscribe=reg.unsubscribe,
+            poll_interval=0.01,
+            id_taken=lambda i: i in reg.subs,
+        )
+        port = await sidecar.start()
+        try:
+            reader, writer, status, _ = await _handshake(
+                port, "insert:events_a"
+            )
+            assert "101" in status
+            await asyncio.sleep(0.05)
+            # the connect took id 3, not 1
+            assert reg.subs[1] == "pre-existing"
+            assert reg.subs[2] == "pre-existing-2"
+            assert reg.subs[3] == "insert:events_a"
+            writer.write(_client_frame(0x8))
+            await writer.drain()
+            await asyncio.sleep(0.2)
+            assert 3 not in reg.subs  # only ITS id removed
+            assert 1 in reg.subs and 2 in reg.subs
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+def test_outbox_tailer_reads_only_appended_bytes(tmp_path):
+    """ADVICE r3: the tailer must be incremental — each poll reads only
+    appended data, only complete lines, across both outbox layouts."""
+    from speculare_pgcdc_spark.service.ws_sidecar import OutboxTailer
+
+    d = tmp_path / "out" / "7"
+    os.makedirs(d)
+    t = OutboxTailer(str(tmp_path / "out"), 7)
+
+    (d / "outbox.jsonl").write_text("a\nb\n")
+    assert t.poll() == ["a", "b"]
+    assert t.poll() == []  # nothing new -> nothing re-read
+
+    with open(d / "outbox.jsonl", "a") as f:
+        f.write("c\npartial")  # half-appended line stays pending
+    assert t.poll() == ["c"]
+    with open(d / "outbox.jsonl", "a") as f:
+        f.write("-done\n")
+    assert t.poll() == ["partial-done"]
+
+    # per-batch files tail in numeric batch order
+    (d / "batch-2.jsonl").write_text("x2\n")
+    (d / "batch-10.jsonl").write_text("x10\n")
+    assert t.poll() == ["x2", "x10"]
+    # idempotent replay rewrites identical bytes -> nothing new
+    (d / "batch-2.jsonl").write_text("x2\n")
+    assert t.poll() == []
+
+
+def test_wss_tls_handshake_and_frames(tmp_path):
+    """TLS termination in the sidecar (server.rs:45-58 rustls analog):
+    a wss:// client completes the upgrade and receives outbox frames
+    over the encrypted channel. Ephemeral self-signed cert — generated
+    in-test, nothing committed."""
+    import datetime
+    import ssl
+
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "localhost")]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(hours=1))
+        .sign(key, hashes.SHA256())
+    )
+    certfile = tmp_path / "cert.pem"
+    keyfile = tmp_path / "key.pem"
+    certfile.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyfile.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        )
+    )
+
+    from speculare_pgcdc_spark.service.ws_sidecar import (
+        server_ssl_context,
+    )
+
+    out_dir = tmp_path / "out"
+    os.makedirs(out_dir / "1")
+    (out_dir / "1" / "outbox.jsonl").write_text('{"n":1}\n')
+
+    async def scenario():
+        reg = _FakeRegistry()
+        sidecar = WsSidecar(
+            str(out_dir),
+            subscribe=reg.subscribe,
+            unsubscribe=reg.unsubscribe,
+            poll_interval=0.01,
+        )
+        port = await sidecar.start(
+            ssl_context=server_ssl_context(str(certfile), str(keyfile))
+        )
+        try:
+            client_ctx = ssl.create_default_context()
+            client_ctx.check_hostname = False
+            client_ctx.verify_mode = ssl.CERT_NONE
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", port, ssl=client_ctx
+            )
+            assert writer.get_extra_info("ssl_object") is not None
+            writer.write(
+                (
+                    "GET /ws?query=insert:events_a HTTP/1.1\r\n"
+                    "Host: localhost\r\n"
+                    "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n"
+                ).encode()
+            )
+            await writer.drain()
+            status = (await reader.readline()).decode()
+            assert "101" in status
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b""):
+                    break
+            opcode, data = await asyncio.wait_for(
+                read_frame(reader), timeout=10
+            )
+            assert opcode == 0x1 and json.loads(data) == {"n": 1}
+            writer.write(_client_frame(0x8))
+            await writer.drain()
             writer.close()
         finally:
             await sidecar.stop()
