@@ -1,0 +1,129 @@
+"""Apply a parsed change feed to a base snapshot — the canonical
+DOWNSTREAM consumer of the reference's change stream (speculare-pgcdc
+stops at fan-out; every real deployment's next step is maintaining a
+queryable copy: upsert inserts/updates, drop deletes).
+
+Input is the normalized CHANGE_COLUMNS frame (cdc.pipeline). The key of
+an insert/update comes from its row map; a delete carries no columns
+(wal2json v1 ``oldkeys`` / v2 ``identity`` — the §2A quirk), so its key
+is extracted from the raw payload (``change_json``), which both parse
+branches preserve verbatim.
+
+Scale shape: latest-change-per-key is ONE hash aggregation
+(max_by over the (seq, chg_idx) WAL order — no window, no sort), the
+merge is one equi-join on the key. With the base bucketed by key
+(sources.write_bucketed) the join side is co-located and the whole
+apply is a single shuffle of the (small) change batch. The snapshot
+OVERWRITE in :func:`start_apply_query` is the local-parquet stand-in
+for a real table format's row-level MERGE (Delta/Iceberg) — the apply
+PLAN is the part that carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _change_key(key_col: str):
+    """The change's key as a string: row map for inserts/updates,
+    oldkeys (v1) / identity (v2) from the raw payload for deletes."""
+    return F.coalesce(
+        F.try_element_at("row_str", F.lit(key_col)),
+        F.get_json_object("change_json", "$.oldkeys.keyvalues[0]"),
+        F.get_json_object("change_json", "$.identity[0].value"),
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    columns: dict[str, str],
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Merge a change batch into ``base``: the snapshot after applying,
+    per key, the LATEST change in WAL order (seq, chg_idx) — upserts
+    replace the row, deletes remove it, untouched keys pass through.
+
+    ``columns`` maps output column name -> cast type; the result (and
+    the base projection) has exactly ``key_col`` + these columns, in
+    that order. ``tables`` restricts which normalized table_names apply
+    (None = all). Assumes one logical key space across the applied
+    tables (the hypertable-chunk case: all chunks of one table).
+    """
+    ordered = [key_col, *[c for c in columns if c != key_col]]
+    rel = changes if tables is None else changes.filter(
+        F.col("table_name").isin(tables)
+    )
+    key_t = columns.get(key_col, "string")
+    keyed = rel.select(
+        _change_key(key_col).cast(key_t).alias(key_col),
+        F.struct("seq", "chg_idx").alias("_ord"),
+        F.struct("kind", "row_str").alias("_chg"),
+    ).filter(F.col(key_col).isNotNull())
+    latest = keyed.groupBy(key_col).agg(
+        F.max_by("_chg", "_ord").alias("_chg")
+    )
+    upserts = latest.filter(F.col("_chg.kind") != "delete").select(
+        F.col(key_col),
+        *[
+            F.try_element_at("_chg.row_str", F.lit(c))
+            .cast(t)
+            .alias(c)
+            for c, t in columns.items()
+            if c != key_col
+        ],
+    )
+    survivors = base.select(
+        *[F.col(c).cast(columns.get(c, "string")).alias(c) for c in ordered]
+    ).join(latest.select(key_col), key_col, "left_anti")
+    return survivors.unionByName(upserts)
+
+
+def start_apply_query(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    columns: dict[str, str],
+    tables: list[str] | None = None,
+    query_name: str = "cdc-apply",
+    available_now: bool = False,
+):
+    """Maintain a parquet snapshot from the live change stream: each
+    microbatch reads the current snapshot, applies the batch
+    (:func:`apply_changes`), and atomically replaces it — the
+    materialized-table consumer of watch()'s dataflow. foreachBatch +
+    checkpointed offsets give at-least-once application; apply is
+    idempotent per batch (latest-change-per-key), so replays converge.
+
+    The full-overwrite is correct-but-local: a durable deployment
+    swaps this writer for a table format with row-level merge; the
+    upstream plan is unchanged."""
+    import os
+    import shutil
+
+    spark = changes_stream.sparkSession
+    ordered = [key_col, *[c for c in columns if c != key_col]]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = spark.read.parquet(snapshot_dir)
+        out = apply_changes(base, batch_df, key_col, columns, tables)
+        tmp = f"{snapshot_dir}.b{batch_id}.tmp"
+        out.select(*ordered).write.mode("overwrite").parquet(tmp)
+        old = f"{snapshot_dir}.old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        shutil.rmtree(old)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -126,3 +126,48 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         F.try_element_at("row_str", F.lit("event_id")).alias("id"),
         F.try_element_at("row_typed", F.lit("event_type")).alias("etype"),
     ).orderBy("table_name", "kind", "id")
+
+
+@register(
+    "q96_cdc_apply",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 11 <> 0
+                     AND (isnan(value) OR isinf(value)) THEN NULL
+                ELSE value END AS value
+    FROM events
+    WHERE NOT (event_id % 11 <> 0 AND event_id % 3 = 2)
+    ORDER BY event_id
+    """,
+    doc="CDC APPLY (the downstream consumer the reference leaves to "
+    "its users): merge the parsed change feed into a base snapshot — "
+    "latest change per key in WAL order via ONE max_by hash agg (no "
+    "window/sort), upserts replace rows, deletes (key from oldkeys/"
+    "identity in the raw payload — deletes carry no columns, the §2A "
+    "quirk) remove them, untouched keys pass through an anti-join "
+    "(cdc/apply.py). Changes on the unknown _hyper_9 chunk stay "
+    "unapplied (fall-back-to-raw-name never matches events_a/b). "
+    "Oracle recomputes the end state from events arithmetic: %3 in "
+    "(0,1) upserts with the JSON round-trip's non-finite-doubles->null "
+    "mapping, %3=2 deletes, %11=0 untouched.",
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+    from speculare_pgcdc_spark.catalog import table
+
+    feed = feed_messages(spark, sf)
+    changes = normalize_hypertables(
+        parse_wal2json(feed), lookup_df(spark)
+    )
+    base = table(spark, sf, "events")
+    return apply_changes(
+        base,
+        changes,
+        key_col="event_id",
+        columns={
+            "event_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+        },
+        tables=FEED_TABLES,
+    ).orderBy("event_id")

@@ -199,3 +199,25 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(name)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 companion: ORC scan — same pushdown/pruning contract as the
+    parquet scan (predicate + column pruning reach the ORC reader;
+    round-trip + pruning proven in tests/test_sources.py). Completes
+    the columnar-format surface next to parquet/CSV/JSON-lines."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Optional[list[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """S5: ORC sink (snappy by default, like the parquet sink)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

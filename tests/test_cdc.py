@@ -260,3 +260,145 @@ def test_malformed_column_names_dropped_not_poison(spark, fmt):
     rows = parse_wal2json(df, fmt=fmt).collect()
     assert len(rows) == 1
     assert rows[0]["row_str"] == {"a": "1"}
+
+
+def _apply_changes_df(spark, payload_rows, base_rows):
+    """Parse (lsn, payload) rows and apply onto a literal base."""
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+
+    feed = spark.createDataFrame(payload_rows, "lsn bigint, payload string")
+    changes = parse_wal2json(feed, seq_col="lsn").withColumn(
+        "table_name", F.col("table")
+    )
+    base = spark.createDataFrame(base_rows, "id bigint, name string")
+    return apply_changes(
+        base,
+        changes,
+        key_col="id",
+        columns={"id": "bigint", "name": "string"},
+    )
+
+
+def _msg(kind, id_, name=None):
+    if kind == "delete":
+        return (
+            '{"change":[{"kind":"delete","table":"t",'
+            '"oldkeys":{"keynames":["id"],"keyvalues":[%d]}}]}' % id_
+        )
+    return (
+        '{"change":[{"kind":"%s","table":"t",'
+        '"columnnames":["id","name"],"columnvalues":[%d,"%s"]}]}'
+        % (kind, id_, name)
+    )
+
+
+def test_apply_changes_upsert_delete_passthrough(spark):
+    """One change per key: insert adds, update replaces, delete removes
+    (key via oldkeys — deletes carry no columns), untouched keys pass
+    through unchanged."""
+    got = _apply_changes_df(
+        spark,
+        [
+            (10, _msg("insert", 4, "new")),
+            (11, _msg("update", 1, "one-v2")),
+            (12, _msg("delete", 2)),
+        ],
+        [(1, "one"), (2, "two"), (3, "three")],
+    )
+    rows = {r["id"]: r["name"] for r in got.collect()}
+    assert rows == {1: "one-v2", 3: "three", 4: "new"}
+
+
+def test_apply_changes_latest_in_wal_order_wins(spark):
+    """Multiple changes on one key collapse to the LATEST by
+    (seq, chg_idx) — including delete-then-reinsert and
+    update-then-delete, in either arrival order."""
+    got = _apply_changes_df(
+        spark,
+        [
+            # key 1: update @5 then delete @9 -> gone
+            (9, _msg("delete", 1)),
+            (5, _msg("update", 1, "stale")),
+            # key 2: delete @5 then reinsert @8 -> back with new value
+            (8, _msg("insert", 2, "reborn")),
+            (5, _msg("delete", 2)),
+            # key 3: two updates, higher lsn wins
+            (6, _msg("update", 3, "v6")),
+            (7, _msg("update", 3, "v7")),
+        ],
+        [(1, "one"), (2, "two"), (3, "three")],
+    )
+    rows = {r["id"]: r["name"] for r in got.collect()}
+    assert rows == {2: "reborn", 3: "v7"}
+
+
+def test_apply_changes_chg_idx_breaks_seq_ties(spark):
+    """Changes within one transaction message share a seq; the
+    posexplode index must order them (later change in the array wins)."""
+    msg = (
+        '{"change":['
+        '{"kind":"insert","table":"t","columnnames":["id","name"],'
+        '"columnvalues":[1,"first"]},'
+        '{"kind":"update","table":"t","columnnames":["id","name"],'
+        '"columnvalues":[1,"second"]}]}'
+    )
+    got = _apply_changes_df(spark, [(4, msg)], [])
+    rows = {r["id"]: r["name"] for r in got.collect()}
+    assert rows == {1: "second"}
+
+
+def test_apply_changes_table_scoped(spark):
+    """tables=... restricts application; other tables' changes (and the
+    unknown-chunk fallback names) leave the base untouched."""
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+
+    feed = spark.createDataFrame(
+        [
+            (1, _msg("delete", 1).replace('"t"', '"t_other"')),
+            (2, _msg("update", 2, "hit").replace('"t"', '"t_in"')),
+        ],
+        "lsn bigint, payload string",
+    )
+    changes = parse_wal2json(feed, seq_col="lsn").withColumn(
+        "table_name", F.col("table")
+    )
+    base = spark.createDataFrame(
+        [(1, "keep"), (2, "old")], "id bigint, name string"
+    )
+    got = apply_changes(
+        base,
+        changes,
+        key_col="id",
+        columns={"id": "bigint", "name": "string"},
+        tables=["t_in"],
+    )
+    rows = {r["id"]: r["name"] for r in got.collect()}
+    assert rows == {1: "keep", 2: "hit"}
+
+
+def test_apply_changes_v2_identity_delete_key(spark):
+    """wal2json v2 deletes carry identity instead of oldkeys; the key
+    extraction must handle both framings."""
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+
+    feed = spark.createDataFrame(
+        [
+            (
+                1,
+                '{"action":"D","table":"t","identity":['
+                '{"name":"id","type":"bigint","value":1}]}',
+            )
+        ],
+        "lsn bigint, payload string",
+    )
+    changes = parse_wal2json(feed, seq_col="lsn", fmt="v2").withColumn(
+        "table_name", F.col("table")
+    )
+    base = spark.createDataFrame(
+        [(1, "gone"), (2, "kept")], "id bigint, name string"
+    )
+    got = apply_changes(
+        base, changes, key_col="id",
+        columns={"id": "bigint", "name": "string"},
+    )
+    assert {r["id"]: r["name"] for r in got.collect()} == {2: "kept"}

@@ -217,3 +217,16 @@ def test_q80_range_frame_has_no_global_window_over_data(q):
         else:
             saw_partitioned = True
     assert saw_partitioned and saw_bins
+
+
+def test_cdc_apply_no_window_broadcast_merge(q):
+    # q96: latest-change-per-key must be a hash/sort AGGREGATE (max_by),
+    # never a row_number window (global-ish sort of the batch), and the
+    # base-side merge must be a broadcast join of the (small) change
+    # batch, not a shuffle of the snapshot
+    df = q("q96_cdc_apply")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert not has_python_eval(df)

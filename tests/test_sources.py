@@ -285,3 +285,29 @@ def test_wal_poll_rejects_non_monotonic_replay_range(tmp_path):
     reader = WalPollReader({"path": db})
     with pytest.raises(ValueError, match="non-monotonic"):
         reader.readBetweenOffsets({"lsn": 50}, {"lsn": 10})
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """S-family: ORC sink + scan with the same scale contract as
+    parquet — values round-trip, partition_by prunes directories, and
+    a filter over the scan reads only matching rows."""
+    from speculare_pgcdc_spark.sources import read_orc, write_orc
+
+    out = str(tmp_path / "orders_orc")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_orc(src, out, partition_by=["o_orderstatus"])
+
+    back = read_orc(spark, out)
+    assert back.count() == src.count()
+    assert sorted(
+        r.o_orderkey for r in back.filter("o_orderstatus = 'F'").collect()
+    ) == sorted(
+        r.o_orderkey for r in src.filter("o_orderstatus = 'F'").collect()
+    )
+
+    # partition pruning: the 'F' scan must touch only the F directory
+    pruned = read_orc(spark, out).filter("o_orderstatus = 'F'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
