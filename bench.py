@@ -40,6 +40,7 @@ TIER2 = [
     "q83_label_centroids",
     "q87_contamination",
     "q88_chunking",
+    "q96_cdc_apply",
 ]
 
 

@@ -81,6 +81,73 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def touched_groups(
+    old_snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    group_col: str,
+    key_type: str = "bigint",
+    tables: list[str] | None = None,
+) -> DataFrame:
+    """Distinct group values a change batch can affect: the OLD group
+    of every changed key (updates/deletes pull their group from the
+    pre-apply snapshot — wal2json deletes carry no columns) plus the
+    NEW group of every upsert. One column (``group_col``), distinct.
+    Bounded by the batch size, never by the snapshot."""
+    rel = changes if tables is None else changes.filter(
+        F.col("table_name").isin(tables)
+    )
+    keyed = rel.select(
+        _change_key(key_col).cast(key_type).alias(key_col),
+        F.try_element_at("row_str", F.lit(group_col)).alias("_new_g"),
+        "kind",
+    ).filter(F.col(key_col).isNotNull())
+    old_side = (
+        old_snapshot.select(key_col, group_col)
+        .join(keyed.select(key_col).distinct(), key_col)
+        .select(group_col)
+    )
+    new_side = keyed.filter(F.col("kind") != "delete").select(
+        F.col("_new_g").cast(
+            dict(old_snapshot.select(group_col).dtypes)[group_col]
+        ).alias(group_col)
+    )
+    return old_side.unionByName(new_side).distinct()
+
+
+def refresh_aggregates(
+    matview: DataFrame,
+    new_snapshot: DataFrame,
+    groups: DataFrame,
+    group_col: str,
+    agg_cols: list,
+) -> DataFrame:
+    """Incremental materialized-view maintenance (IVM): re-aggregate
+    ONLY the groups a batch touched, carry every other matview row
+    forward untouched. ``groups`` is the one-column frame from
+    :func:`touched_groups`; ``agg_cols`` the aliased aggregate
+    expressions (the view definition).
+
+    Why partial recompute instead of +/- deltas: wal2json deletes (and
+    update-old-images) carry no value columns without REPLICA IDENTITY
+    FULL, so subtractive maintenance has nothing to subtract — but the
+    touched GROUPS are always derivable (old group via key join, new
+    group from the upsert row). Cost is O(batch) + a scan of the
+    touched groups' slice of the snapshot — with the snapshot
+    partitioned/bucketed by group that slice is partition-pruned; the
+    broadcast semi/anti joins never shuffle the snapshot or the view.
+    A group whose last row was deleted drops out of both sides, i.e.
+    the view row disappears, matching a full recompute."""
+    g = F.broadcast(groups)
+    recomputed = (
+        new_snapshot.join(g, group_col, "left_semi")
+        .groupBy(group_col)
+        .agg(*agg_cols)
+    )
+    kept = matview.join(g, group_col, "left_anti")
+    return kept.unionByName(recomputed)
+
+
 def start_apply_query(
     changes_stream: DataFrame,
     snapshot_dir: str,

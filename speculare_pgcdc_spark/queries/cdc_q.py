@@ -171,3 +171,70 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         },
         tables=FEED_TABLES,
     ).orderBy("event_id")
+
+
+@register(
+    "q97_cdc_incremental_matview",
+    oracle="""
+    WITH applied AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 11 <> 0
+                         AND (isnan(value) OR isinf(value)) THEN NULL
+                    ELSE value END AS value
+        FROM events
+        WHERE NOT (event_id % 11 <> 0 AND event_id % 3 = 2))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sv
+    FROM applied GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental materialized-view maintenance (IVM) over the CDC "
+    "feed: a per-event_type count/sum view is REFRESHED from a change "
+    "batch by re-aggregating only the touched groups (old group via "
+    "key join against the pre-apply snapshot — wal2json deletes carry "
+    "no columns, so subtractive +/- deltas are impossible without "
+    "REPLICA IDENTITY FULL; new group from the upsert row) and "
+    "carrying every other view row forward (cdc/apply.py "
+    "touched_groups + refresh_aggregates; broadcast semi/anti joins, "
+    "snapshot slice partition-prunable by group). The "
+    "untouched-rows-are-NOT-recomputed property is pinned separately "
+    "in tests/test_cdc.py with a poisoned-view probe; this query "
+    "proves the refreshed view equals a full recompute of the applied "
+    "state, hash-checked against the events-arithmetic oracle.",
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.catalog import table
+    from speculare_pgcdc_spark.cdc.apply import (
+        apply_changes,
+        refresh_aggregates,
+        touched_groups,
+    )
+
+    cols = {
+        "event_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+    }
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("_sv"),
+    ]
+    feed = feed_messages(spark, sf)
+    changes = normalize_hypertables(
+        parse_wal2json(feed), lookup_df(spark)
+    )
+    base = table(spark, sf, "events").select(
+        *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
+    )
+    mv_old = base.groupBy("event_type").agg(*aggs)
+    snapshot_new = apply_changes(
+        base, changes, "event_id", cols, tables=FEED_TABLES
+    ).localCheckpoint(eager=True)
+    groups = touched_groups(
+        base, changes, "event_id", "event_type", tables=FEED_TABLES
+    )
+    mv_new = refresh_aggregates(
+        mv_old, snapshot_new, groups, "event_type", aggs
+    )
+    return mv_new.select(
+        "event_type", "n", F.round("_sv", 2).alias("sv")
+    ).orderBy("event_type")

@@ -402,3 +402,81 @@ def test_apply_changes_v2_identity_delete_key(spark):
         columns={"id": "bigint", "name": "string"},
     )
     assert {r["id"]: r["name"] for r in got.collect()} == {2: "kept"}
+
+
+def test_refresh_aggregates_carries_untouched_groups_forward(spark):
+    """IVM contract: groups outside the touched set must NOT be
+    recomputed — pinned by poisoning their matview rows with values a
+    recompute would 'fix'. Touched groups are corrected; a group whose
+    last row was deleted disappears."""
+    from speculare_pgcdc_spark.cdc.apply import (
+        apply_changes,
+        refresh_aggregates,
+        touched_groups,
+    )
+
+    cols = {"id": "bigint", "grp": "string", "v": "double"}
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+    ]
+    base = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "a", 2.0),
+            (3, "b", 10.0),
+            (4, "c", 100.0),  # c: single row, will be deleted
+            (5, "d", 7.0),    # d: untouched
+        ],
+        "id bigint, grp string, v double",
+    )
+    # update id=1 (a: 1.0 -> 5.0), MOVE id=3 from b to a, delete id=4
+    feed = spark.createDataFrame(
+        [
+            (
+                1,
+                '{"change":[{"kind":"update","table":"t",'
+                '"columnnames":["id","grp","v"],'
+                '"columnvalues":[1,"a",5.0]}]}',
+            ),
+            (
+                2,
+                '{"change":[{"kind":"update","table":"t",'
+                '"columnnames":["id","grp","v"],'
+                '"columnvalues":[3,"a",10.0]}]}',
+            ),
+            (
+                3,
+                '{"change":[{"kind":"delete","table":"t",'
+                '"oldkeys":{"keynames":["id"],"keyvalues":[4]}}]}',
+            ),
+        ],
+        "lsn bigint, payload string",
+    )
+    changes = parse_wal2json(feed, seq_col="lsn").withColumn(
+        "table_name", F.col("table")
+    )
+
+    groups = touched_groups(base, changes, "id", "grp")
+    assert {r["grp"] for r in groups.collect()} == {"a", "b", "c"}
+
+    # POISONED view: untouched d carries a wrong sum on purpose; the
+    # refresh must preserve it verbatim (proof it never recomputed d)
+    mv_old = spark.createDataFrame(
+        [
+            ("a", 2, 3.0),
+            ("b", 1, 10.0),
+            ("c", 1, 100.0),
+            ("d", 941, -1.5),  # poison
+        ],
+        "grp string, n bigint, sv double",
+    )
+    snapshot_new = apply_changes(base, changes, "id", cols)
+    mv_new = refresh_aggregates(mv_old, snapshot_new, groups, "grp", aggs)
+    got = {r["grp"]: (r["n"], r["sv"]) for r in mv_new.collect()}
+    assert got == {
+        "a": (3, 17.0),     # 5.0 + 2.0 + 10.0 (id 3 moved in)
+        "d": (941, -1.5),   # poison preserved == not recomputed
+    } | ({} if "b" not in got else {"b": got["b"]})
+    # b lost its only row to the move, c to the delete -> both gone
+    assert "b" not in got and "c" not in got

@@ -230,3 +230,12 @@ def test_cdc_apply_no_window_broadcast_merge(q):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert not has_python_eval(df)
+
+
+def test_cdc_matview_refresh_joins_are_broadcast(q):
+    # q97: the IVM refresh must never shuffle the snapshot or the view
+    # for its joins — touched-group semi/anti joins ride on broadcasts
+    p = plan_string(q("q97_cdc_incremental_matview"))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
