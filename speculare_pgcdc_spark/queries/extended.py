@@ -596,3 +596,127 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         strict=True,
         tolerance=300,
     ).orderBy("event_id")
+
+
+@register(
+    "q98_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'click' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id)
+    SELECT * FROM (
+        SELECT 1 AS step, 'click' AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'view', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+    ORDER BY step
+    """,
+    doc="ORDERED funnel (click -> view -> purchase, strictly "
+    "increasing ts): per-user first-click, first view AFTER it, first "
+    "purchase after THAT — the product-analytics workload the "
+    "subscription stream feeds. Plan: each step is one filtered "
+    "aggregation plus an equi-join on user_id against the previous "
+    "step's (user, ts) frame — all three shuffles hash on the SAME "
+    "key, so a cluster reuses the partitioning (no window over the "
+    "whole event stream; per-step frames shrink monotonically). "
+    "Identical step chain in the DuckDB oracle.",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, prev_t: str):
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", prev_t), "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t2", "t1")
+    s3 = first_after(s2, "purchase", "t3", "t2")
+
+    def row(step, etype, frame):
+        return frame.agg(
+            F.lit(step).alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+
+    return (
+        row(1, "click", s1)
+        .unionByName(row(2, "view", s2))
+        .unionByName(row(3, "purchase", s3))
+        .orderBy("step")
+    )
+
+
+@register(
+    "q99_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    marks AS (
+        SELECT DISTINCT e.user_id,
+               CAST(FLOOR(epoch(f.t0) / 604800.0) AS BIGINT) AS cohort_week,
+               CAST(FLOOR((epoch(e.ts) - epoch(f.t0)) / 604800.0) AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM marks GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Retention cohort matrix: users bucketed by the week of their "
+    "FIRST event; active_users counts distinct users per (cohort_week, "
+    "week offset since their own t0). Week arithmetic is pure epoch "
+    "division (functions.epoch_seconds — identical in DuckDB's "
+    "epoch(), and NTZ-proof against the fixture dtype flip) rather "
+    "than calendar date_trunc, so engines cannot disagree on week "
+    "boundaries. Plan: one per-user min agg + one equi-join back on "
+    "user_id + DISTINCT + one final agg — both shuffles key on "
+    "user_id first, reusable partitioning; no window.",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.functions import epoch_seconds
+
+    e = table(spark, sf, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    week = 604800.0
+    marks = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(epoch_seconds("t0") / week)
+            .cast("bigint")
+            .alias("cohort_week"),
+            F.floor(
+                (epoch_seconds("ts") - epoch_seconds("t0")) / week
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        marks.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
