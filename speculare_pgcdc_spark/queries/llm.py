@@ -1109,3 +1109,31 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hv") < F.floor(F.col("quality") * 65536))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q100_heavy_hitters",
+    oracle=None,  # sketch family (E14 contract): candidate discovery is
+    # approximate; equality-vs-exact + bound properties are pinned in
+    # tests/test_llm.py
+    doc="Heavy hitters: top-20 corpus tokens via per-partition "
+    "Misra-Gries summaries (bounded mapInPandas sketch — at most "
+    "summary_size rows leave a partition), merged bounds -> candidate "
+    "set -> EXACT recount of candidates only (broadcast semi-join; "
+    "the corpus never shuffles on the token key). Any token with "
+    "global frequency > N/(summary_size+1) is guaranteed into the "
+    "candidate set, so on all fixtures the result EQUALS exact q44 "
+    "(pinned). operators/heavyhitters.",
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.heavyhitters import (
+        misra_gries_topk,
+    )
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    return misra_gries_topk(toks, "tok", k=20)

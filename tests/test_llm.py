@@ -834,3 +834,76 @@ def test_srp_signature_slices_long_vectors(spark):
     # non-degenerate vector
     assert sigs[1] == sigs[2]
     assert sigs[1] != 0
+
+
+def test_heavy_hitters_equal_exact_topk(spark, sf_dir):
+    """q100 vs the exact q44 computation: with the default summary
+    size the MG guarantee covers the fixture's top-20, so the sketch
+    path must return EXACTLY the same ranking and counts."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    got = [
+        (r["tok"], r["c"])
+        for r in reg["q100_heavy_hitters"].fn(spark, sf_dir).collect()
+    ]
+    docs = table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+        .collect()
+    )
+    assert got == [(r["tok"], r["c"]) for r in exact]
+
+
+def test_heavy_hitters_on_zipf_with_tiny_summary(spark):
+    """Constructed Zipf-ish data with a summary far smaller than the
+    vocabulary: true heavies clear the N/(s+1) bar and must surface
+    with exact counts; the bounded summary is the point."""
+    from speculare_pgcdc_spark.operators.heavyhitters import (
+        misra_gries_topk,
+    )
+
+    rows = (
+        [("alpha",)] * 500
+        + [("beta",)] * 300
+        + [("gamma",)] * 200
+        + [(f"tail{i}",) for i in range(400)]  # 400 singletons
+    )
+    df = spark.createDataFrame(rows, ["tok"]).repartition(8)
+    got = [
+        (r["tok"], r["c"])
+        for r in misra_gries_topk(
+            df, "tok", k=3, summary_size=16
+        ).collect()
+    ]
+    assert got == [("alpha", 500), ("beta", 300), ("gamma", 200)]
+
+
+def test_mg_partition_summary_is_bounded():
+    """The per-partition sketch must emit at most summary_size rows no
+    matter the input, and over-threshold items must survive eviction."""
+    import pandas as pd
+
+    from speculare_pgcdc_spark.operators.heavyhitters import (
+        _mg_summaries,
+    )
+
+    run = _mg_summaries("tok", 8)
+    batches = [
+        pd.DataFrame({"tok": ["hot"] * 50 + [f"u{i}" for i in range(40)]}),
+        pd.DataFrame({"tok": ["hot"] * 50 + [f"v{i}" for i in range(40)]}),
+    ]
+    out = list(run(iter(batches)))
+    assert len(out) == 1 and len(out[0]) <= 8
+    summary = dict(zip(out[0]["tok"], out[0]["mg_bound"]))
+    assert "hot" in summary  # f=100 > N/(s+1)=180/9=20
+    assert summary["hot"] <= 100  # lower bound, never an overcount

@@ -182,6 +182,9 @@ PYTHON_ALLOWED = {
     "q41_grouped_map_zscore",
     "q41_grouped_agg_udaf",
     "q75_udtf_ngrams",
+    # bounded per-partition sketch: at most summary_size rows leave the
+    # Arrow-batched mapInPandas; the exact recount stays JVM-side
+    "q100_heavy_hitters",
 }
 
 
