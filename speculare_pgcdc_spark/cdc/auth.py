@@ -41,7 +41,15 @@ from speculare_pgcdc_spark.dsl import WatchFor
 
 
 class AuthError(ValueError):
-    """Equivalent of the reference's 403/ExplicitError responses."""
+    """Equivalent of the reference's auth error responses; ``status``
+    is the HTTP code the serving layer should answer with (403 for a
+    restrict_auth denial, 401 for a missing credential, 400 for a
+    malformed one — the reference's FromRequestParts granularity,
+    auth.rs:75-116)."""
+
+    def __init__(self, msg: str, status: int = 403) -> None:
+        super().__init__(msg)
+        self.status = status
 
 
 @dataclass(frozen=True)
@@ -123,3 +131,90 @@ def api_keys_df(spark, rows: list[tuple[str, str, str]]) -> DataFrame:
     return spark.createDataFrame(
         rows, "customer_id string, host_uuid string, key string"
     )
+
+
+# -- cookie / admin-header extraction (auth.rs:62-124) -----------------
+#
+# The reference authenticates a WebSocket connect from either the
+# signed "SP-CKS" cookie (SignedCookieJar over CONFIG.cookie_secret; a
+# JSON AuthCookie with the caller's user_id) or the "SP-ADM" header
+# matching CONFIG.admin_secret. The signing scheme here is the
+# documented stdlib analog (HMAC-SHA256 over the payload,
+# base64url(payload) + "." + base64url(mac)) — the semantics
+# (signed-or-admin, 401 on absence, 400 on tamper) are the parity
+# surface, not cookie-rs's private key-derivation bytes.
+
+COOKIE_NAME = "SP-CKS"
+ADMIN_HEADER = "sp-adm"
+
+
+def sign_cookie(secret: str, payload: str) -> str:
+    """Signed cookie VALUE for ``payload`` (a JSON document, e.g.
+    '{"user_id": "cust1"}')."""
+    import base64
+    import hmac
+
+    body = base64.urlsafe_b64encode(payload.encode()).decode()
+    mac = hmac.new(
+        secret.encode(), payload.encode(), "sha256"
+    ).digest()
+    return body + "." + base64.urlsafe_b64encode(mac).decode()
+
+
+def verify_cookie(secret: str, value: str) -> str:
+    """Payload of a signed cookie value; raises AuthError(400) on any
+    malformation or signature mismatch (auth.rs:103-114)."""
+    import base64
+    import hmac
+
+    try:
+        body, mac_b64 = value.split(".", 1)
+        payload = base64.urlsafe_b64decode(body.encode()).decode()
+        got = base64.urlsafe_b64decode(mac_b64.encode())
+    except (ValueError, UnicodeDecodeError) as ex:
+        raise AuthError(f"malformed {COOKIE_NAME} cookie", 400) from ex
+    want = hmac.new(
+        secret.encode(), payload.encode(), "sha256"
+    ).digest()
+    if not hmac.compare_digest(got, want):
+        raise AuthError(f"bad {COOKIE_NAME} signature", 400)
+    return payload
+
+
+def cookie_auth_from_headers(
+    cookie_secret: str, admin_secret: str | None = None
+):
+    """Header->AuthInfo extractor for the sidecar's ``auth_from_headers``
+    hook, mirroring the reference's request extraction order
+    (auth.rs:88-116): the SP-ADM header matching admin_secret makes an
+    admin (no cookie needed); otherwise the signed SP-CKS cookie must
+    be present (401) and valid (400) and carry a user_id (400)."""
+    import json
+
+    def extract(headers: dict) -> AuthInfo:
+        if (
+            admin_secret is not None
+            and headers.get(ADMIN_HEADER) == admin_secret
+        ):
+            return AuthInfo(customer_id="", is_admin=True)
+        cookies = {}
+        for part in headers.get("cookie", "").split(";"):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                cookies[k.strip()] = v.strip()
+        value = cookies.get(COOKIE_NAME)
+        if value is None:
+            raise AuthError(
+                f"no `{COOKIE_NAME}` found in cookies", 401
+            )
+        payload = verify_cookie(cookie_secret, value)
+        try:
+            data = json.loads(payload)
+            user_id = data["user_id"]
+        except (ValueError, KeyError, TypeError) as ex:
+            raise AuthError(
+                "cannot find the user_id inside the cookie", 400
+            ) from ex
+        return AuthInfo(customer_id=str(user_id), is_admin=False)
+
+    return extract

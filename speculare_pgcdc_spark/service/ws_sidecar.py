@@ -340,10 +340,14 @@ class WsSidecar:
                             auth=self.auth_from_headers(headers),
                         )
                     except AuthError as ex:
-                        # restrict_auth rejection -> 403
-                        # (AuthorizationError analog, auth.rs:213-224)
+                        # the error carries its HTTP status: 403 for a
+                        # restrict_auth denial (auth.rs:213-224), 401/
+                        # 400 for missing/malformed credentials from
+                        # the cookie extraction (auth.rs:75-116)
                         sub_id = None
-                        await self._http_error(writer, 403, str(ex))
+                        await self._http_error(
+                            writer, getattr(ex, "status", 403), str(ex)
+                        )
                         return
                 else:
                     self.subscribe(sub_id, dsl)

@@ -139,3 +139,57 @@ def test_engine_subscribe_with_auth(spark, authz):
             authorizer=authz,
         )
     assert 1 in eng._subs and 2 not in eng._subs
+
+
+def test_cookie_sign_verify_roundtrip_and_tamper():
+    from speculare_pgcdc_spark.cdc.auth import (
+        AuthError,
+        sign_cookie,
+        verify_cookie,
+    )
+
+    v = sign_cookie("s3cret", '{"user_id": "cust1"}')
+    assert verify_cookie("s3cret", v) == '{"user_id": "cust1"}'
+
+    import pytest as _p
+
+    tampered = v[:-4] + ("AAAA" if v[-4:] != "AAAA" else "BBBB")
+    with _p.raises(AuthError) as ei:
+        verify_cookie("s3cret", tampered)
+    assert ei.value.status == 400
+    with _p.raises(AuthError):
+        verify_cookie("wrong-secret", v)
+    with _p.raises(AuthError):
+        verify_cookie("s3cret", "no-dot-separator")
+
+
+def test_cookie_auth_extraction_matches_reference_order():
+    """auth.rs:88-116: SP-ADM admin header short-circuits; otherwise
+    SP-CKS must exist (401), verify (400), and carry user_id (400)."""
+    import pytest as _p
+
+    from speculare_pgcdc_spark.cdc.auth import (
+        AuthError,
+        cookie_auth_from_headers,
+        sign_cookie,
+    )
+
+    extract = cookie_auth_from_headers("ck", admin_secret="adm")
+
+    a = extract({"sp-adm": "adm"})
+    assert a.is_admin and a.customer_id == ""
+
+    good = sign_cookie("ck", '{"user_id": "cust7"}')
+    a = extract({"cookie": f"other=x; SP-CKS={good}"})
+    assert not a.is_admin and a.customer_id == "cust7"
+
+    with _p.raises(AuthError) as ei:
+        extract({"sp-adm": "WRONG"})  # bad admin falls through to 401
+    assert ei.value.status == 401
+    with _p.raises(AuthError) as ei:
+        extract({"cookie": "SP-CKS=" + good[:-6]})
+    assert ei.value.status == 400
+    no_uid = sign_cookie("ck", '{"something": 1}')
+    with _p.raises(AuthError) as ei:
+        extract({"cookie": f"SP-CKS={no_uid}"})
+    assert ei.value.status == 400

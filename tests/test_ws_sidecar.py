@@ -570,3 +570,68 @@ def test_wss_tls_handshake_and_frames(tmp_path):
             await sidecar.stop()
 
     asyncio.run(scenario())
+
+
+def test_ws_signed_cookie_auth_end_to_end(spark, tmp_path):
+    """The reference's full front-door auth: a signed SP-CKS cookie
+    identifies the caller (401 without it, 400 if tampered), and
+    restrict_auth then gates the subscription filter (403 on an
+    unowned host). auth.rs:62-224 end-to-end over the engine."""
+    from speculare_pgcdc_spark.cdc.auth import (
+        SubscriptionAuthorizer,
+        api_keys_df,
+        cookie_auth_from_headers,
+        sign_cookie,
+    )
+    from speculare_pgcdc_spark.engine import Engine
+
+    eng = Engine(spark=spark, tables=FEED_TABLES)
+    authorizer = SubscriptionAuthorizer(
+        api_keys_df(spark, [("cust1", "host-a", "key-a")])
+    )
+
+    async def connect(port, query, cookie=None, adm=None):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        extra = ""
+        if cookie is not None:
+            extra += f"Cookie: SP-CKS={cookie}\r\n"
+        if adm is not None:
+            extra += f"SP-ADM: {adm}\r\n"
+        writer.write(
+            (
+                f"GET /ws?query={query} HTTP/1.1\r\nHost: x\r\n{extra}"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        status = (await reader.readline()).decode()
+        writer.close()
+        return status
+
+    async def scenario():
+        sidecar = WsSidecar.for_engine(
+            eng,
+            str(tmp_path / "out"),
+            authorizer=authorizer,
+            auth_from_headers=cookie_auth_from_headers(
+                "ck-secret", admin_secret="adm-secret"
+            ),
+        )
+        port = await sidecar.start()
+        q = "insert:events_a:host_uuid.eq.host-a"
+        try:
+            assert "401" in await connect(port, q)  # no cookie
+            assert "400" in await connect(port, q, cookie="garbage")
+            good = sign_cookie("ck-secret", '{"user_id": "cust1"}')
+            assert "101" in await connect(port, q, cookie=good)
+            evil = "insert:events_a:host_uuid.eq.host-EVIL"
+            assert "403" in await connect(port, evil, cookie=good)
+            # admin header: no cookie, no filter requirement
+            assert "101" in await connect(
+                port, "insert:events_a", adm="adm-secret"
+            )
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
