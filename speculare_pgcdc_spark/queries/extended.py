@@ -720,3 +720,110 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q114_ewma",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                   ) AS xs
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(ROUND(
+                   list_sum(list_transform(range(len(xs)),
+                       i -> xs[i + 1] * pow(0.5, len(xs) - 1 - i)))
+                   / list_sum(list_transform(range(len(xs)),
+                       i -> pow(0.5, len(xs) - 1 - i))), 4)
+               AS DOUBLE) AS ewma
+        FROM seq
+        ORDER BY user_id, event_id
+    """,
+    doc="Exponentially weighted moving average per user (half-life "
+    "smoothing, the time-series feature-engineering staple): a "
+    "BOUNDED 8-row window frame collects the trailing values, then a "
+    "JVM-side higher-order-function fold (zip_with + aggregate) "
+    "applies the 0.5^age decay — no Python, no unbounded frame, one "
+    "shuffle on user_id. The bounded frame is the scale contract: "
+    "state per row is O(8), not O(history), at any corpus size.",
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    xs = F.collect_list("value").over(w)
+    weights = F.expr(
+        "transform(sequence(size(xs) - 1, 0),"
+        " a -> pow(0.5, cast(a as double)))"
+    )
+    num = F.expr(
+        "aggregate(zip_with(xs, ws, (x, w) -> x * w),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    den = F.expr(
+        "aggregate(ws, cast(0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("xs", xs)
+        .withColumn("ws", weights)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(num / den, 4).cast("double").alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q115_fuzzy_match",
+    oracle="""
+        SELECT a.p_brand, CAST(COUNT(*) AS BIGINT) AS pairs
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        GROUP BY a.p_brand
+        ORDER BY a.p_brand
+    """,
+    doc="Edit-distance fuzzy matching (entity-resolution primitive): "
+    "candidate pairs come from an EQUI-join on the blocking key "
+    "(p_brand) — never an all-pairs cross join — and levenshtein() "
+    "evaluates JVM-side on the bucketed candidates only. At 100 TB "
+    "the blocking key bounds the quadratic term to the largest "
+    "bucket, the same contract as the LSH band join in "
+    "operators/dedup.py; a coarser/finer key (brand+first-token) "
+    "tunes bucket occupancy without touching the plan shape.",
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    part = table(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("b_brand"))
+            & (F.col("a_key") < F.col("b_key")),
+        )
+        .filter(F.levenshtein(F.col("a_name"), F.col("b_name")) <= 2)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .orderBy("p_brand")
+    )

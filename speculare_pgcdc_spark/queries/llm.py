@@ -1113,9 +1113,22 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q100_heavy_hitters",
-    oracle=None,  # sketch family (E14 contract): candidate discovery is
-    # approximate; equality-vs-exact + bound properties are pinned in
-    # tests/test_llm.py
+    # Exact oracle is sound here despite the sketch: MG guarantees any
+    # token with global frequency > N/(summary_size+1) reaches the
+    # candidate set, the recount is exact, and the fixtures' 20th token
+    # clears that bar (pinned in tests/test_llm.py) — so the output
+    # EQUALS the exact top-20 under the same (c DESC, tok) total order.
+    oracle="""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY tok
+        ORDER BY c DESC, tok
+        LIMIT 20
+    """,
     doc="Heavy hitters: top-20 corpus tokens via per-partition "
     "Misra-Gries summaries (bounded mapInPandas sketch — at most "
     "summary_size rows leave a partition), merged bounds -> candidate "

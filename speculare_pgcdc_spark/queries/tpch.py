@@ -274,3 +274,674 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: the rest of the TPC-H suite that the trimmed fixture
+# schema can express (FIXTURES.md: no partsupp, no l_commitdate /
+# l_receiptdate / l_shipmode / c_phone / o_comment). Q2/Q11/Q20 need
+# partsupp and are out of scope; Q4/Q9/Q13/Q16/Q17/Q19/Q21/Q22 are
+# re-shaped onto the available columns, keeping each query's PLAN SHAPE
+# (the thing that matters at 100 TB): Q4's EXISTS semi-join, Q13's
+# outer-join double aggregation, Q17's correlated per-group average,
+# Q21's EXISTS/NOT-EXISTS pair, Q22's anti-join + scalar subquery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q101_tpch_q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS decorrelated to a LEFT SEMI join; "
+    "late-line predicate re-based on l_shipdate > o_orderdate + 60d "
+    "since the fixtures carry no l_commitdate). The date filter "
+    "prunes orders at the scan; the semi-join output is at most one "
+    "row per order, so the final agg is over the filtered order "
+    "count, not the lineitem fan-out.",
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    orders = (
+        table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1997-01-01"))
+            & (F.col("o_orderdate") < _ts("1997-04-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q102_tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT {oracle_money_sum('l_extendedprice * l_discount', 'revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan-filter-aggregate — the canonical predicate "
+    "pushdown probe. All three predicates reach the parquet scan "
+    "(PushedFilters), the projection prunes to 4 columns, and the "
+    "whole query is one WholeStageCodegen span + a single-row agg; "
+    "zero shuffles beyond the final partial-agg merge.",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+
+
+@register(
+    "q103_tpch_q7_volume_shipping",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               {oracle_money_sum('volume', 'revenue')}
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: nation-pair volume. The two nation legs broadcast "
+    "(explicit hint via catalog.dim); the pair disjunction is applied "
+    "after both joins, where it prunes to 2 of 625 pairs. lineitem "
+    "shuffles only for its two fact joins; the final agg has "
+    "2 pairs x 2 years of groups.",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    n1 = dim(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = dim(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = dim(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    pair = (
+        (F.col("supp_nation") == F.lit("NATION_3"))
+        & (F.col("cust_nation") == F.lit("NATION_7"))
+    ) | (
+        (F.col("supp_nation") == F.lit("NATION_7"))
+        & (F.col("cust_nation") == F.lit("NATION_3"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money_sum(_net(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q104_tpch_q8_market_share",
+    oracle="""
+        SELECT o_year,
+               CAST(ROUND(
+                   SUM(CASE WHEN nation = 'NATION_3'
+                       THEN CAST(volume AS DECIMAL(28,6)) ELSE 0 END)
+                   / SUM(CAST(volume AS DECIMAL(28,6))), 4) AS DOUBLE)
+               AS mkt_share
+        FROM (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part, supplier, lineitem, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+              AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND s_nationkey = n2.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 market share: 8-way join, conditional-aggregate "
+    "ratio. part/supplier/nation/region broadcast; the p_type filter "
+    "reaches the part scan so the part-lineitem join is selective "
+    "before the fact shuffle. The share is computed as one "
+    "conditional sum over the joined volume — no second pass.",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    part = dim(spark, sf, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = dim(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    region = dim(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n1 = dim(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = dim(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts("1996-01-01"))
+            & (F.col("o_orderdate") < _ts("1998-01-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("volume").cast("decimal(28,6)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_reg") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .withColumn("volume", _net())
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                ))
+                / F.sum(vol),
+                4,
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q105_tpch_q9_product_profit",
+    oracle=f"""
+        SELECT nation, o_year, {oracle_money_sum('amount', 'sum_profit')}
+        FROM (
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%bolt%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (supply cost re-based on 0.4 * p_retailprice "
+    "since the fixtures carry no partsupp/ps_supplycost). The p_name "
+    "LIKE filter stays on the broadcast part side; lineitem joins "
+    "part FIRST (most selective), then orders — join order matters "
+    "at 100 TB and is declared, not left to chance.",
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    part = dim(spark, sf, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = dim(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = dim(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    amount = _net() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("nation", "o_year")
+        .agg(money_sum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q106_tpch_q13_custdist",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (exclusion predicate re-based on "
+    "o_orderpriority since the fixtures carry no o_comment): LEFT "
+    "OUTER join with the filter INSIDE the join condition (not a "
+    "WHERE — that would drop order-less customers), then a double "
+    "aggregation. First agg shuffles on c_custkey; the second is "
+    "over at most max-orders-per-customer distinct values.",
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select("c_custkey")
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "5-LOW"),
+        "left_outer",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q107_tpch_q14_promo_revenue",
+    oracle="""
+        SELECT CAST(ROUND(
+            100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(28,6)) ELSE 0 END)
+            / SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,6))), 4) AS DOUBLE) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 promo revenue: broadcast part join + conditional "
+    "aggregate ratio in ONE pass over the month of lineitem. The "
+    "shipdate range reaches the scan; decimal accumulation keeps the "
+    "ratio order-independent so it hash-matches the oracle.",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    part = dim(spark, sf, "part").select("p_partkey", "p_type")
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-09-01"))
+            & (F.col("l_shipdate") < _ts("1997-10-01"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    net_dec = _net().cast("decimal(28,6)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", net_dec).otherwise(
+                        F.lit(0).cast("decimal(28,6)")
+                    )
+                )
+                / F.sum(net_dec),
+                4,
+            ).cast("double").alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q108_tpch_q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {oracle_money_sum('l_extendedprice * (1 - l_discount)',
+                                     'total_revenue')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top supplier: quarterly revenue per supplier, then "
+    "the max-revenue supplier(s). The scalar MAX subquery becomes a "
+    "one-row aggregate broadcast-joined back onto the revenue "
+    "aggregate — no second scan of lineitem (unlike the literal "
+    "view-twice phrasing) and no single-partition global window.",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money_sum(_net(), "total_revenue")
+    )
+    revenue = revenue.localCheckpoint(eager=False)
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("_max_rev")
+    )
+    supp = dim(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q109_tpch_q16_supplier_variety",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (supplier variety read off lineitem instead "
+    "of the absent partsupp): NOT-equal + IN predicates on the "
+    "broadcast part side, COUNT(DISTINCT) per 3-key group. The "
+    "distinct expands map-side (partial distinct before the "
+    "shuffle), so the wide fact never shuffles raw.",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    part = (
+        dim(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@register(
+    "q110_tpch_q17_small_qty_revenue",
+    oracle="""
+        SELECT CAST(ROUND(
+            SUM(CAST(l_extendedprice AS DECIMAL(28,6))) / 7.0, 2
+        ) AS DOUBLE) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    doc="TPC-H Q17 shape (container predicate dropped — no "
+    "p_container in the fixtures; threshold raised to 0.5*avg so the "
+    "fixture data qualifies rows): the correlated per-part average "
+    "decorrelates to a per-partkey aggregate joined back to the "
+    "fact — two passes over ONE brand's lineitem, both behind the "
+    "broadcast part filter.",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    part = dim(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = (
+        table(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        branded.join(
+            thresholds, F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                / F.lit(7.0),
+                2,
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q111_tpch_q19_disjunctive_pred",
+    oracle=f"""
+        SELECT {oracle_money_sum('l_extendedprice * (1 - l_discount)',
+                                 'revenue')}
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))
+    """,
+    doc="TPC-H Q19 shape (shipmode/shipinstruct legs dropped — not in "
+    "the fixtures): a disjunction that mixes part-side and "
+    "lineitem-side predicates. Catalyst cannot push the OR through "
+    "the join whole, but it derives the p_brand IN (...) and "
+    "l_quantity range envelopes as join-side prefilters; the "
+    "residual disjunction evaluates post-join, still codegen'd.",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    part = dim(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    leg = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            leg("Brand#1", 15, 1, 11)
+            | leg("Brand#2", 25, 10, 20)
+            | leg("Brand#3", 35, 20, 30)
+        )
+        .agg(money_sum(_net(), "revenue"))
+    )
+
+
+@register(
+    "q112_tpch_q21_waiting_suppliers",
+    oracle="""
+        WITH flagged AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM (
+            SELECT f.l_suppkey, f.l_orderkey
+            FROM flagged f
+            WHERE f.is_late = 1
+              AND EXISTS (SELECT 1 FROM flagged g
+                          WHERE g.l_orderkey = f.l_orderkey
+                            AND g.l_suppkey <> f.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM flagged h
+                              WHERE h.l_orderkey = f.l_orderkey
+                                AND h.l_suppkey <> f.l_suppkey
+                                AND h.is_late = 1)
+        ) waiting
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (lateness re-based on l_shipdate > "
+    "o_orderdate + 90d — no l_receiptdate/l_commitdate in the "
+    "fixtures): the sole-late-supplier-in-a-multi-supplier-order "
+    "pattern. The EXISTS / NOT EXISTS pair collapses to ONE "
+    "order-level aggregate (supplier count, late-supplier count) "
+    "joined back — one shuffle on l_orderkey instead of two "
+    "correlated re-scans of lineitem.",
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    orders = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    flagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waiting = (
+        flagged.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = dim(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q113_tpch_q22_dormant_customers",
+    oracle="""
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (country-code grouping re-based on "
+    "c_nationkey — no c_phone in the fixtures): scalar AVG subquery "
+    "(computed once, broadcast as a literal-free cross join of one "
+    "row) + LEFT ANTI join against orders, then the nation rollup. "
+    "The anti join shuffles only custkeys, not full rows.",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = table(spark, sf, "orders").select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
