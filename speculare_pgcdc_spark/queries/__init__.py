@@ -30,44 +30,37 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 #: Names promoted to the FRONT of the registry's iteration order. The
 #: driver sweeps ~50 queries per round in iteration order under a
-#: wall-clock budget; after two rounds the q01-q55/q61-q79 block has
-#: multiple green driver rows while this tail has none (round-2 verdict:
-#: "17 registered queries have never had a driver row"). Front-loading
-#: them — plus the six queries whose NTZ breakage was fixed this round —
-#: gets each its attested CORRECTNESS row; the long-green block fills
-#: whatever budget remains.
+#: wall-clock budget; queries without a driver CORRECTNESS row yet go
+#: first so each gets its attested row, then the queries whose oracle
+#: or implementation changed this round, then the long-green block in
+#: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
+#: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # never driver-swept (rounds 1-2)
-    "q56_tpch_q3_shipping_priority",
-    "q57_tpch_q5_local_supplier",
-    "q58_tpch_q10_returned_items",
-    "q59_tpch_q12_late_lines",
-    "q60_tpch_q18_large_orders",
-    "q75_udtf_ngrams",
-    "q80_range_frame_binned",
-    "q81_cdc_pipeline_v2",
-    "q82_repetition_signal",
-    "q83_label_centroids",
-    "q84_pii_redaction",
+    # round-4 additions — no driver row yet
+    "q101_tpch_q4_order_priority",
+    "q102_tpch_q6_forecast_revenue",
+    "q103_tpch_q7_volume_shipping",
+    "q104_tpch_q8_market_share",
+    "q105_tpch_q9_product_profit",
+    "q106_tpch_q13_custdist",
+    "q107_tpch_q14_promo_revenue",
+    "q108_tpch_q15_top_supplier",
+    "q109_tpch_q16_supplier_variety",
+    "q110_tpch_q17_small_qty_revenue",
+    "q111_tpch_q19_disjunctive_pred",
+    "q112_tpch_q21_waiting_suppliers",
+    "q113_tpch_q22_dormant_customers",
+    "q114_ewma",
+    "q115_fuzzy_match",
+    # new or newly-oracled since the r3 sweep — first driver row with
+    # an oracle attached happens this round
     "q85_kmeans_clusters",
-    "q86_dup_components",
-    "q87_contamination",
-    "q88_chunking",
-    "q89_source_mixing",
-    "q90_token_budget",
     "q91_cluster_neardup",
-    "q92_window_dup_signal",
-    "q93_canonical_dedup",
-    "q94_asof_tolerance",
-    "q95_weighted_sampling",
-    # broken in round 2 (TIMESTAMP_NTZ), fixed this round — need a
-    # fresh driver row attesting the fix
-    "q37_tumbling_window",
-    "q38_session_window",
-    "q55_sliding_window",
-    "q67_binned_range_join",
-    "q72_gapfill_locf",
-    "q73_gapfill_interpolate",
+    "q96_cdc_apply",
+    "q97_cdc_incremental_matview",
+    "q98_funnel",
+    "q99_retention_cohorts",
+    "q100_heavy_hitters",
 ]
 
 
