@@ -62,9 +62,14 @@ def apply_changes(
         F.struct("seq", "chg_idx").alias("_ord"),
         F.struct("kind", "row_str").alias("_chg"),
     ).filter(F.col(key_col).isNotNull())
+    # latest feeds BOTH the upsert projection and the survivors
+    # anti-join; without a checkpoint each consumer re-runs the whole
+    # feed-parse lineage (the expensive part), doubling the parse
+    # volume. The checkpointed frame is bounded by the batch's key
+    # count, not the snapshot.
     latest = keyed.groupBy(key_col).agg(
         F.max_by("_chg", "_ord").alias("_chg")
-    )
+    ).localCheckpoint(eager=False)
     upserts = latest.filter(F.col("_chg.kind") != "delete").select(
         F.col(key_col),
         *[

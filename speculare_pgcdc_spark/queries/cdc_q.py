@@ -219,9 +219,12 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("value").alias("_sv"),
     ]
     feed = feed_messages(spark, sf)
+    # both apply_changes and touched_groups consume the parsed feed;
+    # checkpoint it once so the wal2json parse (the expensive lineage)
+    # runs once, not per consumer
     changes = normalize_hypertables(
         parse_wal2json(feed), lookup_df(spark)
-    )
+    ).localCheckpoint(eager=False)
     base = table(spark, sf, "events").select(
         *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
     )
