@@ -41,6 +41,9 @@ TIER2 = [
     "q87_contamination",
     "q88_chunking",
     "q96_cdc_apply",
+    "q104_tpch_q8_market_share",
+    "q112_tpch_q21_waiting_suppliers",
+    "q114_ewma",
 ]
 
 

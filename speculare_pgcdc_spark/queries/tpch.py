@@ -870,6 +870,8 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # flagged feeds both the per-order rollup and the waiting filter;
+    # checkpoint so the lineitem-orders join runs once, not per consumer
     flagged = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -882,7 +884,7 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("is_late")
         )
-    )
+    ).localCheckpoint(eager=False)
     per_order = flagged.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.sum("is_late").alias("n_late"),

@@ -242,3 +242,71 @@ def test_cdc_matview_refresh_joins_are_broadcast(q):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" not in p
+
+
+def test_q101_exists_is_semi_join_not_nested_loop(q):
+    # Q4's EXISTS must compile to a LEFT SEMI equi-join on l_orderkey
+    # with the shipdate comparison riding as a post-join condition
+    p = plan_string(q("q101_tpch_q4_order_priority"))
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q102_all_predicates_reach_scan(q):
+    df = q("q102_tpch_q6_forecast_revenue")
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in pf
+    assert "GreaterThanOrEqual(l_discount,0.04)" in pf
+    assert "LessThan(l_quantity,24" in pf
+    (schema,) = read_schemas(df)
+    assert schema == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }
+
+
+def test_q104_dims_broadcast_and_part_filter_pushes(q):
+    df = q("q104_tpch_q8_market_share")
+    assert "EqualTo(p_type,PROMO)" in pushed_filters(df)
+    # part/supplier/nation/region all hint-broadcast
+    assert broadcast_hash_join_count(df) >= 4
+    assert not has_python_eval(df)
+
+
+def test_q106_outer_join_keeps_orderless_customers(q):
+    # the exclusion predicate must NOT push below the outer join's
+    # stream side as a WHERE (that would drop order-less customers);
+    # plan must stay an equi outer join
+    p = plan_string(q("q106_tpch_q13_custdist"))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q112_exists_pair_is_one_aggregate_no_rescan(q):
+    # the EXISTS/NOT-EXISTS pair collapses to one per-order aggregate
+    # over a checkpointed flagged frame: lineitem must never appear as
+    # two correlated re-scans (0 = both consumers read the checkpoint,
+    # whose one-time lineage holds the single scan)
+    p = plan_string(q("q112_tpch_q21_waiting_suppliers"))
+    assert p.count("lineitem.parquet") <= 1
+    assert "Scan ExistingRDD" in p  # the shared checkpointed aggregate
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q114_ewma_is_jvm_side_bounded_frame(q):
+    df = q("q114_ewma")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    # bounded ROWS frame, partitioned by user — no single-partition
+    # global window over the data
+    assert "specifiedwindowframe(RowFrame, -7, currentrow$())" in p
+    assert "windowspecdefinition(user_id" in p
+
+
+def test_q115_fuzzy_match_is_blocked_equi_join(q):
+    # the blocking key makes this an equi-join; levenshtein evaluates
+    # on bucketed candidates only — never a cartesian product
+    p = plan_string(q("q115_fuzzy_match"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "levenshtein" in p
