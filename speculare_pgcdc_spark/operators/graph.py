@@ -1,0 +1,76 @@
+"""Iterative graph algorithms on DataFrames — PageRank with a fixed
+iteration count, the canonical "driver loop over distributed joins"
+shape (same execution pattern as the k-means trainer in
+operators/similarity.py and the min-label propagation in
+operators/dedup.py: the LOOP runs on the driver but touches only
+DataFrame lineage; all data movement is joins + aggregations).
+
+Determinism contract (what makes a DuckDB oracle possible, mirroring
+_kmeans_sql.py): every iteration's rank is rounded to ``round_dp``
+decimals, per-edge contributions are cast to DECIMAL(28,18) before the
+incoming-edge sum (decimal addition is exact and order-independent, so
+shuffle order can't perturb the result), and the damping update is a
+pure double expression over those identical inputs. Unrolling the same
+iterations as staged CTEs reproduces the exact bits on any engine.
+
+Scale shape: per iteration, one equi-join of edges to the rank frame
+(shuffles on src — with edges pre-partitioned by src the partitioning
+is reused every round) + one hash agg on dst. Rank/degree frames are
+node-bounded. localCheckpoint per round truncates the lineage so the
+plan doesn't grow with iteration count (the classic iterative-Spark
+trap). No driver-side data movement at all — only the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 12,
+) -> DataFrame:
+    """PageRank over a directed edge list (``src``, ``dst``), returning
+    (node, rank) for every node that appears as a source.
+
+    Assumes every node has at least one outgoing edge (callers with
+    dangling nodes should bidirect or self-loop first — the bipartite
+    customer/supplier graph in q121 bidirects), so rank mass is
+    conserved up to the per-iteration rounding.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.join(F.broadcast(n_df)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("n_nodes"), round_dp).alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg"))
+                .cast("decimal(28,18)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            sums.join(F.broadcast(n_df))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("s").cast("double"),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

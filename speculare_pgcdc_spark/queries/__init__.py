@@ -52,6 +52,12 @@ SWEEP_FIRST = [
     "q113_tpch_q22_dormant_customers",
     "q114_ewma",
     "q115_fuzzy_match",
+    "q116_stats_aggregates",
+    "q117_unpivot",
+    "q118_distribution_windows",
+    "q119_sequence_transitions",
+    "q120_histogram",
+    "q121_pagerank",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

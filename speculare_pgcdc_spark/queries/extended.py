@@ -827,3 +827,280 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pairs"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q116_stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(corr(l_extendedprice, l_quantity), 6) AS DOUBLE)
+                   AS corr_pq,
+               CAST(ROUND(covar_samp(l_extendedprice, l_quantity), 2)
+                   AS DOUBLE) AS covar_pq,
+               CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4)
+                   AS DOUBLE) AS slope,
+               CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+                   AS DOUBLE) AS intercept
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates (feature-engineering staple): per-group "
+    "Pearson correlation, sample covariance, and OLS slope/intercept "
+    "via the built-in regr_* family — single-pass, map-side partial, "
+    "JVM-side (Welford-style merge states under the hood, the same "
+    "reason they scale: no per-group buffering). Ratio-of-sums "
+    "quantities are rounded at matched precision for the cross-engine "
+    "hash (corr is scale-free -> 6dp; covar/intercept carry price "
+    "units -> 2dp).",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6)
+            .cast("double").alias("corr_pq"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2)
+            .cast("double").alias("covar_pq"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+            .cast("double").alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2)
+            .cast("double").alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q117_unpivot",
+    oracle="""
+        SELECT metric,
+               CAST(ROUND(SUM(CAST(val AS DECIMAL(28,6))), 2) AS DOUBLE)
+                   AS total
+        FROM (
+            SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem
+        )
+        GROUP BY metric ORDER BY metric
+    """,
+    doc="Unpivot/melt (wide -> long reshaping): DataFrame.unpivot "
+    "compiles to a single Expand node — one pass over the fact, rows "
+    "multiplied map-side, NO join/union of N scans (the UNION ALL "
+    "oracle phrasing would scan lineitem 4x; Expand reads it once). "
+    "The long-form sum per metric is the hash check.",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.unpivot(
+            ids=[],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .groupBy("metric")
+        .agg(
+            F.round(F.sum(F.col("val").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("total")
+        )
+        .orderBy("metric")
+    )
+
+
+@register(
+    "q118_distribution_windows",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+               nth_value(value, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS second_seen
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    doc="Distribution window family completion (W1 tail): cume_dist "
+    "for the per-user empirical CDF position and nth_value with an "
+    "explicit running frame for the second-observed value. Both "
+    "partition on user_id (one shuffle, no global window); the "
+    "(ts, event_id) order key is total, so ranks are deterministic "
+    "cross-engine.",
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        table(spark, sf, "events")
+        .select(
+            "event_id",
+            F.round(F.cume_dist().over(wo), 6).cast("double").alias("cd"),
+            F.nth_value("value", 2).over(wf).alias("second_seen"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q119_sequence_transitions",
+    oracle="""
+        SELECT event_type AS src, next_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        WHERE next_type IS NOT NULL
+        GROUP BY src, dst ORDER BY src, dst
+    """,
+    doc="Sequence-transition (bigram) matrix over per-user event "
+    "streams — the Markov-chain / session-flow primitive (and the "
+    "token-bigram shape for corpus statistics): one lead() window on "
+    "the user_id shuffle, then a hash agg over the 25 (src, dst) "
+    "pairs. No self-join of the event stream (the naive phrasing "
+    "joins events to itself on consecutive ranks).",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        table(spark, sf, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "q120_histogram",
+    oracle="""
+        SELECT CAST(CASE
+                 WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 21
+                 ELSE 1 + FLOOR(o_totalprice / 30000)
+               END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-width histogram via width_bucket(0, 600000, 20): bucket "
+    "assignment is a map-side expression (no sort, no sampling pass), "
+    "one hash agg over at most 22 buckets — the profile-a-column "
+    "primitive that stays O(buckets) at any scale. Oracle phrases the "
+    "same binning as clamped FLOOR arithmetic.",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .select(
+            F.width_bucket(
+                "o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(20)
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unroll operators/graph.pagerank's iterations as staged CTEs —
+    the same determinism trick as _kmeans_sql.py: per-iteration
+    ROUND(..., 12) + DECIMAL(28,18) contribution sums make every
+    iteration bit-identical across engines."""
+    pair = (
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,\n"
+        "                's' || CAST(l_suppkey AS VARCHAR) AS dst\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    ctes = [
+        f"edges AS ({pair}\n  UNION\n"
+        "  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),\n"
+        "                  'c' || CAST(o_custkey AS VARCHAR)\n"
+        "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT node,"
+        " ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 12) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT e.dst AS node,\n"
+            "    ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
+            "          + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(\n"
+            f"              r.rank / deg.d AS DECIMAL(28,18))) AS DOUBLE),\n"
+            "          12) AS rank\n"
+            f"  FROM edges e JOIN r{i - 1} r ON e.src = r.node\n"
+            "  JOIN deg ON e.src = deg.src\n"
+            "  GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+@register(
+    "q121_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (5 damped iterations) over the bidirected bipartite "
+    "customer-supplier trade graph — the iterative-algorithm shape "
+    "(driver loop, distributed joins; operators/graph.py). Per "
+    "iteration: one edges-to-ranks equi-join + one incoming-edge hash "
+    "agg, lineage truncated per round via localCheckpoint. "
+    "Deterministic by the same contract as the k-means oracle "
+    "(per-iteration rounding + exact DECIMAL contribution sums), so "
+    "the staged-CTE unroll hash-matches bit-for-bit.",
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.graph import pagerank
+
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "cnode"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "snode"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("snode").alias("src"), F.col("cnode").alias("dst")
+        )
+    )
+    return pagerank(edges, iters=5).orderBy("node")

@@ -310,3 +310,31 @@ def test_q115_fuzzy_match_is_blocked_equi_join(q):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "levenshtein" in p
+
+
+def test_q117_unpivot_is_single_expand_pass(q):
+    # melt must compile to one Expand over one scan — not a UNION ALL
+    # of N per-metric scans (the oracle phrasing reads lineitem 4x)
+    p = plan_string(q("q117_unpivot"))
+    assert p.count("lineitem.parquet") == 1
+    assert "Expand" in p
+
+
+def test_q119_transitions_use_window_not_self_join(q):
+    # the bigram pairing is one lead() on the user shuffle; the naive
+    # consecutive-rank self-join would show a second join + exchange
+    df = q("q119_sequence_transitions")
+    p = plan_string(df)
+    assert "Window" in p
+    assert "Join" not in p
+    assert not has_python_eval(df)
+
+
+def test_q121_pagerank_iterations_stay_jvm_side(q):
+    # the driver loop moves only the loop counter: every iteration is
+    # joins + aggs over checkpointed frames, no Python eval anywhere
+    df = q("q121_pagerank")
+    assert not has_python_eval(df)
+    p = plan_string(df)
+    assert "Scan ExistingRDD" in p  # per-round lineage truncation
+    assert "CartesianProduct" not in p
