@@ -514,3 +514,209 @@ def ivf_topk_trained(
         F.col("_cid").isin(probed)
     )
     return cosine_topk(candidates.drop("_cid"), query, k, id_col, vec_col)
+
+
+def assign_nearest_l2(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_cid",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared EUCLIDEAN distance, the
+    textbook Lloyd/PQ metric (cosine assignment — assign_nearest —
+    discards subvector magnitude, which ADC needs). Same narrow-map
+    contract: the model rides as a literal, no join, no shuffle; ties
+    resolve to the first index."""
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+    def negd2(c):
+        diff2 = F.zip_with(
+            F.col(vec_col), c, lambda x, y: (x - y) * (x - y)
+        )
+        return -F.aggregate(
+            diff2, F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    scores = F.transform(carr, negd2)
+    best = F.array_position(scores, F.array_max(scores))
+    return emb.withColumn(out_col, (best - 1).cast("int"))
+
+
+def _kmeans_l2(
+    data: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[float]]:
+    """Lloyd's k-means under L2 (the PQ subspace trainer): identical
+    driver-loop/decimal-determinism contract as kmeans_centroids
+    (md5-seeded init, 6-decimal rounded means, only the model crosses
+    to the driver) but with Euclidean assignment."""
+    data = data.persist()
+    try:
+        init_rows = (
+            data.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(k)
+            .collect()
+        )
+        cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+        if len(cents) < k:
+            raise ValueError(f"need >= {k} vectors to init {k} centroids")
+        for _ in range(iters):
+            assigned = assign_nearest_l2(data, cents, vec_col)
+            stats = (
+                assigned.select(
+                    "_cid", F.posexplode(vec_col).alias("pos", "val")
+                )
+                .groupBy("_cid", "pos")
+                .agg(
+                    F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cid.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                [by_cid[ci][p] for p in range(len(cents[ci]))]
+                if ci in by_cid
+                else cents[ci]
+                for ci in range(k)
+            ]
+    finally:
+        data.unpersist()
+    return cents
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the (l2-normalized) vector
+    into ``m`` contiguous subvectors and train an independent L2
+    k-means quantizer per subspace (_kmeans_l2 — deterministic
+    md5-seeded init, decimal-rounded means). Returns m codebooks of
+    k codewords each.
+
+    Memory story (why PQ at 100 TB): a 64-dim float vector is 256 B;
+    its PQ code is m bytes (m=8: 32x smaller), so the searchable index
+    for a billion vectors drops from 256 GB to 8 GB — cacheable per
+    executor. Training passes over the corpus are bounded by
+    m*(iters+1); at scale you train on a sample (the codebooks are a
+    model, not a per-row artifact)."""
+    normed = emb.select(
+        id_col, l2_normalize(F.col(vec_col)).alias(vec_col)
+    ).localCheckpoint(eager=False)
+    dim = len(normed.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        _kmeans_l2(
+            normed.select(
+                id_col,
+                F.slice(vec_col, j * sub + 1, sub).alias(vec_col),
+            ),
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword indices
+    (array<int> of length m). Pure narrow map — every codebook rides
+    as a literal (assign_nearest's model-to-the-data trick, m times);
+    no join, no shuffle. At ingest time this runs once and the m-byte
+    code is stored next to the row."""
+    sub = len(codebooks[0][0])
+    out = emb.select(
+        id_col, l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
+    for j, book in enumerate(codebooks):
+        out = assign_nearest_l2(
+            out.withColumn(
+                "_sub", F.slice(vec_col, j * sub + 1, sub)
+            ),
+            book,
+            vec_col="_sub",
+            out_col=f"_c{j}",
+        ).drop("_sub")
+    return out.select(
+        id_col,
+        vec_col,
+        F.array(
+            *[F.col(f"_c{j}") for j in range(len(codebooks))]
+        ).alias(code_col),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    candidate_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via asymmetric distance computation
+    (ADC) + exact re-rank: the query stays un-quantized; each subspace
+    contributes dot(q_j, codeword) looked up from an (m x k) distance
+    table computed ONCE driver-side and inlined as a literal — scoring
+    a row is m array lookups + a fold, no per-row vector math. The
+    ADC-ranked candidate pool (candidate_factor*k, TakeOrdered — never
+    a global sort) is then exactly re-ranked with the true cosine, so
+    returned scores carry no quantization error; only recall is
+    approximate (pinned vs brute force in tests/test_llm.py)."""
+    qvec = [float(x) for x in query.first()[0]]
+    qn = sum(x * x for x in qvec) ** 0.5 or 1.0
+    qvec = [x / qn for x in qvec]
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                qvec[j * sub + i] * c[i] for i in range(sub)
+            )
+            for c in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+    tlit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in table]
+    )
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            tlit,
+            lambda cd, t: F.element_at(t, cd + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    candidates = (
+        encoded.withColumn("_adc", adc)
+        .orderBy(F.col("_adc").desc(), F.col(id_col))
+        .limit(candidate_factor * k)
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(candidates, query, k, id_col, vec_col)

@@ -58,6 +58,11 @@ SWEEP_FIRST = [
     "q119_sequence_transitions",
     "q120_histogram",
     "q121_pagerank",
+    "q122_tfidf",
+    "q123_bigram_lm_score",
+    "q124_market_basket",
+    "q125_session_assignment",
+    "q126_pq_ann",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

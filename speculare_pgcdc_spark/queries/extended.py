@@ -1104,3 +1104,106 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return pagerank(edges, iters=5).orderBy("node")
+
+
+@register(
+    "q124_market_basket",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        ORDER BY n_orders DESC, pa, pb
+        LIMIT 20
+    """,
+    doc="Market-basket co-occurrence (frequent-pair mining, the "
+    "first pass of FP-growth-style association rules): distinct "
+    "(order, part) items self-join on the ORDER key — quadratic only "
+    "in basket size (~4-7 items), never in catalog or order count — "
+    "then one pair hash agg + TakeOrdered top-20. The basket-bounded "
+    "self-join is the same blocking contract as q115's brand key.",
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("pa") < F.col("pb")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+@register(
+    "q125_session_assignment",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM gaps
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM sessioned
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
+    doc="Gap-based session ASSIGNMENT (30-min timeout): unlike q38's "
+    "session_window AGGREGATE, this returns the per-event session id "
+    "— the labeling a feature pipeline joins back onto raw events. "
+    "lag + running integer SUM on one user_id shuffle (both windows "
+    "share the same partitioning, so Spark plans ONE exchange); "
+    "integer cumsum is order-exact, so no rounding contract needed.",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_new = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+        <= 1800,
+        0,
+    ).otherwise(1)
+    return (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn("new_s", gap_new)
+        .withColumn("session_idx", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

@@ -1150,3 +1150,189 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("tok")
     ).filter(F.col("tok") != "")
     return misra_gries_topk(toks, "tok", k=20)
+
+
+@register(
+    "q122_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   CAST(ROUND(
+                       tf.tf * ln(((SELECT n_docs FROM n) + 1.0)
+                                  / (df.df + 1.0)), 6) AS DOUBLE) AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok
+        )
+        SELECT doc_id, tok, tfidf FROM (
+            SELECT doc_id, tok, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, tok) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+        ORDER BY doc_id, tfidf DESC, tok
+    """,
+    doc="TF-IDF top-3 terms per document (retrieval / keyword-extract "
+    "staple): term frequency as one (doc_id, tok) hash agg, document "
+    "frequency as one tok agg, smoothed idf = ln((N+1)/(df+1)) "
+    "attached by an equi-join on tok, per-doc top-3 via a rank window "
+    "on the doc_id shuffle. Every stage is a bounded hash agg or "
+    "equi-join — no all-pairs, no Python; the (tfidf DESC, tok) order "
+    "key is total so the cut is deterministic cross-engine.",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).cast("double").alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), "tok"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "tok")
+    )
+
+
+@register(
+    "q123_bigram_lm_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok, pos FROM (
+                SELECT doc_id, t.tok, t.pos
+                FROM documents,
+                     LATERAL (
+                        SELECT unnest(string_split(COALESCE(text,''), ' '))
+                                   AS tok,
+                               generate_subscripts(
+                                   string_split(COALESCE(text,''), ' '), 1)
+                                   AS pos
+                     ) t
+            ) WHERE tok <> ''
+        ),
+        bigrams AS (
+            SELECT doc_id, tok AS w1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ),
+        pairs AS (SELECT doc_id, w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+        uni AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+        bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2)
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(ROUND(
+                   CAST(SUM(CAST(ln(bi.c2 / uni.c1) AS DECIMAL(28,12)))
+                        AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_logp
+        FROM pairs p
+        JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+        JOIN uni ON p.w1 = uni.w1
+        GROUP BY p.doc_id
+        ORDER BY p.doc_id
+    """,
+    doc="Bigram language-model fluency score per document (the "
+    "KenLM-style perplexity filter of training-data pipelines, with "
+    "the corpus itself as the LM): token bigrams via one lead() "
+    "window per doc, MLE probabilities c(w1 w2)/c(w1) from two hash "
+    "aggs joined back, per-doc mean log-prob. The log-prob sum runs "
+    "in DECIMAL(28,12) so shuffle order can't perturb the double "
+    "accumulation — same determinism contract as the PageRank/k-means "
+    "oracles. All equi-joins on token keys; no Python.",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    uni = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    logp = F.log(F.col("c2") / F.col("c1")).cast("decimal(28,12)")
+    return (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).cast("double").alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q126_pq_ann",
+    oracle=None,  # sketch family (E14 contract): PQ candidate ranking
+    # is approximate; recall vs brute force + compression invariants
+    # are pinned in tests/test_llm.py
+    doc="Product-quantization ANN (m=8 subspaces x 16 codewords over "
+    "the 64-dim embeddings): per-subspace k-means codebooks "
+    "(deterministic trainer), m-byte codes assigned by a narrow "
+    "literal-model map, ADC scoring via an (m x k) driver-computed "
+    "lookup table inlined as a literal (m array lookups + fold per "
+    "row — no per-row vector math), exact cosine re-rank of the "
+    "TakeOrdered candidate pool. The third ANN memory/compute "
+    "trade-off next to IVF (q53, partition pruning) and SRP-LSH "
+    "(q71, banded buckets): PQ buys a 32x smaller index for "
+    "recall-not-exactness. operators/similarity.pq_*.",
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    data = emb.filter(F.col("vec_id") != 0)
+    # small training knobs for the registered demo (each subspace's
+    # Lloyd loop is driver-round-trip bound on tiny fixtures); the
+    # operator's full knobs are exercised in tests/test_llm.py
+    books = sim.pq_train(data, m=4, k=8, iters=1)
+    return sim.pq_topk(data, q, books, k=5)

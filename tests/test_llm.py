@@ -907,3 +907,64 @@ def test_mg_partition_summary_is_bounded():
     summary = dict(zip(out[0]["tok"], out[0]["mg_bound"]))
     assert "hot" in summary  # f=100 > N/(s+1)=180/9=20
     assert summary["hot"] <= 100  # lower bound, never an overcount
+
+
+def test_pq_codes_and_exact_rerank_on_fixtures(spark, emb):
+    """PQ ANN structure on the (near-random — ANN-adversarial) fixture
+    vectors: codes are m small ints (the 32x index compression) and
+    the re-rank makes every returned score exactly the true cosine.
+    Recall is pinned separately on clustered data, where nearness
+    exists to recover (same split as the trained-IVF tests)."""
+    e = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    books = sim.pq_train(e, m=8, k=16, iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    codes = sim.pq_encode(e, books)
+    row = codes.select("code").first()
+    assert len(row.code) == 8
+    assert all(0 <= c < 16 for c in row.code)
+
+    brute = {r.vec_id: r.cos for r in sim.cosine_topk(e, q, k=5).collect()}
+    got = {r.vec_id: r.cos for r in sim.pq_topk(e, q, books, k=5).collect()}
+    assert len(got) == 5
+    # re-ranked scores are exact cosines (match brute force where ids agree)
+    for vid in set(got) & set(brute):
+        assert abs(got[vid] - brute[vid]) < 1e-9
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """Where true near neighbors exist (10 tight clusters), PQ's ADC
+    candidates + exact re-rank recover >= 4/5 of the brute-force
+    top-5."""
+    import random as _random
+
+    rng = _random.Random(11)
+    dim, n_clusters, per = 64, 10, 40
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.05) for x in c])
+            )
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    data = e.filter(F.col("vec_id") != 0)
+    brute = {r.vec_id for r in sim.cosine_topk(data, q, k=5).collect()}
+    books = sim.pq_train(data, m=8, k=16, iters=2)
+    got = {r.vec_id for r in sim.pq_topk(data, q, books, k=5).collect()}
+    assert len(got & brute) >= 4, (sorted(got), sorted(brute))
+
+
+def test_pq_train_is_deterministic(spark, emb):
+    e = emb.filter(F.col("vec_id") != 0)
+    b1 = sim.pq_train(e, m=4, k=8, iters=1)
+    b2 = sim.pq_train(e, m=4, k=8, iters=1)
+    assert b1 == b2

@@ -309,3 +309,47 @@ def test_redact_digits_equals_python_reference(spark):
         full = re.sub(r"[0-9]", "X", s)
         last4 = s if len(s) <= 4 else re.sub(r"[0-9]", "X", s[:-4]) + s[-4:]
         assert got[i] == (full, last4), f"id {i} {s!r}"
+
+
+def test_pagerank_equals_numpy_power_iteration(spark):
+    """operators/graph.pagerank on a random directed graph must match a
+    plain NumPy power iteration applying the same rounding contract."""
+    import random as _random
+
+    from speculare_pgcdc_spark.operators.graph import pagerank
+
+    rng = _random.Random(7)
+    n = 40
+    edges = set()
+    for src in range(n):
+        for _ in range(rng.randrange(1, 5)):
+            dst = rng.randrange(n)
+            if dst != src:
+                edges.add((src, dst))
+    # bidirect so every node has out-degree >= 1 (the operator contract)
+    edges |= {(b, a) for a, b in edges}
+    edf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in sorted(edges)], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edf, iters=5).collect()}
+
+    nodes = sorted({f"n{a}" for a, _ in edges} | {f"n{b}" for _, b in edges})
+    out = {}
+    for a, b in edges:
+        out.setdefault(f"n{a}", []).append(f"n{b}")
+    N = len(nodes)
+    rank = {v: round(1.0 / N, 12) for v in nodes}
+    for _ in range(5):
+        incoming = {v: 0.0 for v in nodes}
+        for srcn, dsts in out.items():
+            c = rank[srcn] / len(dsts)
+            for d in dsts:
+                incoming[d] += c
+        rank = {
+            v: round(0.15 / N + 0.85 * incoming[v], 12) for v in nodes
+        }
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # rank mass conserved (bidirected graph has no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
