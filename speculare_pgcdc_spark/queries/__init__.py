@@ -63,6 +63,8 @@ SWEEP_FIRST = [
     "q124_market_basket",
     "q125_session_assignment",
     "q126_pq_ann",
+    "q127_time_weighted_avg",
+    "q128_ohlc_bars",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

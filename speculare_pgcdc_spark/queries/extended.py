@@ -1207,3 +1207,133 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "q127_time_weighted_avg",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                   CAST(FLOOR(epoch(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ))) AS BIGINT) AS t_next
+            FROM events
+        )
+        SELECT user_id,
+               CAST(ROUND(
+                   (SUM(CAST(ROUND(value * (t_next - t) * 1000000, 0)
+                             AS BIGINT)) / 1000000.0)
+                   / SUM(t_next - t), 4) AS DOUBLE) AS twa
+        FROM pts
+        WHERE t_next IS NOT NULL AND t_next > t
+        GROUP BY user_id
+        HAVING SUM(t_next - t) > 0
+        ORDER BY user_id
+    """,
+    doc="Time-weighted average over irregular samples (the TimescaleDB "
+    "time_weight('LOCF') staple — the honest mean when sampling is "
+    "bursty): each point is held until the next one (left-Riemann / "
+    "LOCF), weighted by its holding interval. One lead() window on "
+    "the user shuffle + one agg reusing the same partitioning. "
+    "Interval-weighted products are rounded to exact integer "
+    "micro-units before the sum (BIGINT addition is exact and "
+    "order-free) so shuffle order can't move the accumulation — the "
+    "integer flavor of the decimal determinism contract, dodging "
+    "cross-engine double->decimal cast rounding.",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.functions import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # FLOOR, not cast: double->bigint CAST truncates in Spark but
+    # rounds in DuckDB — on sub-second timestamps that skews dt by
+    # +/-1s per row and the mismatch compounds across the weighted sum
+    t = F.floor(epoch_seconds("ts")).cast("bigint")
+    pts = (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("t", t)
+        .withColumn("t_next", F.lead("t").over(w))
+        .filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+        .withColumn("dt", F.col("t_next") - F.col("t"))
+    )
+    return (
+        pts.groupBy("user_id")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("value") * F.col("dt") * 1000000, 0
+                        ).cast("bigint")
+                    )
+                    / F.lit(1000000.0)
+                )
+                / F.sum("dt"),
+                4,
+            ).cast("double").alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q128_ohlc_bars",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   date_trunc('day', ts) AS day,
+                   ROW_NUMBER() OVER w_asc AS rn_a,
+                   ROW_NUMBER() OVER w_desc AS rn_d
+            FROM events
+            WINDOW w_asc AS (PARTITION BY event_type, date_trunc('day', ts)
+                             ORDER BY ts, event_id),
+                   w_desc AS (PARTITION BY event_type, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC)
+        )
+        SELECT event_type, day,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ranked
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+    """,
+    doc="OHLC candlestick bars per (series, day) — the downsample-for- "
+    "display / financial-rollup staple (TimescaleDB ohlc/candlestick "
+    "agg): open/close are first/last by a TOTAL (ts, event_id) order "
+    "(two row_number windows sharing ONE (event_type, day) shuffle), "
+    "high/low/count ride the same grouped agg. No value rounding "
+    "needed: open/high/low/close are SELECTED values, not arithmetic.",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    base = (
+        table(spark, sf, "events")
+        .select("event_type", "event_id", "ts", "value")
+        .withColumn("day", day)
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
