@@ -65,6 +65,7 @@ SWEEP_FIRST = [
     "q126_pq_ann",
     "q127_time_weighted_avg",
     "q128_ohlc_bars",
+    "q129_grouping_sets",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

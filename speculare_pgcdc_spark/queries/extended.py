@@ -1337,3 +1337,40 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q129_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS total,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+    doc="Explicit GROUPING SETS (A4 completion beyond rollup q17 / "
+    "cube q76): three hand-picked sets — per-status, per-priority, "
+    "grand total — computed in ONE Expand pass (3x row multiplication "
+    "map-side, one shuffle), not three scans UNIONed. grouping_id "
+    "disambiguates the NULL-as-aggregate rows from genuine NULLs. "
+    "Phrased through the spark.sql entry (the engine's SQL surface, "
+    "engine.sql) over registered views — same Catalyst plan as the "
+    "DataFrame form.",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS total,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """)

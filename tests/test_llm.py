@@ -968,3 +968,8 @@ def test_pq_train_is_deterministic(spark, emb):
     b1 = sim.pq_train(e, m=4, k=8, iters=1)
     b2 = sim.pq_train(e, m=4, k=8, iters=1)
     assert b1 == b2
+
+
+def test_pq_train_rejects_indivisible_dim(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(emb.filter(F.col("vec_id") != 0), m=7, k=4, iters=1)
