@@ -338,3 +338,25 @@ def test_q121_pagerank_iterations_stay_jvm_side(q):
     p = plan_string(df)
     assert "Scan ExistingRDD" in p  # per-round lineage truncation
     assert "CartesianProduct" not in p
+
+
+def test_q124_basket_join_is_equi_on_order_key(q):
+    p = plan_string(q("q124_market_basket"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q127_q128_single_user_series_shuffle(q):
+    # stacked windows/aggs on the same partitioning must plan ONE
+    # hash exchange (plus none hidden in python)
+    for name in ("q127_time_weighted_avg", "q128_ohlc_bars"):
+        df = q(name)
+        assert exchange_count(df, "hashpartitioning") <= 1, name
+        assert not has_python_eval(df), name
+
+
+def test_q129_grouping_sets_is_single_expand_pass(q):
+    p = plan_string(q("q129_grouping_sets"))
+    assert p.count("orders.parquet") == 1
+    assert "Expand" in p
