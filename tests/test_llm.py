@@ -973,3 +973,26 @@ def test_pq_train_is_deterministic(spark, emb):
 def test_pq_train_rejects_indivisible_dim(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_train(emb.filter(F.col("vec_id") != 0), m=7, k=4, iters=1)
+
+
+def test_ivf_cell_partitioned_scan_prunes(spark, emb, tmp_path):
+    """The IVF scale path stated in SCALING.md §6, proven end-to-end:
+    persist the corpus partitioned by its assigned cell id, and a
+    probe-cell filter must prune at the SCAN (PartitionFilters), so
+    nprobe/k of the data is never read — the 100 TB contract."""
+    from speculare_pgcdc_spark.sources import write_parquet
+
+    e = emb.filter(F.col("vec_id") != 0)
+    cents = sim.kmeans_centroids(e, k=4, iters=1)
+    assigned = sim.assign_nearest(e, cents).withColumnRenamed(
+        "_cid", "cell"
+    )
+    out = str(tmp_path / "ivf_cells")
+    write_parquet(assigned, out, partition_by=["cell"])
+
+    scan = spark.read.parquet(out).filter(F.col("cell").isin(0, 1))
+    p = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p
+    assert "cell" in p.split("PartitionFilters")[1][:200]
+    # and the pruned read really returns only the probed cells
+    assert {r.cell for r in scan.select("cell").distinct().collect()} <= {0, 1}
