@@ -66,6 +66,9 @@ SWEEP_FIRST = [
     "q127_time_weighted_avg",
     "q128_ohlc_bars",
     "q129_grouping_sets",
+    "q130_rfm_segmentation",
+    "q131_ratio_to_report",
+    "q132_mad_robust_stats",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

@@ -1374,3 +1374,145 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY gid, o_orderstatus, o_orderpriority
     """)
+
+
+@register(
+    "q130_rfm_segmentation",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS freq,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey)
+                    AS BIGINT) AS r_bucket,
+               CAST(NTILE(4) OVER (ORDER BY freq, o_custkey)
+                    AS BIGINT) AS f_bucket,
+               CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_bucket
+        FROM base
+        ORDER BY o_custkey
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quartiles — the "
+    "canonical customer-scoring rollup): one hash agg per customer, "
+    "then three ntile(4) windows. The windows are global (quartiles "
+    "are a GLOBAL property) but run over the CUSTOMER aggregate, not "
+    "the fact table — at 100 TB that frame is |customers|, and the "
+    "scale variant replaces ntile with fixed quantile cut-points from "
+    "approx_percentile (one pass, no global sort). Monetary sums ride "
+    "decimal; every ntile order key is totalized by c_custkey.",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    nt = lambda col: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col), F.col("o_custkey"))
+    ).cast("bigint")
+    return (
+        base.select(
+            "o_custkey",
+            nt("last_order").alias("r_bucket"),
+            nt("freq").alias("f_bucket"),
+            nt("monetary").alias("m_bucket"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "q131_ratio_to_report",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(
+                   CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE)
+                   / CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                         PARTITION BY event_type) AS DOUBLE), 8)
+               AS DOUBLE) AS share
+        FROM events
+        ORDER BY event_id
+    """,
+    doc="Ratio-to-report (share-of-group window): each event's value "
+    "as a fraction of its type's total — an UNFRAMED aggregate window "
+    "(one value per partition, broadcast back to every row by the "
+    "same WindowExec pass; no join-back needed). The group total "
+    "accumulates in decimal so the denominator is shuffle-order-"
+    "exact; one event_type shuffle total.",
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    vdec = F.col("value").cast("decimal(28,6)")
+    return (
+        table(spark, sf, "events")
+        .select(
+            "event_id",
+            F.round(
+                vdec.cast("double")
+                / F.sum(vdec).over(w).cast("double"),
+                8,
+            ).cast("double").alias("share"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q132_mad_robust_stats",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(ROUND(m.med, 4) AS DOUBLE) AS med,
+               CAST(ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4)
+                    AS DOUBLE) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.med
+        ORDER BY e.event_type
+    """,
+    doc="Median absolute deviation per group (the robust spread "
+    "statistic outlier filters want when stddev is poisoned by the "
+    "outliers themselves): per-group median, broadcast back by an "
+    "equi-join on the group key, median of absolute deviations. Two "
+    "exact-percentile aggs on the same group shuffle; the scale "
+    "variant swaps both for approx_percentile (same call shape, "
+    "t-digest memory bound). Spark percentile == DuckDB "
+    "quantile_cont (both linear-interpolation, pinned by q63).",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 4
+            ).cast("double").alias("mad")
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).cast("double").alias("med"),
+            "mad",
+        )
+        .orderBy("event_type")
+    )
