@@ -360,3 +360,24 @@ def test_q129_grouping_sets_is_single_expand_pass(q):
     p = plan_string(q("q129_grouping_sets"))
     assert p.count("orders.parquet") == 1
     assert "Expand" in p
+
+
+def test_q130_ntile_windows_run_over_customer_aggregate(q):
+    # the quartile windows are global by definition, but they must sit
+    # ABOVE the per-customer aggregate (|customers| rows), never over
+    # the raw orders scan — the aggregate is the only scan consumer
+    p = plan_string(q("q130_rfm_segmentation"))
+    assert p.count("orders.parquet") == 1
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # physical plans print top-down: the window must appear ABOVE
+    # (before) the aggregate feeding it
+    assert win_pos < agg_pos
+
+
+def test_q131_share_window_single_shuffle_no_join(q):
+    df = q("q131_ratio_to_report")
+    p = plan_string(df)
+    assert "Join" not in p  # unframed window, not agg + join-back
+    assert exchange_count(df, "hashpartitioning") == 1
