@@ -195,3 +195,33 @@ def running_counts_tws(events: DataFrame, key_col: str = "user_id") -> DataFrame
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_bars_windowed(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming-capable OHLC candlestick bars per (series, window):
+    open/close are selected by min_by/max_by over the TOTAL
+    (ts, event_id) order — the aggregate-function formulation, because
+    the batch form's row_number windows (queries q128) do not exist in
+    streaming. Both formulations are pinned equal in
+    tests/test_streaming.py; state per open window is one (open, high,
+    low, close, n) tuple per (series, window) — O(series), evicted by
+    the watermark, regardless of event volume."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    key = F.struct(F.col(ts_col), F.col("event_id"))
+    return src.groupBy(
+        F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

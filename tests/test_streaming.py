@@ -1323,3 +1323,57 @@ def test_streaming_cdc_apply_maintains_snapshot(spark, tmp_path):
         r["id"]: r["name"] for r in spark.read.parquet(snap).collect()
     }
     assert again == got
+
+
+def test_streaming_ohlc_bars_match_batch_and_q128(spark, sf_dir, tmp_path):
+    """E79 stream parity: the min_by/max_by OHLC formulation streamed
+    file-by-file equals its batch run AND the row_number formulation
+    registered as q128 (day windows align because the fixture
+    timestamps are naive-UTC and F.window('1 day') buckets epoch
+    days exactly like date_trunc('day'))."""
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.streaming.windows import ohlc_bars_windowed
+
+    events = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    )
+    stream_dir = str(tmp_path / "events_stream")
+    events.coalesce(4).write.mode("overwrite").parquet(stream_dir)
+
+    src = (
+        spark.readStream.schema(
+            "ts timestamp, event_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        ohlc_bars_windowed(src, watermark="100 days")
+        .writeStream.format("memory")
+        .queryName("t_ohlc")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.w.start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+            for r in spark.sql("SELECT * FROM t_ohlc").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.w.start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc_bars_windowed(events).collect()
+    }
+    assert got == batch
+
+    q128 = load_all()["q128_ohlc_bars"].fn(spark, sf_dir)
+    via_rownum = {
+        (r.day, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in q128.collect()
+    }
+    assert got == via_rownum
