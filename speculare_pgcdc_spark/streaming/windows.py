@@ -225,3 +225,61 @@ def ohlc_bars_windowed(
         F.max_by("value", key).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_EWMA_OUT_SCHEMA = (
+    "user_id bigint, ewma double, n_events bigint"
+)
+_EWMA_STATE_SCHEMA = "ewma double, n bigint"
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """T7 companion to the batch EWMA (queries q114): an UNBOUNDED
+    exponentially weighted running mean per key via
+    applyInPandasWithState — the formulation a stream needs, because
+    the batch form's trailing window frame would require re-reading
+    history every trigger. State per key is TWO numbers (current ewma,
+    count) no matter how many events flow through — the O(1)-state
+    contract that lets this run forever at any volume.
+
+    Within a batch, rows must fold in event order; the caller's source
+    must deliver per-key rows ordered (file feeds do; for out-of-order
+    streams compose with dedup/watermark sorting upstream). Emits the
+    post-batch (key, ewma, n) in update mode. Batch==stream parity vs
+    a Python fold is pinned in tests/test_streaming.py."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for v in ordered["value"]:
+                v = float(v)
+                ewma = v if n == 0 else alpha * v + (1 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ewma": [round(ewma, 10)],
+                "n_events": [n],
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

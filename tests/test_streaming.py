@@ -1377,3 +1377,64 @@ def test_streaming_ohlc_bars_match_batch_and_q128(spark, sf_dir, tmp_path):
         for r in q128.collect()
     }
     assert got == via_rownum
+
+
+def test_streaming_ewma_matches_python_fold(spark, tmp_path):
+    """T7 streaming EWMA: per-key running decay across MULTIPLE
+    triggers (state carries between batches) equals a plain Python
+    fold over the same events in order."""
+    from speculare_pgcdc_spark.streaming.windows import streaming_ewma
+
+    in_dir = str(tmp_path / "ewma_in")
+    os.makedirs(in_dir, exist_ok=True)
+    batches = [
+        [
+            {"ts": "2024-01-01 00:00:01", "user_id": 1, "event_id": 1,
+             "value": 10.0},
+            {"ts": "2024-01-01 00:00:02", "user_id": 1, "event_id": 2,
+             "value": 20.0},
+            {"ts": "2024-01-01 00:00:03", "user_id": 2, "event_id": 3,
+             "value": 5.0},
+        ],
+        [
+            {"ts": "2024-01-01 00:00:04", "user_id": 1, "event_id": 4,
+             "value": 40.0},
+            {"ts": "2024-01-01 00:00:05", "user_id": 2, "event_id": 5,
+             "value": 15.0},
+        ],
+    ]
+    src = (
+        spark.readStream.schema(
+            "ts timestamp, user_id bigint, event_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        streaming_ewma(src)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            _write_jsonl(os.path.join(in_dir, f"b{i}.jsonl"), rows)
+            q.processAllAvailable()
+        # update mode: last row per user wins
+        got = {}
+        for r in spark.sql("SELECT * FROM t_ewma").collect():
+            got[r.user_id] = (r.ewma, r.n_events)
+    finally:
+        q.stop()
+
+    # python fold reference, same order, alpha=0.5
+    expect = {}
+    for rows in batches:
+        for r in rows:
+            e, n = expect.get(r["user_id"], (0.0, 0))
+            e = r["value"] if n == 0 else 0.5 * r["value"] + 0.5 * e
+            expect[r["user_id"]] = (e, n + 1)
+    expect = {u: (round(e, 10), n) for u, (e, n) in expect.items()}
+    assert got == expect
