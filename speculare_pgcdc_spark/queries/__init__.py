@@ -69,6 +69,8 @@ SWEEP_FIRST = [
     "q130_rfm_segmentation",
     "q131_ratio_to_report",
     "q132_mad_robust_stats",
+    "q133_topn_per_group",
+    "q134_percent_change",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

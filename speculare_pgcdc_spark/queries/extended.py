@@ -1516,3 +1516,78 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q133_topn_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="Top-N per group (every analyst's second query): rank window "
+    "on the group shuffle + filter — unlike global top-k (q25's "
+    "TakeOrderedAndProject) this SHOULD window, because the cut is "
+    "per-group; the (o_totalprice DESC, o_orderkey) key makes the cut "
+    "total. At scale the window's sort is per-group within one "
+    "shuffle — never global.",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        table(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@register(
+    "q134_percent_change",
+    oracle="""
+        SELECT event_id,
+               CAST(ROUND(
+                   (value - lag(value) OVER w)
+                   / nullif(abs(lag(value) OVER w), 0) * 100, 6)
+               AS DOUBLE) AS pct_change
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    doc="Percent change vs the previous observation per series (the "
+    "returns/delta-encoding primitive): one lag() on the user "
+    "shuffle; NULL for each series' first point and for zero "
+    "baselines (nullif guards the division identically in both "
+    "engines). Pure per-row arithmetic on identical operands — no "
+    "accumulation, so no rounding contract beyond the final display "
+    "round.",
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        table(spark, sf, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .select(
+            "event_id",
+            F.round(
+                (F.col("value") - prev)
+                / F.nullif(F.abs(prev), F.lit(0.0))
+                * 100,
+                6,
+            ).cast("double").alias("pct_change"),
+        )
+        .orderBy("event_id")
+    )
