@@ -71,6 +71,9 @@ SWEEP_FIRST = [
     "q132_mad_robust_stats",
     "q133_topn_per_group",
     "q134_percent_change",
+    "q135_benford_digits",
+    "q136_entropy",
+    "q137_gini_coefficient",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

@@ -1591,3 +1591,160 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q135_benford_digits",
+    oracle="""
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6)
+                    AS DOUBLE) AS frac,
+               CAST(ROUND(log10(1.0 + 1.0 / digit), 6) AS DOUBLE)
+                   AS benford_expected
+        FROM (
+            SELECT CAST(FLOOR(o_totalprice
+                       / pow(10, FLOOR(log10(o_totalprice))))
+                   AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        )
+        GROUP BY digit ORDER BY digit
+    """,
+    doc="Benford first-digit distribution (the fraud/synthetic-data "
+    "smell test): leading digit via log10/pow arithmetic (map-side, "
+    "no string casts), one 9-group agg, observed fraction next to the "
+    "log10(1+1/d) expectation. The share uses an unframed aggregate "
+    "window over the 9-row aggregate — trivially small at any scale.",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    counts = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6)
+            .cast("double").alias("frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+            .cast("double").alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "q136_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id
+        )
+        SELECT c.user_id,
+               CAST(ROUND(
+                   CAST(SUM(CAST(
+                       -(n * 1.0 / tot) * log2(n * 1.0 / tot)
+                       AS DECIMAL(28,12))) AS DOUBLE), 6)
+               AS DOUBLE) AS entropy
+        FROM c JOIN tot ON c.user_id = tot.user_id
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    doc="Shannon entropy of each user's event-type distribution (the "
+    "diversity/curation metric — low entropy flags bot-like or "
+    "template-heavy sources in training-data pipelines): counts from "
+    "one (user, type) agg, totals from its 5-row-per-user rollup "
+    "joined back, -p*log2(p) terms summed in DECIMAL so shuffle order "
+    "cannot move the double accumulation. Probabilities are exact "
+    "integer ratios, so both engines compute identical term doubles.",
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    term = (-p * F.log2(p)).cast("decimal(28,12)")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6)
+            .cast("double").alias("entropy")
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q137_gini_coefficient",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_nationkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY o_totalprice, o_orderkey) AS rk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_nationkey,
+               CAST(ROUND(
+                   (2.0 * CAST(SUM(CAST(rk * o_totalprice
+                                        AS DECIMAL(28,6))) AS DOUBLE))
+                   / (COUNT(*) * CAST(SUM(CAST(o_totalprice
+                                        AS DECIMAL(28,6))) AS DOUBLE))
+                   - (COUNT(*) + 1.0) / COUNT(*), 6)
+               AS DOUBLE) AS gini
+        FROM ranked
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    doc="Gini coefficient of order-value concentration per nation (the "
+    "inequality/skew metric — in pipelines, how concentrated a "
+    "source's contribution is): rank within group by a TOTAL "
+    "(value, key) order, then the closed-form "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n in one agg. Both weighted "
+    "sums accumulate in DECIMAL; the rank window and the agg share "
+    "the group shuffle.",
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    wsum = F.sum(
+        (F.col("rk") * F.col("o_totalprice")).cast("decimal(28,6)")
+    ).cast("double")
+    tsum = F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.round(
+                (2.0 * wsum) / (n * tsum) - (n + 1.0) / n, 6
+            ).cast("double").alias("gini")
+        )
+        .orderBy("c_nationkey")
+    )
