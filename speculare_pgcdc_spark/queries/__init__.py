@@ -74,6 +74,9 @@ SWEEP_FIRST = [
     "q135_benford_digits",
     "q136_entropy",
     "q137_gini_coefficient",
+    "q138_containment",
+    "q139_charset_stats",
+    "q140_winsorized_mean",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

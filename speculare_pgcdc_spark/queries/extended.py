@@ -1748,3 +1748,52 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q140_winsorized_mean",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(ROUND(
+                   CAST(SUM(CAST(
+                       CASE WHEN value < lo THEN lo
+                            WHEN value > hi THEN hi
+                            ELSE value END AS DECIMAL(28,6)))
+                        AS DOUBLE) / COUNT(*), 4)
+               AS DOUBLE) AS wmean
+        FROM events e JOIN bounds b ON e.event_type = b.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    doc="Winsorized mean per group (robust location: clamp to the "
+    "[p05, p95] band, then average — the outlier-tolerant mean "
+    "pipelines use for monitoring noisy metrics): one exact-"
+    "percentile agg for the bounds, broadcast join-back, clamp via "
+    "least/greatest, decimal-summed mean. Same two-pass shape as "
+    "q132's MAD; the approx_percentile swap is the scale variant.",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select("event_type", "value")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("value"), F.col("lo")), F.col("hi")
+    ).cast("decimal(28,6)")
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 4
+            ).cast("double").alias("wmean")
+        )
+        .orderBy("event_type")
+    )

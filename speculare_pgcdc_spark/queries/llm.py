@@ -1336,3 +1336,102 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     # operator's full knobs are exercised in tests/test_llm.py
     books = sim.pq_train(data, m=4, k=8, iters=1)
     return sim.pq_topk(data, q, books, k=5)
+
+
+@register(
+    "q138_containment",
+    oracle="""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokens GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db,
+               CAST(ROUND(i * 1.0 / sa.n, 4) AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        WHERE i * 1.0 / sa.n >= 0.8
+        ORDER BY da, db
+    """,
+    doc="Asymmetric token containment C(A,B) = |A∩B| / |A| (the "
+    "quote/subset detector Jaccard misses: a tweet fully contained in "
+    "an article scores ~1.0 containment but low Jaccard because the "
+    "union is article-sized). Same bucketed token equi-join shape as "
+    "q42 — ORDERED pairs, both directions — with the da-side size as "
+    "the denominator. Bounded oracle-twin subset; the LSH banding in "
+    "operators/dedup.py is the scale path for candidate generation.",
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    tok = dd.tokens(_docs_subset(spark, sf))
+    a = tok.select(F.col("doc_id").alias("da"), "tok")
+    b = tok.select(F.col("doc_id").alias("db"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("da") != F.col("db")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cont = F.col("i") * 1.0 / F.col("n")
+    return (
+        inter.join(sizes, F.col("da") == F.col("doc_id"))
+        .filter(cont >= 0.8)
+        .select(
+            "da", "db", F.round(cont, 4).cast("double").alias("containment")
+        )
+        .orderBy("da", "db")
+    )
+
+
+@register(
+    "q139_charset_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(ROUND(
+                   len(regexp_replace(text, '[^0-9]', '', 'g'))
+                   * 1.0 / len(text), 4) AS DOUBLE) AS digit_ratio,
+               CAST(ROUND(
+                   len(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   * 1.0 / len(text), 4) AS DOUBLE) AS upper_ratio,
+               CAST(ROUND(
+                   len(regexp_replace(text, '[^ ]', '', 'g'))
+                   * 1.0 / len(text), 4) AS DOUBLE) AS space_ratio
+        FROM documents
+        WHERE len(text) > 0
+        ORDER BY doc_id
+    """,
+    doc="Character-class composition per document (L4 companion to "
+    "q50's quality score — digit/upper/space ratios are the cheapest "
+    "boilerplate, table-dump, and SHOUTING detectors in corpus "
+    "filters): three regexp strips + length arithmetic, pure map-side "
+    "codegen, no shuffle at all before the presentation sort. "
+    "Integer-length ratios, so both engines compute identical "
+    "doubles.",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    ln = F.length("text")
+
+    def ratio(pattern, alias):
+        kept = F.length(F.regexp_replace(F.col("text"), pattern, ""))
+        return F.round(kept * 1.0 / ln, 4).cast("double").alias(alias)
+
+    return (
+        table(spark, sf, "documents")
+        .filter(ln > 0)
+        .select(
+            "doc_id",
+            ratio("[^0-9]", "digit_ratio"),
+            ratio("[^A-Z]", "upper_ratio"),
+            ratio("[^ ]", "space_ratio"),
+        )
+        .orderBy("doc_id")
+    )
