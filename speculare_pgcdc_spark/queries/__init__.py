@@ -77,6 +77,8 @@ SWEEP_FIRST = [
     "q138_containment",
     "q139_charset_stats",
     "q140_winsorized_mean",
+    "q141_ngram_novelty",
+    "q142_effective_sources",
     # new or newly-oracled since the r3 sweep — first driver row with
     # an oracle attached happens this round
     "q85_kmeans_clusters",

@@ -1435,3 +1435,133 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q141_ngram_novelty",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok, pos FROM (
+                SELECT doc_id, t.tok, t.pos
+                FROM documents,
+                     LATERAL (
+                        SELECT unnest(string_split(COALESCE(text,''), ' '))
+                                   AS tok,
+                               generate_subscripts(
+                                   string_split(COALESCE(text,''), ' '), 1)
+                                   AS pos
+                     ) t
+            ) WHERE tok <> ''
+        ),
+        grams AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok, 1) OVER w || ' '
+                       || lead(tok, 2) OVER w AS g
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        doc_grams AS (
+            SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL
+        ),
+        df AS (
+            SELECT g, COUNT(*) AS df FROM doc_grams GROUP BY g
+        )
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(ROUND(
+                   SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                   / COUNT(*), 4) AS DOUBLE) AS novelty
+        FROM doc_grams d JOIN df ON d.g = df.g
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="N-gram novelty per document: the fraction of a doc's distinct "
+    "3-grams that appear in NO other document — the inverse of the "
+    "boilerplate signal (q92 flags shared windows; this scores what "
+    "is unique), a direct diversity-selection knob for corpus "
+    "curation. Gram construction via two lead() calls on the per-doc "
+    "shuffle, corpus df as one gram-keyed agg joined back; integer "
+    "ratio so no rounding contract needed beyond display.",
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ).alias("g"),
+            F.lead("tok", 2).over(w).alias("_t2"),
+        )
+        .filter(F.col("_t2").isNotNull())
+        .select("doc_id", "g")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_ = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).cast("double").alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q142_effective_sources",
+    oracle="""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(n) AS tot FROM c)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(ROUND(
+                   1.0 / SUM(CAST(pow(n * 1.0 / (SELECT tot FROM tot), 2)
+                                  AS DECIMAL(28,12))), 4)
+               AS DOUBLE) AS effective_sources
+        FROM c
+    """,
+    doc="Effective source count (inverse Simpson index, 1/sum(p^2)): "
+    "the single number a mixture designer checks — 100 sources where "
+    "one holds 90% of documents is ~1.2 effective sources, not 100. "
+    "Per-source counts from one agg; the squared-share terms sum in "
+    "DECIMAL (exact integer-ratio inputs, so both engines square "
+    "identical doubles). Companion to the q89 source-mixing operator.",
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("tot"))
+    share2 = F.pow(F.col("n") * 1.0 / F.col("tot"), 2).cast(
+        "decimal(28,12)"
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.lit(1.0) / F.sum(share2), 4)
+            .cast("double")
+            .alias("effective_sources"),
+        )
+    )
