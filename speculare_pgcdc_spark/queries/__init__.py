@@ -36,6 +36,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
+    # round-5 additions — no driver row yet
+    "q143_segment_dedup",
+    "q144_kl_source_drift",
+    "q145_degree_distribution",
+    "q146_triangle_count",
+    "q147_zscore_outliers",
+    "q148_iqr_outliers",
+    "q149_value_share",
+    "q150_min_cost_supplier",
+    "q151_dominant_supplier",
+    "q152_quality_rules",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",
@@ -125,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
         cdc_q,
         llm,
         extended,
+        curation,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -1,0 +1,744 @@
+"""Corpus-curation and analytic-pattern queries (round 5, q143-q152).
+
+Three families, all first-class training-data-pipeline operators plus
+the TPC-H shapes the fixture schema (no partsupp table, FIXTURES.md)
+kept out of the main suite:
+
+- exact segment-level corpus dedup (keep-first), per-source
+  distribution drift (KL), composite quality-rule filtering — the
+  RefinedWeb/Gopher-style curation passes applied before training;
+- graph shape statistics over the trade graph (degree distribution,
+  triangle count) — the structural-audit queries a dedup/link graph
+  needs at 100 TB;
+- outlier detection (z-score, IQR fences) and the partsupp-free
+  re-shapes of TPC-H Q11 (share-of-global HAVING), Q2 (argmin
+  supplier per part) and Q20 (dominant-supplier detection).
+
+Scale notes follow each query's doc; the common contracts:
+double-valued sums accumulate in DECIMAL so shuffle order cannot move
+the result (the q136 entropy contract), world-bounded dimension sides
+carry explicit broadcast hints, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import dim, table
+from speculare_pgcdc_spark.functions import money_sum, oracle_money_sum
+from speculare_pgcdc_spark.queries import register
+
+SEG = 16  # tokens per dedup segment (q143) — the "line" granularity
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) with empty tokens dropped — the shared
+    tokenizer shape used across the llm queries."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+
+
+@register(
+    "q143_segment_dedup",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, t.g AS seg_idx,
+                   array_to_string(
+                       arr[t.g * {SEG} + 1 : t.g * {SEG} + {SEG}],
+                       ' ') AS seg_text
+            FROM base,
+                 LATERAL (
+                    SELECT unnest(range(0,
+                        CAST(ceil(len(arr) / {SEG}.0) AS BIGINT))) AS g
+                 ) t
+            WHERE len(arr) > 0
+        ),
+        marked AS (
+            SELECT doc_id, seg_idx, seg_text,
+                   ROW_NUMBER() OVER (PARTITION BY seg_text
+                       ORDER BY doc_id, seg_idx) AS occ
+            FROM segs
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(
+                   CASE WHEN occ = 1 THEN seg_text END, ' '
+                   ORDER BY seg_idx), '') AS cleaned_text
+        FROM marked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Exact segment-level corpus dedup with keep-first semantics "
+    "(the RefinedWeb/Dolma 'line dedup' pass at fixed 16-token "
+    "segment granularity, since the synthetic docs carry no "
+    "newlines): cut each doc into deterministic segments, keep only "
+    "the globally FIRST occurrence of each segment text (ordered by "
+    "doc_id, seg_idx — one row_number over the segment-text shuffle), "
+    "and reassemble the cleaned doc with an order-pinned array sort. "
+    "Per-doc outputs: segment count, dropped count, cleaned text. At "
+    "scale the segment shuffle is the only wide stage and its keys "
+    "are content hashes — uniform by construction; the reassembly "
+    "groups by doc_id, the same key the scan is already laid out on.",
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", arr.alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("arr") / float(SEG)).cast("bigint") - 1,
+            )
+        ).alias("seg_idx"),
+        F.col("arr"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.array_join(
+            F.slice(
+                F.col("arr"),
+                (F.col("seg_idx") * SEG + 1).cast("int"),
+                SEG,
+            ),
+            " ",
+        ).alias("seg_text"),
+    )
+    occ = Window.partitionBy("seg_text").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("occ", F.row_number().over(occ))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("occ") == 1,
+                    F.struct(
+                        F.col("seg_idx"), F.col("seg_text").alias("t")
+                    ),
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("occ") > 1).cast("bigint")).alias("n_dropped"),
+            F.array_join(kept_sorted, " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q144_kl_source_drift",
+    oracle="""
+        WITH toks AS (
+            SELECT source, t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        per_src AS (
+            SELECT source, tok, COUNT(*) AS c
+            FROM toks GROUP BY source, tok
+        ),
+        src_tot AS (
+            SELECT source, SUM(c) AS n_s FROM per_src GROUP BY source
+        ),
+        corpus AS (
+            SELECT tok, SUM(c) AS c_t FROM per_src GROUP BY tok
+        ),
+        corpus_tot AS (SELECT SUM(c_t) AS n FROM corpus)
+        SELECT p.source,
+               CAST(s.n_s AS BIGINT) AS n_tokens,
+               CAST(ROUND(CAST(SUM(CAST(
+                   (p.c * 1.0 / s.n_s)
+                   * ln((p.c * 1.0 / s.n_s) / (g.c_t * 1.0 / ct.n))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS kl_divergence
+        FROM per_src p
+        JOIN src_tot s ON p.source = s.source
+        JOIN corpus g ON p.tok = g.tok
+        CROSS JOIN corpus_tot ct
+        GROUP BY p.source, s.n_s
+        ORDER BY p.source
+    """,
+    doc="Per-source distribution drift: KL(source unigram dist || "
+    "corpus unigram dist) — the curation metric that flags a source "
+    "whose token mix diverges from the blend (domain skew, template "
+    "spam, wrong-language shards). One (source, tok) agg feeds both "
+    "marginals; the corpus side is a tok-keyed agg joined back on the "
+    "same key, the totals are tiny broadcast sides. Probabilities are "
+    "exact integer ratios so both engines compute identical term "
+    "doubles, and the term sum accumulates in DECIMAL (the q136 "
+    "entropy contract) so shuffle order cannot move it.",
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_src = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c").alias("c_t"))
+    corpus_tot = corpus.agg(F.sum("c_t").alias("n"))
+    p_s = F.col("c") * 1.0 / F.col("n_s")
+    p_c = F.col("c_t") * 1.0 / F.col("n")
+    term = (p_s * F.log(p_s / p_c)).cast("decimal(28,12)")
+    return (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source", "n_s")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6)
+            .cast("double").alias("kl_divergence")
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "kl_divergence",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q145_degree_distribution",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        degs AS (
+            SELECT 'c' AS side, o_custkey AS node,
+                   COUNT(*) AS degree
+            FROM pairs GROUP BY o_custkey
+            UNION ALL
+            SELECT 's' AS side, l_suppkey AS node,
+                   COUNT(*) AS degree
+            FROM pairs GROUP BY l_suppkey
+        )
+        SELECT side, CAST(degree AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM degs
+        GROUP BY side, degree
+        ORDER BY side, degree
+    """,
+    doc="Degree distribution of the customer-supplier trade graph — "
+    "the first structural audit run on any dedup/link graph (a heavy "
+    "tail predicts skewed joins downstream; q68's salting is the "
+    "remedy this histogram justifies). Distinct edge list from one "
+    "fact join, per-node degree agg per side, then a tiny "
+    "(side, degree) histogram agg. Three shuffles total, each on "
+    "uniform keys; output is bounded by max degree, not node count.",
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    degs = (
+        pairs.groupBy(F.col("o_custkey").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("c").alias("side"), "degree")
+    ).unionAll(
+        pairs.groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.lit("s").alias("side"), "degree")
+    )
+    return (
+        degs.groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "side",
+            F.col("degree").cast("bigint").alias("degree"),
+            "n_nodes",
+        )
+        .orderBy("side", "degree")
+    )
+
+
+#: minimum co-purchase support for a part pair to become a graph edge
+#: (q146) — bounds the edge list before the triangle join
+TRI_SUPPORT = 3
+
+
+@register(
+    "q146_triangle_count",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS lo, b.l_partkey AS hi
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY lo, hi
+            HAVING COUNT(*) >= {TRI_SUPPORT}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS triangles,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+        FROM edges e1
+        JOIN edges e2 ON e2.lo = e1.hi
+        JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    """,
+    doc="Triangle count over the part co-purchase graph (clustering "
+    "signal: how cliquish the co-occurrence structure is — the "
+    "second-pass audit after q145's degree histogram). Edges are "
+    "basket-bounded pairs (the q124 contract — quadratic only in "
+    "basket size) thresholded on support; triangles enumerate once "
+    "each via the canonical lo<hi orientation: wedge join on the "
+    "middle node, then a closing equi-join on (lo, hi). The "
+    "orientation bounds each wedge list by out-degree in the DAG "
+    "order — the standard compact-forward bound; a degree-ordered "
+    "re-orientation is the further skew remedy at extreme scale.",
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    items = (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRI_SUPPORT)
+        .select("lo", "hi")
+    )
+    # one shared edge materialization feeds all three join legs
+    edges = edges.localCheckpoint(eager=True)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
+
+
+@register(
+    "q147_zscore_outliers",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   avg(value) AS mu,
+                   stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               CAST(ROUND((value - mu) / sigma, 4) AS DOUBLE) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE sigma > 0 AND abs((value - mu) / sigma) > 2
+        ORDER BY e.event_type, event_id
+    """,
+    doc="Z-score outlier detection per event type — the monitoring "
+    "pass over a metric stream (and over per-doc quality scores in a "
+    "curation pipeline). One tiny per-type moment agg broadcast back "
+    "over the fact scan; the filter is map-side after the join, so "
+    "the only wide stage is the 5-group agg. avg/stddev_samp both "
+    "accumulate identically in the two engines on these integer-"
+    "valued doubles; z rounds at display only.",
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).cast("double").alias("z"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "q148_iqr_outliers",
+    oracle="""
+        WITH fences AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 'low'
+                    ELSE 'high' END AS fence
+        FROM events e JOIN fences f ON e.event_type = f.event_type
+        WHERE value < q1 - 1.5 * (q3 - q1)
+           OR value > q3 + 1.5 * (q3 - q1)
+        ORDER BY e.event_type, event_id
+    """,
+    doc="IQR-fence (Tukey) outlier detection per event type — the "
+    "robust companion to q147 (immune to the outliers it hunts). "
+    "Exact interpolated quartiles per group (Spark percentile == "
+    "DuckDB quantile_cont, the q63 parity contract), fences joined "
+    "back broadcast, map-side filter. The scale path swaps "
+    "approx_percentile for the exact quartiles — the q140/q77 "
+    "sketch swap, same plan otherwise.",
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    fences = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("value") < lo, "low")
+            .otherwise("high").alias("fence"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "q149_value_share",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   {oracle_money_sum(
+                       'l_extendedprice * (1 - l_discount)', 'revenue')}
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT SUM(revenue) AS total FROM per_part)
+        SELECT l_partkey, revenue,
+               CAST(ROUND(CAST(revenue AS DOUBLE)
+                          / CAST(total AS DOUBLE), 6) AS DOUBLE)
+                   AS share
+        FROM per_part CROSS JOIN tot
+        WHERE revenue > 0.0005 * total
+        ORDER BY revenue DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape without partsupp: per-part revenue filtered "
+    "against a FRACTION OF THE GLOBAL SUM — the share-of-total HAVING "
+    "pattern (important-stock identification). The global total is a "
+    "1-row agg over the already-aggregated per-part table, broadcast "
+    "into the comparison — no second fact scan. Revenue sums are "
+    "DECIMAL-exact so the threshold compare is exact; only the "
+    "display share rounds through double.",
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        table(spark, sf, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .groupBy("l_partkey")
+        .agg(money_sum(net, "revenue"))
+    )
+    per_part = per_part.localCheckpoint(eager=True)
+    tot = per_part.agg(F.sum("revenue").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue") > 0.0005 * F.col("total"))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.round(
+                F.col("revenue").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).cast("double").alias("share"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q150_min_cost_supplier",
+    oracle="""
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, unit_cost,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY unit_cost, l_suppkey) AS rk
+            FROM costs
+        )
+        SELECT p.p_partkey, b.l_suppkey AS s_suppkey, s.s_name, n.n_name,
+               CAST(ROUND(b.unit_cost, 4) AS DOUBLE) AS unit_cost
+        FROM best b
+        JOIN part p ON b.l_partkey = p.p_partkey
+        JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE b.rk = 1 AND p.p_size < 10
+        ORDER BY p.p_partkey
+    """,
+    doc="TPC-H Q2 shape without partsupp: the cheapest supplier per "
+    "part (argmin-per-group + detail join-back), unit cost observed "
+    "from lineitem. The correlated-min subquery becomes one "
+    "(part, supp) agg plus a row_number argmin with a total "
+    "(cost, suppkey) tie-break order — deterministic at any "
+    "parallelism. part/supplier/nation join AFTER the argmin, so the "
+    "detail joins see one row per part; the p_size filter pushes "
+    "into the part scan. IEEE division is order-independent and min "
+    "is exact, so the double compare is engine-stable.",
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    costs = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = costs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    part = (
+        table(spark, sf, "part")
+        .filter(F.col("p_size") < 10)
+        .select("p_partkey")
+    )
+    supplier = dim(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = dim(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q151_dominant_supplier",
+    oracle="""
+        WITH per_pair AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        per_part AS (
+            SELECT l_partkey, SUM(qty) AS total_qty,
+                   COUNT(*) AS n_suppliers
+            FROM per_pair GROUP BY l_partkey
+        )
+        SELECT p.l_partkey, p.l_suppkey, p.qty, t.total_qty,
+               CAST(ROUND(CAST(p.qty AS DOUBLE)
+                          / CAST(t.total_qty AS DOUBLE), 4) AS DOUBLE)
+                   AS share
+        FROM per_pair p JOIN per_part t ON p.l_partkey = t.l_partkey
+        WHERE t.n_suppliers >= 2 AND p.qty * 2 > t.total_qty
+        ORDER BY p.l_partkey, p.l_suppkey
+    """,
+    doc="TPC-H Q20 shape without partsupp: dominant-supplier "
+    "detection — suppliers shipping MORE THAN HALF of a part's total "
+    "quantity (supply-concentration risk; in pipelines, the same "
+    "shape flags a shard dominating a mixture). Two stacked aggs on "
+    "the same partkey prefix — the rollup reuses the pair agg's "
+    "shuffle partitioning, so one wide stage total. The >1/2 compare "
+    "is integer-scaled DECIMAL (qty*2 > total), no doubles in the "
+    "predicate; single-supplier parts are excluded as trivially "
+    "dominant.",
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    per_pair = (
+        table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("qty")
+        )
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        per_pair.join(per_part, "l_partkey")
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("qty") * 2 > F.col("total_qty"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "qty",
+            "total_qty",
+            F.round(
+                F.col("qty").cast("double")
+                / F.col("total_qty").cast("double"),
+                4,
+            ).cast("double").alias("share"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+@register(
+    "q152_quality_rules",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_words,
+                   COUNT(DISTINCT tok) AS n_uniq,
+                   SUM(len(tok)) AS n_chars,
+                   MAX(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+                       AS has_stop
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(FLOOR(n_chars * 100.0 / n_words) AS BIGINT)
+                   AS mwl_x100,
+               CAST(FLOOR(n_uniq * 10000.0 / n_words) AS BIGINT)
+                   AS uniq_x10000,
+               CAST(n_words BETWEEN 20 AND 100000 AS BOOLEAN)
+                   AS rule_length,
+               CAST(n_chars * 1.0 / n_words BETWEEN 3 AND 10 AS BOOLEAN)
+                   AS rule_word_len,
+               CAST(n_uniq * 1.0 / n_words >= 0.1 AS BOOLEAN)
+                   AS rule_uniq,
+               CAST(has_stop = 1 AS BOOLEAN) AS rule_stopword,
+               CAST(n_words BETWEEN 20 AND 100000
+                    AND n_chars * 1.0 / n_words BETWEEN 3 AND 10
+                    AND n_uniq * 1.0 / n_words >= 0.1
+                    AND has_stop = 1 AS BOOLEAN) AS passes
+        FROM stats
+        ORDER BY doc_id
+    """,
+    doc="Gopher-style composite quality rules per document: word-count "
+    "band, mean-word-length band, distinct-token ratio floor, "
+    "stopword presence — each exposed as its own boolean next to the "
+    "combined verdict, the shape a curation pipeline needs to TUNE "
+    "rules (per-rule rejection rates) rather than only apply them. "
+    "One token explode feeding a single per-doc agg; every rule is a "
+    "column expression over exact integer ratios — no second pass, "
+    "no UDF. The 'the'/'a' stopword set matches the synthetic "
+    "corpus's vocabulary.",
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    toks = _doc_tokens(
+        table(spark, sf, "documents").select("doc_id", "text")
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.sum(F.length("tok")).alias("n_chars"),
+        F.max(
+            F.col("tok").isin("the", "a").cast("int")
+        ).alias("has_stop"),
+    )
+    mwl = F.col("n_chars") * 1.0 / F.col("n_words")
+    uniq = F.col("n_uniq") * 1.0 / F.col("n_words")
+    rule_length = F.col("n_words").between(20, 100000)
+    rule_word_len = mwl.between(3.0, 10.0)
+    rule_uniq = uniq >= 0.1
+    rule_stop = F.col("has_stop") == 1
+    return stats.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        # floor-scaled integers, not round(): both engines compute the
+        # identical IEEE double, and floor of identical doubles is
+        # engine-stable — round() is not (Spark rounds the shortest
+        # decimal repr, DuckDB the binary value; 4.475 splits them)
+        F.floor(F.col("n_chars") * 100.0 / F.col("n_words"))
+        .cast("bigint").alias("mwl_x100"),
+        F.floor(F.col("n_uniq") * 10000.0 / F.col("n_words"))
+        .cast("bigint").alias("uniq_x10000"),
+        rule_length.alias("rule_length"),
+        rule_word_len.alias("rule_word_len"),
+        rule_uniq.alias("rule_uniq"),
+        rule_stop.alias("rule_stopword"),
+        (rule_length & rule_word_len & rule_uniq & rule_stop)
+        .alias("passes"),
+    ).orderBy("doc_id")
