@@ -47,6 +47,11 @@ SWEEP_FIRST = [
     "q150_min_cost_supplier",
     "q151_dominant_supplier",
     "q152_quality_rules",
+    "q153_scd2_history",
+    "q154_embedding_quantization",
+    "q155_pmi_cooccurrence",
+    "q156_new_users_curve",
+    "q157_csv_roundtrip",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",
@@ -137,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         extended,
         curation,
+        history,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -656,6 +656,178 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q154_embedding_quantization",
+    oracle="""
+        WITH vals AS (
+            SELECT vec_id, g.idx,
+                   CAST(g.v AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (
+                    SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS idx
+                 ) g
+        ),
+        dims AS (
+            SELECT idx, MIN(v) AS lo, MAX(v) AS hi
+            FROM vals GROUP BY idx
+        )
+        SELECT vec_id, vals.idx AS dim,
+               CAST(LEAST(FLOOR((v - lo) * 255.0 / (hi - lo)), 255)
+                    AS BIGINT) AS q_code
+        FROM vals JOIN dims ON vals.idx = dims.idx
+        WHERE vec_id < 10 AND hi > lo
+        ORDER BY vec_id, dim
+    """,
+    doc="Scalar (int8-range) embedding quantization — the compression "
+    "pass in front of a vector index (the IVF/PQ family q53/q126 "
+    "assume it): per-DIMENSION min/max trained over the full corpus "
+    "(one 64-group agg — constant-size model regardless of row "
+    "count), broadcast back, code = floor((v-lo)*255/(hi-lo)) "
+    "clamped. Every value is cast to DOUBLE before any arithmetic so "
+    "both engines run identical IEEE ops on the widened float32s, "
+    "and floor of identical doubles is engine-stable (the q152 "
+    "lesson). Codes are emitted for a bounded vec_id probe set; the "
+    "trained (lo, hi) model is the part that ships.",
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    vals = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("idx0", "vf"))
+        .select(
+            "vec_id",
+            (F.col("idx0") + 1).alias("dim"),
+            F.col("vf").cast("double").alias("v"),
+        )
+    )
+    dims = vals.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    code = F.least(
+        F.floor((F.col("v") - F.col("lo")) * 255.0
+                / (F.col("hi") - F.col("lo"))),
+        F.lit(255),
+    ).cast("bigint")
+    return (
+        vals.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(dims.filter(F.col("hi") > F.col("lo"))), "dim")
+        .select("vec_id", "dim", code.alias("q_code"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+#: minimum pair support for a PMI estimate (q155) — below this the
+#: log-ratio is noise
+PMI_SUPPORT = 10
+
+
+@register(
+    "q155_pmi_cooccurrence",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, t.tok, t.pos FROM (
+                SELECT doc_id, t.tok, t.pos
+                FROM documents,
+                     LATERAL (
+                        SELECT unnest(string_split(COALESCE(text,''), ' '))
+                                   AS tok,
+                               generate_subscripts(
+                                   string_split(COALESCE(text,''), ' '), 1)
+                                   AS pos
+                     ) t
+            ) t WHERE tok <> ''
+        ),
+        pairs AS (
+            SELECT LEAST(a.tok, b.tok) AS ta,
+                   GREATEST(a.tok, b.tok) AS tb,
+                   COUNT(*) AS n_ab
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id
+                       AND b.pos - a.pos IN (1, 2)
+            GROUP BY ta, tb
+            HAVING COUNT(*) >= {PMI_SUPPORT}
+        ),
+        occ AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        tot AS (
+            SELECT (SELECT SUM(n) FROM occ) AS n_occ,
+                   (SELECT SUM(n_ab) FROM pairs) AS n_pairs
+        )
+        SELECT ta, tb, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(ROUND(
+                   ln((n_ab * 1.0 / n_pairs)
+                      / ((oa.n * 1.0 / n_occ) * (ob.n * 1.0 / n_occ))),
+                   6) AS DOUBLE) AS pmi
+        FROM pairs
+        JOIN occ oa ON pairs.ta = oa.tok
+        JOIN occ ob ON pairs.tb = ob.tok
+        CROSS JOIN tot
+        ORDER BY pmi DESC, ta, tb
+        LIMIT 50
+    """,
+    doc="Pointwise mutual information of token pairs co-occurring "
+    "within a ±2-position window — the association score behind "
+    "collocation mining and embedding-corpus prep. The window join is "
+    "an EQUI-join on (doc_id, pos+δ) with δ exploded from {1,2} — "
+    "linear in corpus size, never the per-doc quadratic blowup a "
+    "doc_id-only self-join would be. Marginals come from one token "
+    "agg; all probabilities are exact integer ratios so both engines "
+    "compute identical term doubles; top-50 orders by the identical "
+    "pmi with a total (ta, tb) tie-break.",
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    toks = _doc_tokens(
+        table(spark, sf, "documents").select("doc_id", "text")
+    ).withColumn("pos", F.col("pos") + 1)
+    a = toks.alias("a").withColumn(
+        "delta", F.explode(F.array(F.lit(1), F.lit(2)))
+    )
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.pos") + F.col("delta") == F.col("b.pos")),
+        )
+        .groupBy(
+            F.least(F.col("a.tok"), F.col("b.tok")).alias("ta"),
+            F.greatest(F.col("a.tok"), F.col("b.tok")).alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_SUPPORT)
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    occ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = occ.agg(F.sum("n").alias("n_occ")).crossJoin(
+        pairs.agg(F.sum("n_ab").alias("n_pairs"))
+    )
+    oa = occ.select(
+        F.col("tok").alias("ta"), F.col("n").alias("na")
+    )
+    ob = occ.select(
+        F.col("tok").alias("tb"), F.col("n").alias("nb")
+    )
+    pmi = F.log(
+        (F.col("n_ab") * 1.0 / F.col("n_pairs"))
+        / (
+            (F.col("na") * 1.0 / F.col("n_occ"))
+            * (F.col("nb") * 1.0 / F.col("n_occ"))
+        )
+    )
+    return (
+        pairs.join(oa, "ta")
+        .join(ob, "tb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ta",
+            "tb",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(pmi, 6).cast("double").alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "ta", "tb")
+        .limit(50)
+    )
+
+
+@register(
     "q152_quality_rules",
     oracle="""
         WITH toks AS (
