@@ -381,3 +381,96 @@ def test_q131_share_window_single_shuffle_no_join(q):
     p = plan_string(df)
     assert "Join" not in p  # unframed window, not agg + join-back
     assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_q143_segment_dedup_no_cartesian_and_pruned_scan(q):
+    df = q("q143_segment_dedup")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the documents scan must read only (doc_id, text)
+    assert {"doc_id", "text"} in read_schemas(df)
+
+
+def test_q144_kl_joins_are_equi_with_broadcast_marginals(q):
+    df = q("q144_kl_source_drift")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # only the 1-row corpus-total cross is allowed to be nested-loop
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert broadcast_hash_join_count(df) >= 1  # src totals broadcast
+
+
+def test_q146_triangle_joins_are_equi(q):
+    df = q("q146_triangle_count")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # wedge + closing joins are equi; only the 1-row n_edges cross may
+    # be nested-loop
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_q147_q148_stats_broadcast_single_fact_shuffle(q):
+    for name in ("q147_zscore_outliers", "q148_iqr_outliers"):
+        df = q(name)
+        assert broadcast_hash_join_count(df) >= 1, name
+        # only wide stage on the fact: the tiny per-type stats agg
+        assert exchange_count(df, "hashpartitioning") == 1, name
+
+
+def test_q150_part_filter_pushes_and_argmin_single_window(q):
+    df = q("q150_min_cost_supplier")
+    p = plan_string(df)
+    assert "LessThan(p_size,10)" in pushed_filters(df)
+    assert "CartesianProduct" not in p
+    # exactly one argmin Window operator; WindowGroupLimit operators
+    # (Spark's rank<=k pushdown, which prunes per-group candidates
+    # BEFORE the full window sort) are expected extras, not re-sorts
+    assert p.count("Window [") == 1
+
+
+def test_q151_lineitem_scan_pruned_no_nested_loop(q):
+    df = q("q151_dominant_supplier")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert {"l_partkey", "l_suppkey", "l_quantity"} in read_schemas(df)
+
+
+def test_q152_quality_rules_single_pass_no_join_jvm_side(q):
+    df = q("q152_quality_rules")
+    p = plan_string(df)
+    assert "Join" not in p  # all rules are column expressions
+    assert not has_python_eval(df)
+
+
+def test_q153_scd2_single_key_shuffle_no_join(q):
+    df = q("q153_scd2_history")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_q154_quantizer_model_is_broadcast(q):
+    df = q("q154_embedding_quantization")
+    assert broadcast_hash_join_count(df) >= 1  # 64-row model side
+    assert "CartesianProduct" not in plan_string(df)
+
+
+def test_q155_pmi_window_join_is_equi_not_nested_loop(q):
+    df = q("q155_pmi_cooccurrence")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # the (doc_id, pos+delta) pair join and both marginal joins are
+    # equi; only the 1-row totals crosses (n_occ x n_pairs, then the
+    # broadcast of that single row) may be nested-loop
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_q156_cumulative_window_runs_over_day_aggregate(q):
+    df = q("q156_new_users_curve")
+    p = plan_string(df)
+    assert "Join" not in p
+    # the unbounded running frame must sit ABOVE the day-grain
+    # aggregate (window input is bounded by distinct days, not events)
+    assert p.index("Window") < p.index("HashAggregate")
