@@ -52,6 +52,9 @@ SWEEP_FIRST = [
     "q155_pmi_cooccurrence",
     "q156_new_users_curve",
     "q157_csv_roundtrip",
+    "q158_rolling_distinct_users",
+    "q159_compound_growth",
+    "q160_bucketed_join",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

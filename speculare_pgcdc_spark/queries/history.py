@@ -114,6 +114,167 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q158_rolling_distinct_users",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        bounds AS (SELECT MAX(d) AS max_d FROM active),
+        contrib AS (
+            SELECT t.target_d, user_id
+            FROM active,
+                 LATERAL (
+                    SELECT unnest(generate_series(
+                        d, d + 6, INTERVAL 1 DAY)) AS target_d
+                 ) t
+        )
+        SELECT CAST(target_d AS DATE) AS d,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+        FROM contrib CROSS JOIN bounds
+        WHERE CAST(target_d AS DATE) <= max_d
+        GROUP BY d
+        ORDER BY d
+    """,
+    doc="Rolling 7-day distinct active users — the sliding-DISTINCT "
+    "aggregate, which no window frame can express directly (COUNT "
+    "DISTINCT over a moving range is not decomposable). The scalable "
+    "rewrite: dedup to (user, day) grain first (one shuffle that "
+    "collapses event volume to active-pairs), then each pair "
+    "CONTRIBUTES to its 7 covered target days via a bounded explode "
+    "— a fixed 7x fan-out of the already-deduped grain, never of raw "
+    "events — and one distinct-agg per target day. Cost scales with "
+    "active pairs x window days, independent of per-day event "
+    "volume; the same shape yields any 'distinct over trailing K "
+    "periods' metric.",
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    active = (
+        table(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    bounds = active.agg(F.max("d").alias("max_d"))
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6)
+            )
+        ).alias("d"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("d") <= F.col("max_d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("d")
+    )
+
+
+@register(
+    "q159_compound_growth",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_periods,
+               CAST(ROUND(exp(CAST(SUM(CAST(
+                   ln(1.0 + fmod(value, 10.0) / 100.0)
+                   AS DECIMAL(28,12))) AS DOUBLE)), 6) AS DOUBLE)
+                   AS compound_factor
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Compound growth per entity — the PRODUCT aggregate, which "
+    "Spark (and SQL) lack natively, via the exp-sum-log identity: "
+    "prod(1+r) = exp(sum(ln(1+r))). Each period's growth factor is "
+    "derived arithmetically from the value column; the log terms are "
+    "identical IEEE doubles in both engines and accumulate in "
+    "DECIMAL (the q136 contract) so shuffle order cannot move the "
+    "sum; exp runs on the identical total. One hash agg — the "
+    "product distributes exactly like a sum, partial-merged "
+    "map-side.",
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    term = F.log(1.0 + F.col("value") % 10.0 / 100.0).cast(
+        "decimal(28,12)"
+    )
+    return (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_periods"),
+            F.round(F.exp(F.sum(term).cast("double")), 6)
+            .cast("double").alias("compound_factor"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q160_bucketed_join",
+    oracle=f"""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {oracle_money_sum('o_totalprice', 'total')}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="Co-located join via bucketing — the layout that removes the "
+    "per-query shuffle from a repeated big-big join (the 100 TB "
+    "answer when neither side broadcasts): both tables are written "
+    "bucketed AND sorted on the join key into the same bucket count, "
+    "so the join runs bucket-to-bucket with NO Exchange on either "
+    "side (lint-asserted); the only shuffle left is the final "
+    "aggregate. Bucketing cost is paid ONCE at layout time and "
+    "amortized over every subsequent join on that key — the "
+    "warehouse pattern for fact-fact joins; the z-order layout "
+    "(SCALING.md) is the same idea for range predicates.",
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_bucket_demo_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    # explicit LOCATION: warehouse.dir is static config on a running
+    # session, and the driver's cwd must never grow a spark-warehouse
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucket_demo LOCATION '{loc}'"
+    )
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"bucket_demo.{name}_b"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            table(spark, sf, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    orders_b = spark.table("bucket_demo.orders_b").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust_b = spark.table("bucket_demo.customer_b").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # MERGE hint: at fixture scale Catalyst would broadcast the small
+    # side (also shuffle-free, but trivially); the claim under test is
+    # the big-big case — bucket-to-bucket sort-merge with NO exchange
+    # and NO per-query sort, which is what remains at 100 TB
+    return (
+        orders_b.hint("merge")
+        .join(cust_b, orders_b.o_custkey == cust_b.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "q157_csv_roundtrip",
     oracle=f"""
         SELECT event_type,

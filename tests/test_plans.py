@@ -474,3 +474,31 @@ def test_q156_cumulative_window_runs_over_day_aggregate(q):
     # the unbounded running frame must sit ABOVE the day-grain
     # aggregate (window input is bounded by distinct days, not events)
     assert p.index("Window") < p.index("HashAggregate")
+
+
+def test_q158_explode_runs_over_deduped_grain(q):
+    df = q("q158_rolling_distinct_users")
+    p = plan_string(df)
+    # the 7x contribution explode (Generate) must sit ABOVE the
+    # (user, day) dedup aggregate — fan-out of active pairs, never of
+    # raw events
+    assert p.index("Generate") < p.index("HashAggregate", p.index("Generate"))
+    assert "CartesianProduct" not in p
+
+
+def test_q159_product_aggregate_is_single_hash_agg(q):
+    df = q("q159_compound_growth")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df, "hashpartitioning") == 1
+    assert "partial" in p  # map-side partial before the shuffle
+
+
+def test_q160_bucketed_join_has_no_join_side_exchange(q):
+    df = q("q160_bucketed_join")
+    p = plan_string(df)
+    assert "SortMergeJoin" in p
+    # bucket-to-bucket join: the ONLY shuffle in the whole plan is the
+    # final mktsegment aggregate — neither join input exchanges
+    assert exchange_count(df, "hashpartitioning") == 1
+    assert "SelectedBucketsCount" in p  # scans are bucket-aware
