@@ -55,6 +55,7 @@ SWEEP_FIRST = [
     "q158_rolling_distinct_users",
     "q159_compound_growth",
     "q160_bucketed_join",
+    "q161_sequence_packing",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -827,6 +827,85 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: context-window size (tokens) for sequence packing (q161)
+PACK_WINDOW = 256
+
+
+@register(
+    "q161_sequence_packing",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(COALESCE(text, ''), ' '),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS start_off
+            FROM sized WHERE n_tokens > 0
+        )
+        SELECT doc_id, source,
+               CAST(start_off AS BIGINT) AS start_off,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(start_off // {PACK_WINDOW} AS BIGINT) AS first_bin,
+               CAST((start_off + n_tokens - 1) // {PACK_WINDOW}
+                    AS BIGINT) AS last_bin,
+               CAST(start_off // {PACK_WINDOW}
+                    <> (start_off + n_tokens - 1) // {PACK_WINDOW}
+                    AS BOOLEAN) AS straddles
+        FROM placed
+        ORDER BY source, doc_id
+    """,
+    doc="Sequence packing — lay documents end-to-end into fixed "
+    f"{PACK_WINDOW}-token context windows (the pre-training batch "
+    "layout; docs may straddle bins, the concat-and-chunk packing "
+    "GPT-style pipelines use). Each doc's start offset is a running "
+    "token cumsum per source stream (one window over the per-source "
+    "shuffle — deterministic under the total doc_id order), bin ids "
+    "are integer division; the straddle flag is the attention-mask "
+    "boundary signal. At scale the stream key (source) is the "
+    "parallelism unit: packing is embarrassingly parallel across "
+    "streams, and a salted sub-stream split (the q68 pattern) "
+    "handles a single giant source.",
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    sized = table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda x: x != "",
+            )
+        ).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first_bin = F.floor(F.col("start_off") / PACK_WINDOW)
+    last_bin = F.floor(
+        (F.col("start_off") + F.col("n_tokens") - 1) / PACK_WINDOW
+    )
+    return placed.select(
+        "doc_id",
+        "source",
+        F.col("start_off").cast("bigint").alias("start_off"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        first_bin.cast("bigint").alias("first_bin"),
+        last_bin.cast("bigint").alias("last_bin"),
+        (first_bin != last_bin).alias("straddles"),
+    ).orderBy("source", "doc_id")
+
+
 @register(
     "q152_quality_rules",
     oracle="""

@@ -283,3 +283,23 @@ def streaming_ewma(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_current(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming current-version view of the SCD Type-2 history
+    (the E106/q153 batch build): the latest attribute per key via one
+    max_by over a total (ts, event_id) order — works identically on a
+    stream (complete/update-mode agg) and a batch frame.
+
+    State is ONE (value, order-key) pair per entity regardless of how
+    many changes flow through — the same O(1)-state contract as
+    streaming_ewma/OHLC, and the streaming complement to q153: the
+    batch build materializes the full interval history, the stream
+    maintains its `is_current` slice forever without re-windowing.
+    Parity (stream == batch == q153's current rows) is pinned in
+    tests/test_streaming.py."""
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy(F.col(key_col)).agg(
+        F.max_by("event_type", ordkey).alias("attr_value"),
+        F.max("ts").alias("valid_from"),
+    )

@@ -502,3 +502,12 @@ def test_q160_bucketed_join_has_no_join_side_exchange(q):
     # final mktsegment aggregate — neither join input exchanges
     assert exchange_count(df, "hashpartitioning") == 1
     assert "SelectedBucketsCount" in p  # scans are bucket-aware
+
+
+def test_q161_packing_single_stream_window_no_join(q):
+    df = q("q161_sequence_packing")
+    p = plan_string(df)
+    assert "Join" not in p
+    # one running-cumsum window over the per-source shuffle
+    assert p.count("Window [") == 1
+    assert exchange_count(df, "hashpartitioning") == 1

@@ -1438,3 +1438,59 @@ def test_streaming_ewma_matches_python_fold(spark, tmp_path):
             expect[r["user_id"]] = (e, n + 1)
     expect = {u: (round(e, 10), n) for u, (e, n) in expect.items()}
     assert got == expect
+
+
+def test_streaming_scd2_current_matches_batch_q153(spark, sf_dir, tmp_path):
+    """E106 stream parity: the O(1)-state latest-per-key aggregate
+    streamed file-by-file equals the is_current slice of the batch
+    SCD2 build (q153) — the stream maintains exactly the rows the
+    batch history marks current."""
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.streaming.windows import scd2_current
+
+    events = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    stream_dir = str(tmp_path / "scd2_stream")
+    events.coalesce(4).write.mode("overwrite").parquet(stream_dir)
+
+    src = (
+        spark.readStream.schema(
+            "ts timestamp, event_id bigint, user_id bigint,"
+            " event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        scd2_current(src)
+        .writeStream.format("memory")
+        .queryName("t_scd2")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.attr_value, r.valid_from)
+            for r in spark.sql("SELECT * FROM t_scd2").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.user_id, r.attr_value, r.valid_from)
+        for r in scd2_current(events).collect()
+    }
+    assert got == batch
+
+    current = load_all()["q153_scd2_history"].fn(spark, sf_dir).filter(
+        "is_current"
+    )
+    via_q153 = {
+        (r.user_id, r.attr_value, r.valid_from)
+        for r in current.collect()
+    }
+    assert got == via_q153
