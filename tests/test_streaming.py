@@ -1494,3 +1494,99 @@ def test_streaming_scd2_current_matches_batch_q153(spark, sf_dir, tmp_path):
         for r in current.collect()
     }
     assert got == via_q153
+
+
+def test_observe_changes_batch_counters_ride_the_plan(spark, sf_dir):
+    """Observability: the observe() counter set on the parsed change
+    frame must equal independently-computed aggregates, and arrive
+    from the SAME execution (no second scan)."""
+    from speculare_pgcdc_spark.cdc.feedgen import feed_messages
+    from speculare_pgcdc_spark.cdc.pipeline import parse_wal2json
+    from speculare_pgcdc_spark.streaming.metrics import observe_changes
+
+    changes = parse_wal2json(feed_messages(spark, sf_dir))
+    observed, obs = observe_changes(changes)
+    total = observed.count()  # the one action; metrics ride along
+    got = obs.get
+    assert got["n_changes"] == total
+    expected = {
+        r.kind: r.n
+        for r in changes.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["n_inserts"] == expected.get("insert", 0)
+    assert got["n_updates"] == expected.get("update", 0)
+    assert got["n_deletes"] == expected.get("delete", 0)
+    assert got["n_inserts"] + got["n_updates"] + got["n_deletes"] == total
+
+
+def test_observe_parse_health_counts_poison_without_dropping(spark):
+    """Poison accounting: NULL-variant rows are counted, not filtered
+    — the caller keeps its tolerance policy."""
+    from speculare_pgcdc_spark.streaming.metrics import (
+        observe_parse_health,
+    )
+
+    payloads = spark.createDataFrame(
+        [
+            ('{"change": []}',),
+            ("{not json",),
+            ('{"change": [{"kind": "insert"}]}',),
+        ],
+        "payload string",
+    ).select(
+        "payload", F.try_parse_json("payload").alias("variant")
+    )
+    observed, obs = observe_parse_health(payloads)
+    assert observed.count() == 3  # nothing dropped by observation
+    assert obs.get == {"n_messages": 3, "n_poison": 1}
+
+
+def test_observe_changes_streaming_metrics_in_progress(spark, tmp_path):
+    """Streaming: the same observed plan surfaces its counters in each
+    microbatch's progress (the forwarder-loop logging analog)."""
+    import json as _json
+
+    from speculare_pgcdc_spark.cdc.pipeline import parse_wal2json
+    from speculare_pgcdc_spark.streaming.metrics import (
+        CDC_METRICS,
+        observe_changes,
+    )
+
+    in_dir = str(tmp_path / "feed")
+    os.makedirs(in_dir, exist_ok=True)
+    msg = {
+        "change": [
+            {"kind": "insert", "table": "events_a",
+             "columnnames": ["id"], "columnvalues": ["1"]},
+            {"kind": "delete", "table": "events_a"},
+        ]
+    }
+    with open(os.path.join(in_dir, "b0.jsonl"), "w") as f:
+        f.write(_json.dumps({"payload": _json.dumps(msg)}) + "\n")
+
+    src = spark.readStream.schema("payload string").json(in_dir)
+    q = (
+        observe_changes(parse_wal2json(src))
+        .writeStream.format("memory")
+        .queryName("t_obs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress or []
+        metrics = [
+            p["observedMetrics"][CDC_METRICS]
+            for p in progress
+            if p.get("observedMetrics", {}).get(CDC_METRICS)
+        ]
+    finally:
+        q.stop()
+    totals = {
+        k: sum(m[k] for m in metrics)
+        for k in ("n_changes", "n_inserts", "n_deletes")
+    }
+    assert totals == {"n_changes": 2, "n_inserts": 1, "n_deletes": 1}
