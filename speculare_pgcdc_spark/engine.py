@@ -131,6 +131,16 @@ class Engine:
             changes = normalize_hypertables(changes, lookup)
         else:
             changes = changes.withColumnRenamed("table", "table_name")
+        if changes.isStreaming:
+            # forwarder-loop observability: every watch query reports
+            # per-microbatch change volume / kind mix / WAL bounds in
+            # its progress (streaming/metrics.py) — the aggregates
+            # ride the batch's execution, no extra pass over the feed
+            from speculare_pgcdc_spark.streaming.metrics import (
+                observe_changes,
+            )
+
+            changes = observe_changes(changes)
         return changes
 
     def route_batch(

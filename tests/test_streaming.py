@@ -1590,3 +1590,47 @@ def test_observe_changes_streaming_metrics_in_progress(spark, tmp_path):
         for k in ("n_changes", "n_inserts", "n_deletes")
     }
     assert totals == {"n_changes": 2, "n_inserts": 1, "n_deletes": 1}
+
+
+def test_engine_watch_reports_cdc_metrics_in_progress(spark, tmp_path):
+    """Every Engine.watch query carries the observe() counter set in
+    its microbatch progress — on by default, no caller opt-in."""
+    import json as _json
+
+    from speculare_pgcdc_spark.engine import Engine
+    from speculare_pgcdc_spark.streaming.metrics import CDC_METRICS
+
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir, exist_ok=True)
+    msg = {
+        "change": [
+            {"kind": "insert", "table": "events_a",
+             "columnnames": ["id"], "columnvalues": ["1"]},
+            {"kind": "update", "table": "events_b",
+             "columnnames": ["id"], "columnvalues": ["2"]},
+        ]
+    }
+    with open(os.path.join(feed_dir, "f0.jsonl"), "w") as f:
+        f.write(_json.dumps(msg) + "\n")
+
+    eng = Engine(spark=spark, tables=["events_a", "events_b"])
+    eng.subscribe(1, "insert,update:events_a")
+    q = eng.watch(
+        feed_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    metrics = [
+        p["observedMetrics"][CDC_METRICS]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get(CDC_METRICS)
+    ]
+    assert metrics, "watch progress carried no cdc_metrics"
+    assert sum(m["n_changes"] for m in metrics) == 2
+    assert sum(m["n_inserts"] for m in metrics) == 1
+    assert sum(m["n_updates"] for m in metrics) == 1
