@@ -56,6 +56,8 @@ SWEEP_FIRST = [
     "q159_compound_growth",
     "q160_bucketed_join",
     "q161_sequence_packing",
+    "q162_pps_systematic_sample",
+    "q163_pareto_frontier",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -906,6 +906,174 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+#: ticks per source stream for systematic PPS sampling (q162)
+PPS_K = 100
+
+
+@register(
+    "q162_pps_systematic_sample",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(n_chars AS BIGINT) AS w
+            FROM documents WHERE n_chars > 0
+        ),
+        placed AS (
+            SELECT doc_id, source, w,
+                   COALESCE(SUM(w) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cumb,
+                   SUM(w) OVER (PARTITION BY source) AS tot
+            FROM sized
+        )
+        SELECT doc_id, source, w,
+               CAST(
+                 (2 * {PPS_K} * (cumb + w) + tot - 1) // (2 * tot)
+                 - (2 * {PPS_K} * cumb + tot - 1) // (2 * tot)
+                 AS BIGINT) AS n_copies
+        FROM placed
+        WHERE (2 * {PPS_K} * (cumb + w) + tot - 1) // (2 * tot)
+            > (2 * {PPS_K} * cumb + tot - 1) // (2 * tot)
+        ORDER BY source, doc_id
+    """,
+    doc="Systematic PPS (probability-proportional-to-size) sampling "
+    f"without replacement — {PPS_K} evenly-spaced ticks per source "
+    "stream land in the cumulative-weight axis; a doc is drawn once "
+    "per tick inside its weight interval (heavy docs can draw "
+    "multiple copies — the importance-resampling multiplicity). "
+    "Inclusion probability is exactly k*w/W with ZERO transcendental "
+    "math: tick membership is counted by pure BIGINT division, so "
+    "the sample is bit-reproducible across engines, restarts, and "
+    "speculative re-execution — no libm pow/ln whose last-ulp "
+    "differences could flip an Efraimidis-Spirakis key order at the "
+    "selection boundary. One cumsum window per source stream (the "
+    "q161 packing shuffle), then map-side arithmetic.",
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    sized = (
+        table(spark, sf, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("bigint").alias("w")
+        )
+    )
+    wsum = Window.partitionBy("source")
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.select(
+        "doc_id",
+        "source",
+        "w",
+        F.coalesce(F.sum("w").over(wcum), F.lit(0)).alias("cumb"),
+        F.sum("w").over(wsum).alias("tot"),
+    )
+    # ticks_before(x) = #{j >= 0 : (2j+1)*tot < 2k*x}
+    #                 = (2k*x + tot - 1) DIV (2*tot)   for x >= 0
+    ticks_lo = F.expr(
+        f"(2 * {PPS_K} * cumb + tot - 1) DIV (2 * tot)"
+    )
+    ticks_hi = F.expr(
+        f"(2 * {PPS_K} * (cumb + w) + tot - 1) DIV (2 * tot)"
+    )
+    return (
+        placed.withColumn(
+            "n_copies", (ticks_hi - ticks_lo).cast("bigint")
+        )
+        .filter(F.col("n_copies") > 0)
+        .select("doc_id", "source", "w", "n_copies")
+        .orderBy("source", "doc_id")
+    )
+
+
+#: x-axis bin width for the banded skyline sweep (q163)
+SKYLINE_BIN = 64
+
+
+@register(
+    "q163_pareto_frontier",
+    oracle="""
+        WITH pts AS (
+            SELECT len(list_filter(string_split(COALESCE(text, ''), ' '),
+                       t -> t <> '')) AS x,
+                   COUNT(*) AS n_docs,
+                   MAX(len(list_distinct(list_filter(
+                       string_split(COALESCE(text, ''), ' '),
+                       t -> t <> '')))) AS y
+            FROM documents
+            GROUP BY x
+            HAVING x > 0
+        )
+        SELECT CAST(p.x AS BIGINT) AS x,
+               CAST(p.y AS BIGINT) AS y,
+               CAST(p.n_docs AS BIGINT) AS n_docs
+        FROM pts p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts q WHERE q.x > p.x AND q.y >= p.y
+        )
+        ORDER BY x
+    """,
+    doc="Pareto frontier (skyline) over (doc length, vocabulary "
+    "size) — the multi-objective selection pass that keeps documents "
+    "not dominated on BOTH axes (longer AND at-least-as-diverse), "
+    "the curation alternative to a single blended quality score. "
+    "Reduced to the distinct-x grain first (max y + doc count per "
+    "x), then the strictly-above running max that decides domination "
+    "is computed BANDED (the q80 trick): per-bin max, a cummax over "
+    "the tiny bin aggregate, and an in-bin prefix window — no "
+    "single-partition window ever sees the data grain, so the sweep "
+    "scales with distinct x values per bin. The oracle states the "
+    "same frontier as a NOT EXISTS — quadratic, fine for DuckDB at "
+    "fixture scale, and a readable spec of the semantics.",
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    pts = (
+        table(spark, sf, "documents")
+        .select(
+            F.size(arr).alias("x"),
+            F.size(F.array_distinct(arr)).alias("y"),
+        )
+        .filter(F.col("x") > 0)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("y").alias("y"))
+    )
+    pts = pts.withColumn("b", F.expr(f"x DIV {SKYLINE_BIN}"))
+    bins = pts.groupBy("b").agg(F.max("y").alias("bmax"))
+    w_bins = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.withColumn("above_bins", F.max("bmax").over(w_bins))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.join(F.broadcast(bins.select("b", "above_bins")), "b")
+        .withColumn("above_in_bin", F.max("y").over(w_in))
+        .filter(
+            F.col("y")
+            > F.greatest(
+                F.coalesce(F.col("above_bins"), F.lit(-1)),
+                F.coalesce(F.col("above_in_bin"), F.lit(-1)),
+            )
+        )
+        .select(
+            F.col("x").cast("bigint").alias("x"),
+            F.col("y").cast("bigint").alias("y"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("x")
+    )
+
+
 @register(
     "q152_quality_rules",
     oracle="""

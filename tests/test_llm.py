@@ -996,3 +996,22 @@ def test_ivf_cell_partitioned_scan_prunes(spark, emb, tmp_path):
     assert "cell" in p.split("PartitionFilters")[1][:200]
     # and the pruned read really returns only the probed cells
     assert {r.cell for r in scan.select("cell").distinct().collect()} <= {0, 1}
+
+
+def test_q162_each_source_draws_exactly_k_ticks(spark, sf_dir):
+    """Systematic PPS invariant: the tick count per source stream is
+    EXACTLY k (copies sum to k), and every multiplicity is >= 1 —
+    the without-replacement-with-multiplicity contract."""
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.queries.curation import PPS_K
+
+    rows = (
+        load_all()["q162_pps_systematic_sample"]
+        .fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_copies").alias("total"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.total == PPS_K, (r.source, r.total)

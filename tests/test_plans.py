@@ -511,3 +511,25 @@ def test_q161_packing_single_stream_window_no_join(q):
     # one running-cumsum window over the per-source shuffle
     assert p.count("Window [") == 1
     assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_q162_pps_single_stream_shuffle_no_join(q):
+    df = q("q162_pps_systematic_sample")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_q163_skyline_global_window_only_over_bin_aggregate(q):
+    """The q80 contract applied to the skyline: the only unpartitioned
+    window runs over the one-row-per-bin aggregate; every data-grain
+    window is partitioned by bin."""
+    import re
+
+    p = plan_string(q("q163_pareto_frontier"))
+    for ln in (l for l in p.splitlines() if "Window [" in l):
+        head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert head, ln
+        if " DESC" in head.group(1) or " ASC" in head.group(1):
+            # unpartitioned → must be the bin-level cummax
+            assert "bmax" in ln, f"global window over data grain: {ln}"
