@@ -58,6 +58,7 @@ SWEEP_FIRST = [
     "q161_sequence_packing",
     "q162_pps_systematic_sample",
     "q163_pareto_frontier",
+    "q164_frame_sampling",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -304,6 +304,51 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q164_frame_sampling",
+    oracle="""
+        WITH sized AS (
+            -- DuckDB cannot slice BLOBs; the fixture corpus is pure
+            -- ASCII (octet_length(encode(text)) == length(text) for
+            -- every row), so CHARACTER slicing before encode() is
+            -- byte-exact
+            SELECT doc_id, text,
+                   LEAST(8, GREATEST(octet_length(encode(text)), 1) // 32)
+                       AS nf
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS frame_idx,
+               hex(encode(substring(text, CAST(t.i * 32 + 1 AS BIGINT),
+                                    32))) AS frame_hex,
+               CAST(t.i * 1000 AS BIGINT) AS ts_ms
+        FROM sized,
+             LATERAL (SELECT unnest(range(0, nf)) AS i) t
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="L5 multimodal 1:N frame sampling over mapInPandas — the row "
+    "EXPLOSION shape (one video payload -> up to max_frames frame "
+    "rows) that a scalar pandas_udf cannot express. The ffmpeg seam "
+    "is stubbed (operators/multimodal.sample_frames); the stand-in "
+    "slices the payload every 32 bytes with index-derived "
+    "timestamps, which — being pure byte arithmetic — lets a DuckDB "
+    "oracle hash-check the FULL Arrow-batched 1:N path end-to-end "
+    "(payload construction, batch iteration, per-row fan-out, "
+    "schema), not just run it. Frames project as hex so both engines "
+    "compare strings, not engine-specific binary types. Narrow map, "
+    "no shuffle; output volume is input rows x max_frames, bounded.",
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    with_payload = mm.attach_payload(table(spark, sf, "documents"))
+    frames = mm.sample_frames(with_payload)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        "ts_ms",
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "q53_ann_ivf",
     oracle=None,  # invariant-tested: nprobe=all == brute force (test_llm)
     doc="L3 scale path: IVF approximate nearest neighbor over a TRAINED "
