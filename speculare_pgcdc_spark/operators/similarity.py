@@ -243,11 +243,23 @@ def verify_cosine_pairs(
     back onto (da, db), keep cos >= threshold. Shared verify stage of
     every bucketed near-dup path (SRP, cluster) — cost is O(candidate
     pairs), never corpus²."""
-    va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_ea"))
-    vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_eb"))
+    # norms ride the per-VECTOR projections (computed once per row
+    # before the join), not the per-PAIR output — a vector in p
+    # candidate pairs would otherwise re-fold its norm p times; the
+    # per-pair expression keeps the dot/(na*nb) arithmetic bit-exact
+    va = emb.select(
+        F.col(id_col).alias("da"),
+        F.col(vec_col).alias("_ea"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("db"),
+        F.col(vec_col).alias("_eb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     paired = cands.join(va, "da").join(vb, "db")
     cos = _dot(F.col("_ea"), F.col("_eb")) / (
-        _norm(F.col("_ea")) * _norm(F.col("_eb"))
+        F.col("_na") * F.col("_nb")
     )
     return (
         paired.withColumn("_c", cos)

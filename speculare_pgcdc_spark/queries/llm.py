@@ -175,16 +175,32 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
     "hyperplanes) — same shape as q46 vs q42.",
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
+    # norms precomputed ONCE per vector (n folds), not per pair
+    # (n^2 folds would triple the pair-stage work); the per-pair
+    # expression stays dot/(na*nb) — the exact arithmetic of the
+    # oracle, so results are bit-identical
     e = (
         table(spark, sf, "embeddings")
         .filter(F.col("vec_id") < 300)
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            "embedding",
+            sim._norm(F.col("embedding")).alias("nrm"),
+        )
     )
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("va") < F.col("vb"))
     cos = sim._dot(F.col("ea"), F.col("eb")) / (
-        sim._norm(F.col("ea")) * sim._norm(F.col("eb"))
+        F.col("na") * F.col("nb")
     )
     return (
         pairs.withColumn("_cos_raw", cos)
