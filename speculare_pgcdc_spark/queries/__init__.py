@@ -59,6 +59,8 @@ SWEEP_FIRST = [
     "q162_pps_systematic_sample",
     "q163_pareto_frontier",
     "q164_frame_sampling",
+    "q165_schema_evolution",
+    "q166_partition_pruning",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -275,6 +275,109 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q165_schema_evolution",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(value_sq) AS BIGINT) AS n_with_new_col,
+               {oracle_money_sum('COALESCE(value_sq, 0)', 'total_sq')}
+        FROM (
+            SELECT event_type,
+                   CASE WHEN event_id % 2 = 0
+                        THEN value * value END AS value_sq
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Schema evolution on the lake: two parquet generations of the "
+    "same table — the second adds a value_sq column — read back as "
+    "ONE frame via mergeSchema, with the missing column NULL for "
+    "old-generation rows (counted next to the total so the "
+    "generation mix is visible). This is the 100 TB reality check "
+    "every long-lived ingest hits: columns get added mid-stream and "
+    "history cannot be rewritten. mergeSchema pays a footer-read per "
+    "file at planning — the note to pin it per-table, not globally; "
+    "the data read stays columnar either way.",
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    src = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_schema_evo_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    gen1 = src.filter(F.col("event_id") % 2 == 1)
+    gen2 = src.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(out)
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value_sq").alias("n_with_new_col"),
+            money_sum(
+                F.coalesce(F.col("value_sq"), F.lit(0.0)), "total_sq"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q166_partition_pruning",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {oracle_money_sum('value', 'total')}
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Partition pruning end-to-end: the events table re-written "
+    "partitioned by event_type (the ingest layout for a "
+    "predicate-bearing column), then read with an IN filter — the "
+    "plan must show the pruning in PartitionFilters, i.e. "
+    "non-matching directories are never opened (lint-asserted in "
+    "tests/test_plans.py). At 100 TB this is the difference between "
+    "scanning 2/5 of the table and all of it before the first "
+    "filter runs; the same mechanics drive the IVF cell-partition "
+    "scale path. The partitioned write is the one-off layout cost, "
+    "reported in the query's own time like q160's bucketing.",
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    src = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_part_prune_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    src.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value", "total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q157_csv_roundtrip",
     oracle=f"""
         SELECT event_type,

@@ -535,3 +535,21 @@ def test_q163_skyline_global_window_only_over_bin_aggregate(q):
         if " DESC" in head.group(1) or " ASC" in head.group(1):
             # unpartitioned → must be the bin-level cummax
             assert "bmax" in ln, f"global window over data grain: {ln}"
+
+
+def test_q166_filter_becomes_partition_filter_not_data_filter(q):
+    """The event_type predicate must prune DIRECTORIES (PartitionFilters
+    on the partitioned layout), not run as a row filter over a full
+    scan."""
+    p = plan_string(q("q166_partition_pruning"))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p[-500:]
+
+
+def test_q165_merged_read_remains_columnar_parquet_scan(q):
+    df = q("q165_schema_evolution")
+    p = plan_string(df)
+    assert "FileScan parquet" in p
+    assert "Join" not in p  # one merged scan, not a per-generation union
