@@ -61,6 +61,9 @@ SWEEP_FIRST = [
     "q164_frame_sampling",
     "q165_schema_evolution",
     "q166_partition_pruning",
+    "q167_conversion_latency",
+    "q168_burst_detection",
+    "q169_decay_engagement",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -275,6 +275,180 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q167_conversion_latency",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       AS first_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, first_view, first_purchase,
+               CAST(date_diff('second', first_view, first_purchase)
+                    AS BIGINT) AS latency_s
+        FROM firsts
+        WHERE first_view IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+        ORDER BY user_id
+    """,
+    doc="Conversion latency: per entity, the time from first exposure "
+    "(view) to first conversion (purchase) — the product-analytics "
+    "companion to q98's ordered funnel (which counts converters; this "
+    "measures HOW LONG). Both firsts come from one conditional-min "
+    "hash agg — no self-join, no window; the latency is an exact "
+    "integer second difference, engine-stable by construction. "
+    "Same single-shuffle shape at any volume.",
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    firsts = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_view")
+            ).cast("bigint").alias("latency_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q168_burst_detection",
+    oracle="""
+        WITH minutes AS (
+            SELECT event_type, date_trunc('minute', ts) AS m,
+                   COUNT(*) AS x
+            FROM events GROUP BY event_type, m
+        ),
+        stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx
+            FROM minutes GROUP BY event_type
+        )
+        SELECT mi.event_type, m, CAST(x AS BIGINT) AS x,
+               CAST(ROUND(sx * 1.0 / n, 4) AS DOUBLE) AS mean_rate
+        FROM minutes mi JOIN stats st ON mi.event_type = st.event_type
+        WHERE n > 1
+          AND x - sx * 1.0 / n
+              > 3 * sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+        ORDER BY mi.event_type, m
+    """,
+    doc="Burst detection on the per-minute event-rate series: flag "
+    "minutes more than 3 sigma above their type's mean rate — the "
+    "time-series spike audit (abuse, retry storms, scraper bursts) "
+    "at the AGGREGATED grain, vs q147's per-event outliers. The "
+    "variance comes from EXACT integer sums (n*Sxx - Sx^2 over "
+    "n(n-1)) — never a float accumulation whose shuffle order could "
+    "move the threshold — and sqrt is IEEE-correctly-rounded in both "
+    "engines, so the 3-sigma compare is engine-stable. Two stacked "
+    "aggs (minute grain, then per-type moments broadcast back).",
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    minutes = (
+        table(spark, sf, "events")
+        .groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        # shared by the moments agg AND the flag join — checkpointing
+        # the (tiny) minute grain scans events once, not twice
+        .localCheckpoint(eager=True)
+    )
+    stats = minutes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("n")
+    sigma = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return (
+        minutes.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") > 1) & (F.col("x") - mean > 3 * sigma)
+        )
+        .select(
+            "event_type",
+            "m",
+            F.col("x").cast("bigint").alias("x"),
+            F.round(mean, 4).cast("double").alias("mean_rate"),
+        )
+        .orderBy("event_type", "m")
+    )
+
+
+@register(
+    "q169_decay_engagement",
+    oracle="""
+        WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(CAST(SUM(CAST(
+                   value / (1 + date_diff('day', CAST(ts AS DATE), ref_d))
+                   AS DECIMAL(28,10))) AS DOUBLE), 4) AS DOUBLE)
+                   AS engagement
+        FROM events CROSS JOIN ref
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Recency-weighted engagement score: each event contributes "
+    "value/(1 + age_days) relative to the corpus's latest day — the "
+    "feature-store scoring pattern where recent activity dominates. "
+    "Hyperbolic decay is deliberate: the weight is an exact rational "
+    "of an integer day difference (identical IEEE division in both "
+    "engines), where an exponential exp(-lambda*age) would put a "
+    "libm call inside the SUM and last-ulp differences could "
+    "accumulate. Terms sum in DECIMAL (the q136 contract); the "
+    "reference day is a 1-row broadcast, the score one hash agg.",
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select(
+        "user_id", "value", F.col("ts").cast("date").alias("d")
+    )
+    ref = events.agg(F.max("d").alias("ref_d"))
+    term = (
+        F.col("value") / (1 + F.datediff(F.col("ref_d"), F.col("d")))
+    ).cast("decimal(28,10)")
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term).cast("double"), 4)
+            .cast("double").alias("engagement"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "q165_schema_evolution",
     oracle=f"""
         SELECT event_type,

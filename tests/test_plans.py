@@ -553,3 +553,18 @@ def test_q165_merged_read_remains_columnar_parquet_scan(q):
     p = plan_string(df)
     assert "FileScan parquet" in p
     assert "Join" not in p  # one merged scan, not a per-generation union
+
+
+def test_q167_q169_single_hash_agg_no_window(q):
+    for name in ("q167_conversion_latency", "q169_decay_engagement"):
+        df = q(name)
+        p = plan_string(df)
+        assert "Window" not in p, name  # conditional-min agg, not windows
+        assert exchange_count(df, "hashpartitioning") == 1, name
+
+
+def test_q168_moments_broadcast_over_minute_grain(q):
+    df = q("q168_burst_detection")
+    assert broadcast_hash_join_count(df) >= 1
+    # minute-grain agg + per-type moments reuse: two hash shuffles max
+    assert exchange_count(df, "hashpartitioning") <= 2
