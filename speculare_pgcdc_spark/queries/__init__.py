@@ -64,6 +64,7 @@ SWEEP_FIRST = [
     "q167_conversion_latency",
     "q168_burst_detection",
     "q169_decay_engagement",
+    "q170_banded_percent_rank",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -448,6 +448,78 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: value-bin width for the banded global rank (q170)
+RANK_BIN = 10_000
+
+
+@register(
+    "q170_banded_percent_rank",
+    oracle="""
+        WITH g AS (
+            SELECT o_totalprice AS v, COUNT(*) AS cnt
+            FROM orders GROUP BY v
+        ),
+        t AS (SELECT SUM(cnt) AS n FROM g)
+        SELECT v, CAST(cnt AS BIGINT) AS cnt,
+               CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) * 1000000 // (n - 1)
+                    AS BIGINT) AS pr_ppm
+        FROM g CROSS JOIN t
+        ORDER BY v
+    """,
+    doc="Exact global percent_rank WITHOUT a global data-grain window "
+    "— the distributed form of the rank/CDF feature-scaling pass "
+    "(quantile-normalizing a score column). Reduce to the distinct-"
+    "value grain, then strictly-smaller counts assemble from (a) a "
+    "cumsum over the tiny value-BIN aggregate and (b) an in-bin "
+    "prefix window — the q80/q163 banding, so the only unpartitioned "
+    "window runs over one row per bin. percent_rank's tie semantics "
+    "((strictly smaller)/(n-1)) fall out exactly, emitted as "
+    "integer-division ppm so no float rounding sits in the contract. "
+    "The oracle states the same thing with DuckDB's single-partition "
+    "window — correct as a spec, the very plan shape this query "
+    "exists to avoid.",
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        table(spark, sf, "orders")
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("b", F.floor(F.col("v") / RANK_BIN))
+    )
+    g = g.localCheckpoint(eager=True)
+    bins = g.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.withColumn(
+        "below_bins", F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0))
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = g.agg(F.sum("cnt").alias("n"))
+    return (
+        g.withColumn(
+            "below_in_bin",
+            F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
+        )
+        .join(F.broadcast(bins.select("b", "below_bins")), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr(
+                "(below_bins + below_in_bin) * 1000000 DIV (n - 1)"
+            ).cast("bigint").alias("pr_ppm"),
+        )
+        .orderBy("v")
+    )
+
+
 @register(
     "q165_schema_evolution",
     oracle=f"""

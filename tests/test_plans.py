@@ -568,3 +568,16 @@ def test_q168_moments_broadcast_over_minute_grain(q):
     assert broadcast_hash_join_count(df) >= 1
     # minute-grain agg + per-type moments reuse: two hash shuffles max
     assert exchange_count(df, "hashpartitioning") <= 2
+
+
+def test_q170_rank_global_window_only_over_bin_aggregate(q):
+    """The banded-rank contract (same as q163): unpartitioned windows
+    may only run over the one-row-per-bin aggregate."""
+    import re
+
+    p = plan_string(q("q170_banded_percent_rank"))
+    for ln in (l for l in p.splitlines() if "Window [" in l):
+        head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert head, ln
+        if " ASC" in head.group(1) or " DESC" in head.group(1):
+            assert "bcnt" in ln, f"global window over data grain: {ln}"
