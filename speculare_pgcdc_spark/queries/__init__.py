@@ -65,6 +65,8 @@ SWEEP_FIRST = [
     "q168_burst_detection",
     "q169_decay_engagement",
     "q170_banded_percent_rank",
+    "q171_table_profile",
+    "q172_source_overlap",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

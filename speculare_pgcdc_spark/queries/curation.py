@@ -1075,6 +1075,151 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q171_table_profile",
+    oracle="""
+        SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_v,
+               CAST(MAX(event_id) AS VARCHAR) AS max_v
+        FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        ORDER BY col
+    """,
+    doc="Table profiling — per-column row/null/distinct counts and "
+    "min/max in ONE aggregation pass (the data-quality audit run "
+    "before any pipeline trusts a new table; the deterministic "
+    "df.summary() analog). All columns' aggregates compute in a "
+    "single hash agg over one scan — never one scan per column, the "
+    "difference between 1x and C-times the table read at 100 TB — "
+    "then unpivot to the (col, stat) report grain. min/max render as "
+    "strings so heterogeneous column types share one report schema. "
+    "The oracle's per-column UNION is the readable spec; its "
+    "three-scan shape is exactly what the implementation avoids.",
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        table(spark, sf, "events")
+        .select("event_id", "event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("event_id").alias("nn_event_id"),
+            F.countDistinct("event_id").alias("nd_event_id"),
+            F.min("event_id").cast("string").alias("mn_event_id"),
+            F.max("event_id").cast("string").alias("mx_event_id"),
+            F.count("event_type").alias("nn_event_type"),
+            F.countDistinct("event_type").alias("nd_event_type"),
+            F.min("event_type").alias("mn_event_type"),
+            F.max("event_type").alias("mx_event_type"),
+            F.count("user_id").alias("nn_user_id"),
+            F.countDistinct("user_id").alias("nd_user_id"),
+            F.min("user_id").cast("string").alias("mn_user_id"),
+            F.max("user_id").cast("string").alias("mx_user_id"),
+        )
+    )
+    profile = agg.selectExpr(
+        """stack(3,
+            'event_id',  n, n - nn_event_id,  nd_event_id,
+                         mn_event_id,  mx_event_id,
+            'event_type', n, n - nn_event_type, nd_event_type,
+                         mn_event_type, mx_event_type,
+            'user_id',   n, n - nn_user_id,   nd_user_id,
+                         mn_user_id,   mx_user_id
+        ) AS (col, n, n_null, n_distinct, min_v, max_v)"""
+    )
+    return profile.select(
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_v",
+        "max_v",
+    ).orderBy("col")
+
+
+@register(
+    "q172_source_overlap",
+    oracle="""
+        WITH fps AS (
+            SELECT DISTINCT source, md5(text) AS fp
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sizes AS (
+            SELECT source, COUNT(*) AS n FROM fps GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY sa, sb
+        )
+        SELECT sa, sb, CAST(i AS BIGINT) AS n_shared,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               CAST(i * 1000000 // (na.n + nb.n - i) AS BIGINT)
+                   AS jaccard_ppm
+        FROM inter
+        JOIN sizes na ON inter.sa = na.source
+        JOIN sizes nb ON inter.sb = nb.source
+        ORDER BY sa, sb
+    """,
+    doc="Cross-source duplication report: exact-fingerprint Jaccard "
+    "overlap between every source PAIR — the corpus-composition "
+    "audit that decides which sources to dedup against each other "
+    "(q87 checks corpus-vs-evalset; this checks corpus-vs-itself by "
+    "shard). The pair join is an EQUI-join on the fingerprint — "
+    "only docs sharing a hash ever meet, so cost is bounded by "
+    "duplicate mass, not source-pair count times corpus. Output is "
+    "bounded by sources^2 regardless of volume; Jaccard emits as "
+    "integer ppm (the q170 contract) so no float sits in the "
+    "report.",
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    fps = (
+        table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
+    fps = fps.localCheckpoint(eager=True)
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col("source").alias("sa"), "fp")
+    b = fps.select(F.col("source").alias("sb"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("i * 1000000 DIV (n_a + n_b - i)")
+            .cast("bigint").alias("jaccard_ppm"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+@register(
     "q152_quality_rules",
     oracle="""
         WITH toks AS (

@@ -581,3 +581,17 @@ def test_q170_rank_global_window_only_over_bin_aggregate(q):
         assert head, ln
         if " ASC" in head.group(1) or " DESC" in head.group(1):
             assert "bcnt" in ln, f"global window over data grain: {ln}"
+
+
+def test_q171_profile_is_single_scan_single_agg(q):
+    df = q("q171_table_profile")
+    p = plan_string(df)
+    # one scan feeding one aggregation — never a scan per column
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p and "Union" not in p
+
+
+def test_q172_overlap_join_is_fingerprint_equi(q):
+    p = plan_string(q("q172_source_overlap"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
