@@ -207,3 +207,41 @@ def binned_range_count(
         .drop("_null_cnt")
     )
     return nonnull.unionByName(nulls)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-proof equi-join: the hot-key remedy for a join whose key
+    distribution concentrates on few values (the join-side complement
+    of salted_agg). The BIG side gets a content-derived salt (hashing
+    `salt_on` — a high-cardinality column, default the key itself
+    plus nothing — see note), the SMALL side is replicated once per
+    bucket, and the join runs on (key, salt): each hot key's rows
+    spread over `salt_buckets` reducers instead of one straggler.
+
+    The salt hashes ROW CONTENT (never partition position or rand()):
+    a stage retry re-salts identically, so no row is lost or doubled
+    (the SPARK-23207 failure mode salted_agg documents). Replication
+    multiplies the small side by `salt_buckets` — the technique's
+    price; use it when the small side is modest but too big or too
+    dynamic to broadcast. AQE's skew-join handles sort-merge skew
+    automatically at runtime; explicit salting remains the portable
+    form and the one that composes with bucketed layouts.
+
+    Result is EXACTLY the plain `big.join(small, key)` rows (plus a
+    `_salt` column dropped before return)."""
+    probe = F.col(salt_on) if salt_on else F.col(key)
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(probe), F.lit(salt_buckets))
+    )
+    replicated = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return salted_big.join(replicated, on=[key, "_salt"]).drop("_salt")

@@ -67,6 +67,7 @@ SWEEP_FIRST = [
     "q170_banded_percent_rank",
     "q171_table_profile",
     "q172_source_overlap",
+    "q173_salted_join",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

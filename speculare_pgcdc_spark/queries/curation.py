@@ -1075,6 +1075,71 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q173_salted_join",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6)))
+                              / COUNT(*), 4) AS DOUBLE) AS type_avg
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               d.type_avg,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS s
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type, d.type_avg
+        ORDER BY e.event_type
+    """,
+    doc="Skew-proof equi-join: events concentrates on 5 event_type "
+    "keys — the pathological hot-key case for a shuffled join — so "
+    "the fact side is salted by content hash and the dimension side "
+    "replicated per bucket (operators/skewscale.salted_join), "
+    "spreading each hot key over 8 reducers instead of one "
+    "straggler; the join-side complement of q68's salted agg, for "
+    "the regime where the small side is too big or too dynamic to "
+    "broadcast. The result is pinned to the PLAIN join's rows by the "
+    "oracle; the decimal mean avoids float-accumulation drift in "
+    "the joined dimension value.",
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.skewscale import salted_join
+
+    events = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim_df = events.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            / F.count(F.lit(1)),
+            4,
+        ).cast("double").alias("type_avg")
+    )
+    # shuffle_hash hint: at fixture scale Catalyst would broadcast the
+    # 5-row dim (hiding the point); the operator exists for the
+    # non-broadcastable regime, so pin the shuffled plan and let the
+    # lint verify the exchange spreads on (key, _salt)
+    joined = salted_join(
+        events,
+        dim_df.hint("shuffle_hash"),
+        "event_type",
+        salt_buckets=8,
+        salt_on="event_id",
+    )
+    return (
+        joined.groupBy("event_type", "type_avg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double").alias("s"),
+        )
+        .select("event_type", "n", "type_avg", "s")
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q171_table_profile",
     oracle="""
         SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,

@@ -595,3 +595,17 @@ def test_q172_overlap_join_is_fingerprint_equi(q):
     p = plan_string(q("q172_source_overlap"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q173_salted_join_shuffles_on_key_plus_salt(q):
+    """The hot key must spread: the join exchanges partition on
+    (event_type, _salt), not event_type alone."""
+    import re
+
+    p = plan_string(q("q173_salted_join"))
+    assert "CartesianProduct" not in p
+    ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "_salt" in ln
+    ]
+    assert ex, "no exchange partitioned on the salt"
