@@ -68,6 +68,8 @@ SWEEP_FIRST = [
     "q171_table_profile",
     "q172_source_overlap",
     "q173_salted_join",
+    "q174_run_length_encoding",
+    "q175_image_resize_standin",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

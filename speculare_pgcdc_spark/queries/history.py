@@ -521,6 +521,65 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q174_run_length_encoding",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                             event_type THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+            SELECT user_id, event_type,
+                   SUM(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+            FROM seq
+        )
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs
+        GROUP BY user_id, run_id, event_type
+        ORDER BY user_id, run_id
+    """,
+    doc="Run-length encoding of per-entity event sequences — collapse "
+    "consecutive equal values into (value, length) runs (the "
+    "gaps-and-islands pattern; in pipelines, the compression step "
+    "before sequence modeling and the repetition detector on "
+    "behavioral streams). Break flags from one lag() comparison, run "
+    "ids from the running sum of breaks — both windows share the "
+    "same per-entity (ts, id)-ordered shuffle, then one hash agg "
+    "collapses runs. IS DISTINCT FROM semantics make null values "
+    "form runs like any other value.",
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    brk = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    runs = seq.withColumn("brk", brk).withColumn(
+        "run_id", F.sum("brk").over(wrun)
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("run_id"),
+            "event_type",
+            F.col("run_len").cast("bigint").alias("run_len"),
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+@register(
     "q165_schema_evolution",
     oracle=f"""
         SELECT event_type,

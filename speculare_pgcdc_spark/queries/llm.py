@@ -365,6 +365,42 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q175_image_resize_standin",
+    oracle="""
+        -- stand-in pixel path: truncate/pad the payload to w*h bytes.
+        -- ASCII corpus => char slicing before encode() is byte-exact
+        -- (the q164 note); rpad's NUL fill mirrors ljust(b'\\0')
+        SELECT doc_id,
+               hex(encode(rpad(substring(text, 1, 64), 64, chr(0))))
+                   AS px_hex,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="L5 multimodal 1:1 resize over mapInPandas, oracle-checked "
+    "end-to-end like q164's 1:N sampler: the PIL seam "
+    "(operators/multimodal.resize_images) falls back to the "
+    "deterministic truncate/pad stand-in in codec-less environments, "
+    "and that byte arithmetic lets DuckDB hash-verify the whole "
+    "Arrow-batched path — batch iteration, per-row transform, "
+    "declared dims, exact output size. The real-decode branch is "
+    "separately exercised via an injected fake decoder in "
+    "tests/test_llm.py; payloads project as hex (the q164 binary "
+    "comparator contract). Narrow map, no shuffle.",
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    with_payload = mm.attach_payload(table(spark, sf, "documents"))
+    resized = mm.resize_images(with_payload, width=8, height=8)
+    return resized.select(
+        "doc_id",
+        F.hex("payload").alias("px_hex"),
+        "width",
+        "height",
+    ).orderBy("doc_id")
+
+
+@register(
     "q53_ann_ivf",
     oracle=None,  # invariant-tested: nprobe=all == brute force (test_llm)
     doc="L3 scale path: IVF approximate nearest neighbor over a TRAINED "

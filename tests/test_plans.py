@@ -185,8 +185,9 @@ PYTHON_ALLOWED = {
     # bounded per-partition sketch: at most summary_size rows leave the
     # Arrow-batched mapInPandas; the exact recount stays JVM-side
     "q100_heavy_hitters",
-    # multimodal 1:N plumbing IS the mapInPandas contract under test
+    # multimodal 1:N / 1:1 plumbing IS the mapInPandas contract under test
     "q164_frame_sampling",
+    "q175_image_resize_standin",
 }
 
 
