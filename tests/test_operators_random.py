@@ -353,3 +353,90 @@ def test_pagerank_equals_numpy_power_iteration(spark):
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
     # rank mass conserved (bidirected graph has no dangling nodes)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_salted_join_equals_plain_join(rnd_events, spark):
+    from speculare_pgcdc_spark.operators.skewscale import salted_join
+
+    dim = spark.createDataFrame(
+        [(k, f"label_{k}") for k in range(5)], "k int, lbl string"
+    )
+    got = {
+        (r.event_id, r.lbl)
+        for r in salted_join(
+            rnd_events, dim, "k", salt_buckets=4, salt_on="event_id"
+        ).collect()
+    }
+    exp = {
+        (r.event_id, r.lbl)
+        for r in rnd_events.join(dim, "k").collect()
+    }
+    assert got == exp and len(got) == 3_000
+
+
+def test_pareto_frontier_no_kept_point_dominated(spark, sf_dir):
+    """Skyline invariant on the real output: no kept point is
+    dominated by any other kept point, and every dropped x has a
+    dominator among the kept set (checked via the max-y envelope)."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    pts = load_all()["q163_pareto_frontier"].fn(spark, sf_dir).collect()
+    kept = [(r.x, r.y) for r in pts]
+    for x, y in kept:
+        assert not any(
+            (x2 > x and y2 >= y) for x2, y2 in kept if (x2, y2) != (x, y)
+        ), (x, y)
+    # frontier must be strictly decreasing in y as x increases
+    ys = [y for _, y in sorted(kept)]
+    assert all(a > b for a, b in zip(ys, ys[1:]))
+
+
+def test_rle_runs_reconstruct_sequence_lengths(spark, sf_dir):
+    """RLE invariants: per entity, run lengths sum to the event count,
+    run ids are dense from 1, and adjacent runs never share a value."""
+    from collections import defaultdict
+
+    from speculare_pgcdc_spark.queries import load_all
+
+    runs = defaultdict(list)
+    for r in (
+        load_all()["q174_run_length_encoding"].fn(spark, sf_dir).collect()
+    ):
+        runs[r.user_id].append((r.run_id, r.event_type, r.run_len))
+    from speculare_pgcdc_spark.catalog import table as t
+
+    counts = {
+        r.user_id: r.n
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(runs) == set(counts)
+    for uid, rs in runs.items():
+        rs.sort()
+        assert sum(x[2] for x in rs) == counts[uid]
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        vals = [x[1] for x in rs]
+        assert all(a != b for a, b in zip(vals, vals[1:])), uid
+
+
+def test_segment_dedup_conservation(spark, sf_dir):
+    """q143 invariants: dropped counts stay within [0, n_segs] per
+    doc, the kept token volume equals (n_segs - n_dropped) full
+    segments modulo the final short segment, and the synthetic corpus
+    does exercise the drop path (nonzero total)."""
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.queries.curation import SEG
+
+    first = load_all()["q143_segment_dedup"].fn(spark, sf_dir).collect()
+    for r in first:
+        assert 0 <= r.n_dropped <= r.n_segs, r.doc_id
+        kept_tokens = len([s for s in r.cleaned_text.split(" ") if s])
+        n_kept = r.n_segs - r.n_dropped
+        # every kept segment has SEG tokens except possibly the doc's
+        # final (short) one
+        assert kept_tokens <= n_kept * SEG, r.doc_id
+        if n_kept:
+            assert kept_tokens > (n_kept - 1) * SEG - SEG, r.doc_id
+    assert sum(r.n_dropped for r in first) > 0
