@@ -70,6 +70,9 @@ SWEEP_FIRST = [
     "q173_salted_join",
     "q174_run_length_encoding",
     "q175_image_resize_standin",
+    "q176_weighted_median",
+    "q177_cusum_changepoints",
+    "q178_silhouette",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -521,6 +521,159 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q176_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice AS price,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumw,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                       PARTITION BY l_returnflag) AS total_w
+            FROM lineitem
+        )
+        SELECT l_returnflag, total_w,
+               MIN(price) AS wmedian
+        FROM w
+        WHERE cumw * 2 >= total_w
+        GROUP BY l_returnflag, total_w
+        ORDER BY l_returnflag
+    """,
+    doc="Weighted median (lower): the smallest price whose cumulative "
+    "QUANTITY weight reaches half the group's total — the "
+    "volume-weighted robust center (plain median treats a 1-unit and "
+    "a 1000-unit line equally; this doesn't). One cumulative window "
+    "over a TOTAL (price, orderkey, linenumber) order per group plus "
+    "the group-total as an unframed window on the same shuffle; the "
+    "half-mass test is DECIMAL-exact (cumw*2 >= W, no float division "
+    "anywhere), and the qualifying-row pick is a plain MIN — no "
+    "second window. Same shape yields any weighted percentile.",
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    worder = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+    )
+    w = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty")
+        .over(worder.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("qty")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("total_w"),
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag", "total_w")
+        .agg(F.min("price").alias("wmedian"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q177_cusum_changepoints",
+    oracle="""
+        WITH minutes AS (
+            SELECT event_type, date_trunc('minute', ts) AS m,
+                   COUNT(*) AS x
+            FROM events GROUP BY event_type, m
+        ),
+        stats AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(x * x) AS sxx
+            FROM minutes GROUP BY event_type
+        ),
+        curve AS (
+            SELECT mi.event_type, m, x, n, sx, sxx,
+                   SUM(x - sx * 1.0 / n) OVER (
+                       PARTITION BY mi.event_type ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c
+            FROM minutes mi JOIN stats st
+              ON mi.event_type = st.event_type
+            WHERE n > 1
+        ),
+        s AS (
+            SELECT event_type, m, x, n, sxx, sx,
+                   c - MIN(c) OVER (PARTITION BY event_type ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS s_stat
+            FROM curve
+        )
+        SELECT event_type, m, CAST(x AS BIGINT) AS x,
+               CAST(ROUND(s_stat, 4) AS DOUBLE) AS s_stat
+        FROM s
+        WHERE s_stat > 3 * sqrt((n * sxx - sx * sx) * 1.0
+                                / (n * (n - 1)))
+        ORDER BY event_type, m
+    """,
+    doc="CUSUM changepoint detection on the per-minute rate series — "
+    "the sustained-drift detector (q168's 3-sigma catches single "
+    "spikes; CUSUM accumulates small persistent shifts). The "
+    "textbook recursion S_t = max(0, S_{t-1} + x_t - mu) is not "
+    "window-expressible, but its CLOSED FORM is: S_t = C_t - "
+    "min_{j<=t}(C_j) with C the cumsum of deviations — two running "
+    "windows on one per-series ordered shuffle, no recursion, no "
+    "UDF. Both engines accumulate the cumsum left-to-right in the "
+    "same total order so the doubles agree; the 3-sigma threshold "
+    "reuses q168's exact-integer variance.",
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    minutes = (
+        table(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    stats = minutes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        minutes.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .withColumn(
+            "c",
+            F.sum(F.col("x") - F.col("sx") * 1.0 / F.col("n")).over(run),
+        )
+    )
+    s = curve.withColumn("s_stat", F.col("c") - F.min("c").over(run))
+    sigma = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return (
+        s.filter(F.col("s_stat") > 3 * sigma)
+        .select(
+            "event_type",
+            "m",
+            F.col("x").cast("bigint").alias("x"),
+            F.round("s_stat", 4).cast("double").alias("s_stat"),
+        )
+        .orderBy("event_type", "m")
+    )
+
+
+@register(
     "q174_run_length_encoding",
     oracle="""
         WITH seq AS (

@@ -365,6 +365,113 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q178_silhouette",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT label AS clabel, pos,
+                   CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE)
+                       / COUNT(DISTINCT vec_id) AS m
+            FROM e GROUP BY label, pos
+        ),
+        d2 AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   sqrt(CAST(SUM(CAST((x - m) * (x - m)
+                        AS DECIMAL(38,12))) AS DOUBLE)) AS dist
+            FROM e JOIN cents c ON e.pos = c.pos
+            GROUP BY e.vec_id, e.label, c.clabel
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MIN(CASE WHEN label = clabel THEN dist END) AS a,
+                   MIN(CASE WHEN label <> clabel THEN dist END) AS b
+            FROM d2 GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(ROUND(CAST(SUM(CAST(
+                   (b - a) / GREATEST(a, b) AS DECIMAL(28,12)))
+                   AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS silhouette
+        FROM ab WHERE GREATEST(a, b) > 0
+        GROUP BY label
+        ORDER BY label
+    """,
+    doc="Silhouette score (centroid form) per label — the cluster-"
+    "quality metric for an embedding space: a = distance to the OWN "
+    "label's centroid, b = distance to the nearest OTHER centroid, "
+    "s = (b-a)/max(a,b) averaged per label. Evaluates exactly the "
+    "structure the IVF/cluster-neardup paths (q53/q91) depend on. "
+    "One (label, dim) centroid agg (decimal means, the q83 "
+    "contract), then a broadcast of the dims x labels model onto the "
+    "exploded vectors — per-(vec, centroid) squared distances "
+    "accumulate in DECIMAL so the 64-term sums are shuffle-order-"
+    "proof, sqrt is IEEE-exact, and the per-label average is "
+    "DECIMAL-summed again. Cost: vecs x labels x dims narrow rows, "
+    "one wide stage on (vec, centroid).",
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        table(spark, sf, "embeddings")
+        .select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("pos"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    cents = e.groupBy(
+        F.col("label").alias("clabel"), "pos"
+    ).agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,8)")).cast("double")
+            / F.countDistinct("vec_id")
+        ).alias("m")
+    )
+    d2 = (
+        e.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                    .cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("dist")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("label") == F.col("clabel"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("label") != F.col("clabel"), F.col("dist"))
+        ).alias("b"),
+    )
+    s_term = (
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    ).cast("decimal(28,12)")
+    return (
+        ab.filter(F.greatest(F.col("a"), F.col("b")) > 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(s_term).cast("double") / F.count(F.lit(1)), 4
+            ).cast("double").alias("silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "q175_image_resize_standin",
     oracle="""
         -- stand-in pixel path: truncate/pad the payload to w*h bytes.

@@ -610,3 +610,21 @@ def test_q173_salted_join_shuffles_on_key_plus_salt(q):
         if "Exchange hashpartitioning" in ln and "_salt" in ln
     ]
     assert ex, "no exchange partitioned on the salt"
+
+
+def test_q176_weighted_median_single_group_shuffle(q):
+    df = q("q176_weighted_median")
+    p = plan_string(df)
+    assert "Join" not in p
+    # cumulative + group-total windows and the final agg all ride one
+    # l_returnflag shuffle
+    assert exchange_count(df, "hashpartitioning") == 1
+
+
+def test_q177_cusum_windows_share_one_series_shuffle(q):
+    df = q("q177_cusum_changepoints")
+    p = plan_string(df)
+    # two running windows (cumsum + running-min) over the same
+    # per-series order: exactly one Sort below the windows per branch
+    assert "CartesianProduct" not in p
+    assert broadcast_hash_join_count(df) >= 1  # moments broadcast back
