@@ -521,6 +521,53 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q179_orc_roundtrip",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {oracle_money_sum('value', 'total')},
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="ORC interchange scan (the columnar alternative beside q157's "
+    "CSV and the parquet default): project events to ORC via the "
+    "sources writer, read it back, aggregate — hash-matching the "
+    "parquet-side oracle proves the round trip lossless including "
+    "the typed bigint/double columns. ORC carries the same "
+    "pushdown/pruning machinery as parquet in Spark (predicate "
+    "pushdown, column projection, stripe-level statistics), so the "
+    "scan-side scale story is unchanged; the format exists for "
+    "warehouses standardized on Hive-era layouts.",
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.sources import read_orc, write_orc
+
+    src = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_orc_roundtrip_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf)),
+    )
+    write_orc(src, out)
+    return (
+        read_orc(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("value", "total"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q176_weighted_median",
     oracle="""
         WITH w AS (
