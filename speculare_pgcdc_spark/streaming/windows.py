@@ -303,3 +303,68 @@ def scd2_current(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         F.max_by("event_type", ordkey).alias("attr_value"),
         F.max("ts").alias("valid_from"),
     )
+
+
+_CUSUM_OUT_SCHEMA = (
+    "event_type string, s_stat double, c double, n bigint, alarm boolean"
+)
+_CUSUM_STATE_SCHEMA = "c double, minc double, n bigint"
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target: float,
+    threshold: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """T7 streaming CUSUM drift detector — the stateful twin of the
+    batch q177 changepoint query, via the same closed form
+    S_t = C_t - min_{j<=t}(C_j) with C the running sum of deviations
+    from a KNOWN target (in a stream the reference level is a given,
+    the textbook CUSUM setup; the batch form can estimate it because
+    it sees all history). State per key is THREE numbers (cumsum,
+    running min, count) forever — the O(1)-state contract — where a
+    naive windowed recomputation would re-read the whole series every
+    trigger.
+
+    Within a batch, rows fold in (ts, event_id) order like
+    streaming_ewma. Emits the post-batch (key, S, C, n, alarm) in
+    update mode; `alarm` latches whenever S exceeds `threshold`.
+    Stream == Python-fold parity is pinned in tests/test_streaming.py.
+    """
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            c, minc, n = state.get
+        else:
+            c, minc, n = 0.0, 0.0, 0
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts", "event_id"])
+            for v in ordered[value_col]:
+                c += float(v) - target
+                minc = min(minc, c)
+                n += 1
+        state.update((c, minc, n))
+        s = c - minc
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "s_stat": [round(s, 10)],
+                "c": [round(c, 10)],
+                "n": [n],
+                "alarm": [s > threshold],
+            }
+        )
+
+    return events.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

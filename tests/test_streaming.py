@@ -1634,3 +1634,75 @@ def test_engine_watch_reports_cdc_metrics_in_progress(spark, tmp_path):
     assert sum(m["n_changes"] for m in metrics) == 2
     assert sum(m["n_inserts"] for m in metrics) == 1
     assert sum(m["n_updates"] for m in metrics) == 1
+
+
+def test_streaming_cusum_matches_python_fold(spark, tmp_path):
+    """T7 streaming CUSUM: state (cumsum, running min, count) carries
+    across MULTIPLE triggers and the emitted S equals a plain Python
+    fold over the same events in order; the alarm latches when S
+    crosses the threshold."""
+    import json as _json
+
+    from speculare_pgcdc_spark.streaming.windows import streaming_cusum
+
+    in_dir = str(tmp_path / "cusum_in")
+    os.makedirs(in_dir, exist_ok=True)
+    batches = [
+        [("a", 1, "2024-01-01 00:00:01", 10.0),
+         ("a", 2, "2024-01-01 00:00:02", 8.0),
+         ("b", 3, "2024-01-01 00:00:03", 12.0)],
+        [("a", 4, "2024-01-01 00:00:04", 15.0),
+         ("a", 5, "2024-01-01 00:00:05", 16.0),
+         ("b", 6, "2024-01-01 00:00:06", 9.0)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(in_dir, f"b{i}.jsonl"), "w") as f:
+            for t, eid, ts, v in rows:
+                f.write(_json.dumps(
+                    {"event_type": t, "event_id": eid, "ts": ts,
+                     "value": v}) + "\n")
+
+    target, threshold = 10.0, 5.0
+    src = (
+        spark.readStream.schema(
+            "event_type string, event_id bigint, ts timestamp,"
+            " value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = (
+        streaming_cusum(src, target=target, threshold=threshold)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode: last emitted row per key wins
+        rows = spark.sql(
+            "SELECT * FROM t_cusum"
+        ).collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # update mode: the row with the highest n is final
+        if r.event_type not in final or r.n > final[r.event_type][1]:
+            final[r.event_type] = (r.s_stat, r.n, r.alarm)
+
+    # python fold reference
+    for key in ("a", "b"):
+        vals = [v for b in batches for (t, _e, _ts, v) in b if t == key]
+        c, minc = 0.0, 0.0
+        for v in vals:
+            c += v - target
+            minc = min(minc, c)
+        s = c - minc
+        got_s, got_n, got_alarm = final[key]
+        assert got_n == len(vals)
+        assert abs(got_s - s) < 1e-9, (key, got_s, s)
+        assert got_alarm == (s > threshold), key
+    # series "a" drifts +11 above target -> alarmed; "b" does not
+    assert final["a"][2] is True and final["b"][2] is False
