@@ -74,6 +74,7 @@ SWEEP_FIRST = [
     "q177_cusum_changepoints",
     "q178_silhouette",
     "q179_orc_roundtrip",
+    "q180_ab_significance",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -521,6 +521,97 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q180_ab_significance",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS INTEGER) AS variant,
+                   MAX(CASE WHEN event_type = 'purchase'
+                                 AND value > 150
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT variant, COUNT(*) AS n, SUM(converted) AS x
+            FROM assign GROUP BY variant
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+                   MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN variant = 1 THEN x END) AS x1
+            FROM arms
+        )
+        SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+               CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+               CAST(ROUND(
+                   (x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                   / sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                          * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1)), 4)
+               AS DOUBLE) AS z,
+               CAST(abs(
+                   (x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                   / sqrt(((x0 + x1) * 1.0 / (n0 + n1))
+                          * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1))) > 1.96
+               AS BOOLEAN) AS significant_95
+        FROM wide
+    """,
+    doc="Two-proportion z-test — A/B experiment significance on "
+    "conversion rates (variant = a deterministic hash split; here "
+    "user parity stands in for the assignment column). Per-user "
+    "conversion from one conditional-max agg, per-arm counts from a "
+    "2-row rollup, then the pooled-proportion z statistic computed "
+    "entirely from exact integer ratios — both engines build "
+    "identical IEEE doubles, sqrt is correctly rounded, so even the "
+    "boolean significance verdict is engine-stable. The entire test "
+    "is two tiny aggregations over one scan; at any scale the "
+    "statistics cross to the driver as a single row.",
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    assign = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150)
+                ).cast("int")
+            ).alias("converted")
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "converted",
+        )
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0") * 1.0 / F.col("n0")
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("x0").cast("bigint").alias("x0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.round(z, 4).cast("double").alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+@register(
     "q179_orc_roundtrip",
     oracle=f"""
         SELECT event_type,
