@@ -1,18 +1,22 @@
-"""Corpus-curation and analytic-pattern queries (round 5, q143-q152).
+"""Corpus-curation and analytic-pattern queries (round 5).
 
-Three families, all first-class training-data-pipeline operators plus
-the TPC-H shapes the fixture schema (no partsupp table, FIXTURES.md)
+Families, all first-class training-data-pipeline operators plus the
+TPC-H shapes the fixture schema (no partsupp table, FIXTURES.md)
 kept out of the main suite:
 
-- exact segment-level corpus dedup (keep-first), per-source
-  distribution drift (KL), composite quality-rule filtering — the
-  RefinedWeb/Gopher-style curation passes applied before training;
-- graph shape statistics over the trade graph (degree distribution,
-  triangle count) — the structural-audit queries a dedup/link graph
-  needs at 100 TB;
-- outlier detection (z-score, IQR fences) and the partsupp-free
-  re-shapes of TPC-H Q11 (share-of-global HAVING), Q2 (argmin
-  supplier per part) and Q20 (dominant-supplier detection).
+- curation passes: exact segment-level corpus dedup q143, per-source
+  KL drift q144, composite quality rules q152, PMI collocations q155,
+  sequence packing q161, PPS sampling q162, Pareto frontier q163,
+  table profiling q171, cross-source overlap q172 — the
+  RefinedWeb/Gopher-style passes applied before training;
+- embedding ops: scalar quantization q154;
+- graph shape statistics over the trade graph (degree distribution
+  q145, triangle count q146) — the structural audits a dedup/link
+  graph needs at 100 TB;
+- outlier detection (z-score q147, IQR fences q148), the salted skew
+  join q173, and the partsupp-free re-shapes of TPC-H Q11
+  (share-of-global HAVING q149), Q2 (argmin supplier q150) and Q20
+  (dominant-supplier q151).
 
 Scale notes follow each query's doc; the common contracts:
 double-valued sums accumulate in DECIMAL so shuffle order cannot move

@@ -1,12 +1,21 @@
-"""Change-history and lifecycle analytics (round 5, q153/q156/q157).
+"""Change-history, lifecycle, and lake-layout analytics (round 5).
 
 The reference's CDC feed is consumed by subscribers that maintain
 their own downstream state (src/forwarder/mod.rs hands each change to
-the client); these queries implement the three state shapes such a
-consumer most commonly builds — a slowly-changing-dimension history
-(SCD Type 2), an adoption curve (first-seen + cumulative), and a
-text-format interchange scan (CSV round-trip) — each as one
-declarative plan.
+the client); this module implements the state shapes and serving-side
+analytics such a consumer builds, plus the storage-layout contracts a
+lake deployment needs:
+
+- history/state: SCD Type-2 build (q153), adoption curve (q156),
+  run-length encoding (q174);
+- detection/statistics: rolling distinct (q158), compound growth
+  (q159), conversion latency (q167), burst detection (q168),
+  recency-decay engagement (q169), banded percent_rank (q170),
+  weighted median (q176), CUSUM changepoints (q177), two-proportion
+  z-test (q180);
+- layout/interchange proofs: bucketed co-located join (q160), CSV
+  (q157) and ORC (q179) round trips, schema evolution (q165),
+  partition pruning (q166).
 """
 
 from __future__ import annotations
