@@ -75,6 +75,8 @@ SWEEP_FIRST = [
     "q178_silhouette",
     "q179_orc_roundtrip",
     "q180_ab_significance",
+    "q181_seasonal_profile",
+    "q182_windowed_funnel",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

@@ -530,6 +530,148 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q181_seasonal_profile",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, hr
+        ),
+        tot AS (
+            SELECT event_type, SUM(n) AS total, MAX(n) AS peak
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, hr, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+               CAST(n = peak AS BOOLEAN) AS is_peak
+        FROM hourly h JOIN tot t ON h.event_type = t.event_type
+        ORDER BY h.event_type, hr
+    """,
+    doc="Seasonality profile: each event type's hour-of-day activity "
+    "distribution with integer-ppm shares and a peak-hour flag — the "
+    "baseline that turns raw burst detection (q168) into "
+    "seasonality-AWARE monitoring (an 09:00 spike can be normal; the "
+    "same rate at 03:00 is not). Output is bounded at types x 24 "
+    "rows regardless of volume; one hour-grain agg plus its tiny "
+    "per-type rollup joined back broadcast. The ppm share keeps "
+    "float rounding out of the contract (the q170 convention).",
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    hourly = (
+        table(spark, sf, "events")
+        .groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = hourly.localCheckpoint(eager=True)
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.max("n").alias("peak")
+    )
+    return (
+        hourly.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 DIV total").cast("bigint")
+            .alias("share_ppm"),
+            (F.col("n") == F.col("peak")).alias("is_peak"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "q182_windowed_funnel",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       AS first_view
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT f.user_id, f.first_view,
+                   MAX(CASE WHEN e.event_type = 'purchase'
+                             AND e.ts >= f.first_view
+                             AND e.ts < f.first_view + INTERVAL 3 DAY
+                            THEN 1 ELSE 0 END) AS converted
+            FROM fv f JOIN events e ON f.user_id = e.user_id
+            WHERE f.first_view IS NOT NULL
+            GROUP BY f.user_id, f.first_view
+        )
+        SELECT CAST(first_view AS DATE) AS cohort_d,
+               CAST(COUNT(*) AS BIGINT) AS n_viewers,
+               CAST(SUM(converted) AS BIGINT) AS n_converted_3d,
+               CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT)
+                   AS rate_ppm
+        FROM conv
+        GROUP BY cohort_d
+        ORDER BY cohort_d
+    """,
+    doc="Time-constrained funnel: conversion counts only if the "
+    "purchase lands within 3 days AFTER the user's first exposure — "
+    "the windowed variant of q98's ordered funnel (which accepts any "
+    "later step) and the cohorted companion to q167's latency "
+    "distribution. First-exposure from one conditional-min agg, the "
+    "window test as a same-key equi-join back onto the event stream "
+    "(co-partitioned on user_id — the join reuses the agg's "
+    "shuffle), then a date-grain cohort rollup with integer-ppm "
+    "rates. No theta-join: the time window rides the user_id "
+    "equi-join as a post-join filter.",
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    events = table(spark, sf, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    fv = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("first_view")
+        )
+        .filter(F.col("first_view").isNotNull())
+    )
+    conv = (
+        fv.join(events, "user_id")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_view"))
+                    & (
+                        F.col("ts")
+                        < F.col("first_view") + F.expr("INTERVAL 3 DAY")
+                    )
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    return (
+        conv.groupBy(
+            F.col("first_view").cast("date").alias("cohort_d")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.sum("converted").alias("n_converted_3d"),
+        )
+        .select(
+            "cohort_d",
+            F.col("n_viewers").cast("bigint").alias("n_viewers"),
+            F.col("n_converted_3d").cast("bigint")
+            .alias("n_converted_3d"),
+            F.expr("n_converted_3d * 1000000 DIV n_viewers")
+            .cast("bigint").alias("rate_ppm"),
+        )
+        .orderBy("cohort_d")
+    )
+
+
+@register(
     "q180_ab_significance",
     oracle="""
         WITH assign AS (

@@ -628,3 +628,11 @@ def test_q177_cusum_windows_share_one_series_shuffle(q):
     # per-series order: exactly one Sort below the windows per branch
     assert "CartesianProduct" not in p
     assert broadcast_hash_join_count(df) >= 1  # moments broadcast back
+
+
+def test_q182_window_rides_user_equi_join_not_theta(q):
+    """The 3-day conversion window must be a post-join filter on the
+    user_id equi-join, never a time-range nested loop."""
+    p = plan_string(q("q182_windowed_funnel"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
