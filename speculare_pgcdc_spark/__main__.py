@@ -63,15 +63,9 @@ def _cmd_serve(args, spark_factory: Callable) -> int:
         args.out_dir,
         args.checkpoint_dir,
     )
-    kw = cfg.sidecar_kwargs()
-    host, _, port = kw.pop("binding").rpartition(":")
-    run_sidecar_forever(
-        engine,
-        args.out_dir,
-        host=host or "127.0.0.1",
-        port=int(port),
-        **kw,
-    )
+    # sidecar_kwargs already splits `binding` into host/port and adds
+    # certfile/keyfile when https is on
+    run_sidecar_forever(engine, args.out_dir, **cfg.sidecar_kwargs())
     return 0  # pragma: no cover — run_sidecar_forever blocks
 
 

@@ -235,10 +235,20 @@ def salted_join(
     form and the one that composes with bucketed layouts.
 
     Result is EXACTLY the plain `big.join(small, key)` rows (plus a
-    `_salt` column dropped before return)."""
-    probe = F.col(salt_on) if salt_on else F.col(key)
+    `_salt` column dropped before return).
+
+    ``salt_on`` names a high-cardinality column to derive the salt
+    from; by DEFAULT the salt hashes the WHOLE row (every big-side
+    column), which spreads a hot key's rows as long as they differ
+    anywhere. Hashing only the join key would give every row of a hot
+    key the SAME salt — zero mitigation — so that is never done."""
+    probe = (
+        [F.col(salt_on)]
+        if salt_on
+        else [F.col(c) for c in big.columns]
+    )
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(probe), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*probe), F.lit(salt_buckets))
     )
     replicated = small.withColumn(
         "_salt",

@@ -480,7 +480,7 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
                           / CAST(total AS DOUBLE), 6) AS DOUBLE)
                    AS share
         FROM per_part CROSS JOIN tot
-        WHERE revenue > 0.0005 * total
+        WHERE revenue * 10000 > 5 * total
         ORDER BY revenue DESC, l_partkey
     """,
     doc="TPC-H Q11 shape without partsupp: per-part revenue filtered "
@@ -503,7 +503,10 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     tot = per_part.agg(F.sum("revenue").alias("total"))
     return (
         per_part.crossJoin(F.broadcast(tot))
-        .filter(F.col("revenue") > 0.0005 * F.col("total"))
+        # integer-scaled DECIMAL predicate (the q151 convention):
+        # 0.0005 * total as a double literal would coerce the exact
+        # decimals and the two engines could disagree at the boundary
+        .filter(F.col("revenue") * 10000 > 5 * F.col("total"))
         .select(
             "l_partkey",
             "revenue",

@@ -359,7 +359,7 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
             FROM minutes GROUP BY event_type
         )
         SELECT mi.event_type, m, CAST(x AS BIGINT) AS x,
-               CAST(ROUND(sx * 1.0 / n, 4) AS DOUBLE) AS mean_rate
+               CAST(sx * 1000000 // n AS BIGINT) AS mean_rate_ppm
         FROM minutes mi JOIN stats st ON mi.event_type = st.event_type
         WHERE n > 1
           AND x - sx * 1.0 / n
@@ -407,7 +407,11 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             "m",
             F.col("x").cast("bigint").alias("x"),
-            F.round(mean, 4).cast("double").alias("mean_rate"),
+            # exact-rational output as integer ppm, never round():
+            # sx/n hits 4-decimal ties (e.g. 1/160) that Spark and
+            # DuckDB round differently from the same double
+            F.expr("sx * 1000000 DIV n").cast("bigint")
+            .alias("mean_rate_ppm"),
         )
         .orderBy("event_type", "m")
     )
@@ -902,7 +906,7 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
             FROM curve
         )
         SELECT event_type, m, CAST(x AS BIGINT) AS x,
-               CAST(ROUND(s_stat, 4) AS DOUBLE) AS s_stat
+               CAST(FLOOR(s_stat * 10000) AS BIGINT) AS s_x10000
         FROM s
         WHERE s_stat > 3 * sqrt((n * sxx - sx * sx) * 1.0
                                 / (n * (n - 1)))
@@ -956,7 +960,11 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             "m",
             F.col("x").cast("bigint").alias("x"),
-            F.round("s_stat", 4).cast("double").alias("s_stat"),
+            # s_stat is a rational with denominator n (exact in both
+            # engines) — floor-scaled integer output, not round(),
+            # for the same tie reason as q168's mean rate
+            F.floor(F.col("s_stat") * 10000).cast("bigint")
+            .alias("s_x10000"),
         )
         .orderBy("event_type", "m")
     )

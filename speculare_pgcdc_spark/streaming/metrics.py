@@ -9,9 +9,11 @@ zero extra passes, zero extra actions — surfaced through
 works in both modes, like every other operator in this engine.
 
 The metric set mirrors what an operator of the CDC pipeline actually
-watches: change volume, kind mix, unroutable (unknown-table) volume,
-and poison-message drops (rows whose payload failed the variant
-parse — the try_parse_json tolerance path).
+watches: change volume, kind mix, WAL-position bounds, and
+poison-message drops (rows whose payload failed the variant parse —
+the try_parse_json tolerance path). Unroutable (unknown-table) volume
+is a routing-layer concern: it needs the table catalog, so it belongs
+to a route()-level observation, not this parse-level set.
 """
 
 from __future__ import annotations

@@ -308,7 +308,7 @@ def scd2_current(events: DataFrame, key_col: str = "user_id") -> DataFrame:
 _CUSUM_OUT_SCHEMA = (
     "event_type string, s_stat double, c double, n bigint, alarm boolean"
 )
-_CUSUM_STATE_SCHEMA = "c double, minc double, n bigint"
+_CUSUM_STATE_SCHEMA = "c double, minc double, n bigint, alarmed boolean"
 
 
 def streaming_cusum(
@@ -330,7 +330,9 @@ def streaming_cusum(
 
     Within a batch, rows fold in (ts, event_id) order like
     streaming_ewma. Emits the post-batch (key, S, C, n, alarm) in
-    update mode; `alarm` latches whenever S exceeds `threshold`.
+    update mode; `alarm` LATCHES in state: once S has exceeded
+    `threshold` the key stays alarmed even if S later recedes —
+    drift happened, and a monitor reading the latest row must see it.
     Stream == Python-fold parity is pinned in tests/test_streaming.py.
     """
 
@@ -340,16 +342,20 @@ def streaming_cusum(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            c, minc, n = state.get
+            c, minc, n, alarmed = state.get
         else:
-            c, minc, n = 0.0, 0.0, 0
+            c, minc, n, alarmed = 0.0, 0.0, 0, False
         for pdf in pdfs:
             ordered = pdf.sort_values(["ts", "event_id"])
             for v in ordered[value_col]:
                 c += float(v) - target
                 minc = min(minc, c)
                 n += 1
-        state.update((c, minc, n))
+                if c - minc > threshold:
+                    alarmed = True  # latch: checked per event, not
+                    # per batch, so a within-batch excursion that
+                    # recedes before the batch ends still alarms
+        state.update((c, minc, n, alarmed))
         s = c - minc
         yield pd.DataFrame(
             {
@@ -357,7 +363,7 @@ def streaming_cusum(
                 "s_stat": [round(s, 10)],
                 "c": [round(c, 10)],
                 "n": [n],
-                "alarm": [s > threshold],
+                "alarm": [alarmed],
             }
         )
 

@@ -158,7 +158,9 @@ def test_cli_run_executes_query_with_injected_session(spark, sf_dir, capsys):
         spark_factory=lambda: spark,
     )
     assert rc == 0
-    assert "n_rows" in capsys.readouterr().out or True  # show() printed
+    out = capsys.readouterr().out
+    # df.show() must actually print the result grid
+    assert "+" in out and "|" in out, out
 
 
 def test_cli_run_explain_prints_physical_plan(spark, sf_dir, capsys):
@@ -192,3 +194,46 @@ def test_cli_serve_parser_requires_config():
          "--out-dir", "o", "--checkpoint-dir", "k"]
     )
     assert args.tables == "events_a,events_b"
+
+
+def test_cli_serve_wires_config_into_sidecar(spark, tmp_path, monkeypatch):
+    """Regression: serve must pass sidecar_kwargs() straight through —
+    an earlier draft popped a nonexistent 'binding' key and crashed
+    before the sidecar ever started."""
+    import speculare_pgcdc_spark.service.ws_sidecar as ws
+    from speculare_pgcdc_spark.__main__ import main
+
+    cfg = tmp_path / "pgcdc.toml"
+    cfg.write_text(
+        'database_host = "h"\n'
+        'database_dbname = "d"\n'
+        'database_user = "u"\n'
+        'database_password = "p"\n'
+        'binding = "127.0.0.1:9321"\n'
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    got = {}
+
+    def fake_serve(engine, out_dir, **kw):
+        got.update(kw, out_dir=out_dir)
+        raise SystemExit(0)  # stop before the blocking loop
+
+    monkeypatch.setattr(ws, "run_sidecar_forever", fake_serve)
+    try:
+        main(
+            [
+                "serve", "--config", str(cfg),
+                "--feed-dir", str(feed),
+                "--out-dir", str(tmp_path / "out"),
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+            ],
+            spark_factory=lambda: spark,
+        )
+    except SystemExit:
+        pass
+    # the watch stream was started; stop it so the session stays clean
+    for q in spark.streams.active:
+        q.stop()
+    assert got["host"] == "127.0.0.1" and got["port"] == 9321
+    assert got["out_dir"] == str(tmp_path / "out")

@@ -1692,17 +1692,18 @@ def test_streaming_cusum_matches_python_fold(spark, tmp_path):
         if r.event_type not in final or r.n > final[r.event_type][1]:
             final[r.event_type] = (r.s_stat, r.n, r.alarm)
 
-    # python fold reference
+    # python fold reference (alarm latches on ANY excursion)
     for key in ("a", "b"):
         vals = [v for b in batches for (t, _e, _ts, v) in b if t == key]
-        c, minc = 0.0, 0.0
+        c, minc, ever = 0.0, 0.0, False
         for v in vals:
             c += v - target
             minc = min(minc, c)
+            ever = ever or (c - minc > threshold)
         s = c - minc
         got_s, got_n, got_alarm = final[key]
         assert got_n == len(vals)
         assert abs(got_s - s) < 1e-9, (key, got_s, s)
-        assert got_alarm == (s > threshold), key
+        assert got_alarm == ever, key
     # series "a" drifts +11 above target -> alarmed; "b" does not
     assert final["a"][2] is True and final["b"][2] is False
