@@ -889,27 +889,31 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
             FROM minutes GROUP BY event_type
         ),
         curve AS (
+            -- integer-scaled cumsum: C*n = sum(x*n - sx) is EXACT
+            -- BIGINT arithmetic, immune to windowed-float
+            -- accumulation order (DuckDB's segment-tree vs Spark's
+            -- sequential summation disagree in the last ulp)
             SELECT mi.event_type, m, x, n, sx, sxx,
-                   SUM(x - sx * 1.0 / n) OVER (
+                   SUM(x * n - sx) OVER (
                        PARTITION BY mi.event_type ORDER BY m
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS c
+                            AND CURRENT ROW) AS cn
             FROM minutes mi JOIN stats st
               ON mi.event_type = st.event_type
             WHERE n > 1
         ),
         s AS (
             SELECT event_type, m, x, n, sxx, sx,
-                   c - MIN(c) OVER (PARTITION BY event_type ORDER BY m
+                   cn - MIN(cn) OVER (PARTITION BY event_type ORDER BY m
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS s_stat
+                            AND CURRENT ROW) AS sn
             FROM curve
         )
         SELECT event_type, m, CAST(x AS BIGINT) AS x,
-               CAST(FLOOR(s_stat * 10000) AS BIGINT) AS s_x10000
+               CAST(sn * 10000 // n AS BIGINT) AS s_x10000
         FROM s
-        WHERE s_stat > 3 * sqrt((n * sxx - sx * sx) * 1.0
-                                / (n * (n - 1)))
+        WHERE sn > 3 * sqrt((n * sxx - sx * sx) * 1.0
+                            / (n * (n - 1))) * n
         ORDER BY event_type, m
     """,
     doc="CUSUM changepoint detection on the per-minute rate series — "
@@ -919,9 +923,12 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     "window-expressible, but its CLOSED FORM is: S_t = C_t - "
     "min_{j<=t}(C_j) with C the cumsum of deviations — two running "
     "windows on one per-series ordered shuffle, no recursion, no "
-    "UDF. Both engines accumulate the cumsum left-to-right in the "
-    "same total order so the doubles agree; the 3-sigma threshold "
-    "reuses q168's exact-integer variance.",
+    "UDF. The cumsum runs INTEGER-SCALED (C*n = sum of x*n - sx, "
+    "exact BIGINT) because windowed FLOAT accumulation is not "
+    "engine-stable — DuckDB's segment-tree summation and Spark's "
+    "sequential one can differ in the last ulp; the statistic, the "
+    "3-sigma compare (scaled by n), and the x10000 output are all "
+    "integer arithmetic on top of it.",
 )
 def q177(spark: SparkSession, sf: str) -> DataFrame:
     minutes = (
@@ -944,26 +951,25 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         minutes.join(F.broadcast(stats), "event_type")
         .filter(F.col("n") > 1)
         .withColumn(
-            "c",
-            F.sum(F.col("x") - F.col("sx") * 1.0 / F.col("n")).over(run),
+            "cn",
+            F.sum(
+                F.col("x") * F.col("n") - F.col("sx")
+            ).over(run),
         )
     )
-    s = curve.withColumn("s_stat", F.col("c") - F.min("c").over(run))
+    s = curve.withColumn("sn", F.col("cn") - F.min("cn").over(run))
     sigma = F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * 1.0
         / (F.col("n") * (F.col("n") - 1))
     )
     return (
-        s.filter(F.col("s_stat") > 3 * sigma)
+        s.filter(F.col("sn") > 3 * sigma * F.col("n"))
         .select(
             "event_type",
             "m",
             F.col("x").cast("bigint").alias("x"),
-            # s_stat is a rational with denominator n (exact in both
-            # engines) — floor-scaled integer output, not round(),
-            # for the same tie reason as q168's mean rate
-            F.floor(F.col("s_stat") * 10000).cast("bigint")
+            F.expr("sn * 10000 DIV n").cast("bigint")
             .alias("s_x10000"),
         )
         .orderBy("event_type", "m")
