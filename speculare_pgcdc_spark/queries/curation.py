@@ -295,8 +295,10 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: minimum co-purchase support for a part pair to become a graph edge
-#: (q146) — bounds the edge list before the triangle join
-TRI_SUPPORT = 3
+#: (q146) — bounds the edge list before the triangle join; 2 keeps the
+#: wedge machinery EXERCISED at every fixture SF (support 3 leaves the
+#: sf0.01 graph triangle-free — a vacuous gate)
+TRI_SUPPORT = 2
 
 
 @register(
@@ -614,18 +616,20 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
                           / CAST(t.total_qty AS DOUBLE), 4) AS DOUBLE)
                    AS share
         FROM per_pair p JOIN per_part t ON p.l_partkey = t.l_partkey
-        WHERE t.n_suppliers >= 2 AND p.qty * 2 > t.total_qty
+        WHERE t.n_suppliers >= 2 AND p.qty * 10 > t.total_qty
         ORDER BY p.l_partkey, p.l_suppkey
     """,
     doc="TPC-H Q20 shape without partsupp: dominant-supplier "
-    "detection — suppliers shipping MORE THAN HALF of a part's total "
-    "quantity (supply-concentration risk; in pipelines, the same "
-    "shape flags a shard dominating a mixture). Two stacked aggs on "
-    "the same partkey prefix — the rollup reuses the pair agg's "
-    "shuffle partitioning, so one wide stage total. The >1/2 compare "
-    "is integer-scaled DECIMAL (qty*2 > total), no doubles in the "
-    "predicate; single-supplier parts are excluded as trivially "
-    "dominant.",
+    "detection — suppliers shipping MORE THAN 10%% of a part's total "
+    "quantity, a strong concentration outlier against the fixture's "
+    "~4%% fair share (every part has 13+ suppliers here, so a "
+    "majority threshold would be vacuously empty — the gate must "
+    "exercise the filter, not match on zero rows). Two stacked aggs "
+    "on the same partkey prefix — the rollup reuses the pair agg's "
+    "shuffle partitioning, so one wide stage total. The threshold "
+    "compare is integer-scaled DECIMAL (qty*10 > total), no doubles "
+    "in the predicate; single-supplier parts are excluded as "
+    "trivially concentrated.",
 )
 def q151(spark: SparkSession, sf: str) -> DataFrame:
     per_pair = (
@@ -645,7 +649,7 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         per_pair.join(per_part, "l_partkey")
         .filter(
             (F.col("n_suppliers") >= 2)
-            & (F.col("qty") * 2 > F.col("total_qty"))
+            & (F.col("qty") * 10 > F.col("total_qty"))
         )
         .select(
             "l_partkey",
@@ -1223,9 +1227,22 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q172_source_overlap",
     oracle="""
-        WITH fps AS (
-            SELECT DISTINCT source, md5(text) AS fp
-            FROM documents WHERE text IS NOT NULL
+        WITH base AS (
+            SELECT source,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        fps AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(
+                       arr[t.g * 16 + 1 : t.g * 16 + 16], ' ')) AS fp
+            FROM base,
+                 LATERAL (
+                    SELECT unnest(range(0,
+                        CAST(ceil(len(arr) / 16.0) AS BIGINT))) AS g
+                 ) t
+            WHERE len(arr) > 0
         ),
         sizes AS (
             SELECT source, COUNT(*) AS n FROM fps GROUP BY source
@@ -1246,10 +1263,13 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY sa, sb
     """,
     doc="Cross-source duplication report: exact-fingerprint Jaccard "
-    "overlap between every source PAIR — the corpus-composition "
-    "audit that decides which sources to dedup against each other "
-    "(q87 checks corpus-vs-evalset; this checks corpus-vs-itself by "
-    "shard). The pair join is an EQUI-join on the fingerprint — "
+    "overlap between every source PAIR at the 16-token SEGMENT grain "
+    "(the q143 dedup grain — whole-doc hashes never collide across "
+    "shards, so doc-level fingerprints would make this gate vacuous; "
+    "segment grain measures shared content MASS, which is what "
+    "curation acts on). q87 checks corpus-vs-evalset; this checks "
+    "corpus-vs-itself by shard. The pair join is an EQUI-join on "
+    "the fingerprint — "
     "only docs sharing a hash ever meet, so cost is bounded by "
     "duplicate mass, not source-pair count times corpus. Output is "
     "bounded by sources^2 regardless of volume; Jaccard emits as "
@@ -1257,10 +1277,39 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
     "report.",
 )
 def q172(spark: SparkSession, sf: str) -> DataFrame:
-    fps = (
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = (
         table(spark, sf, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("source", F.md5("text").alias("fp"))
+        .select("source", arr.alias("arr"))
+        .filter(F.size("arr") > 0)
+    )
+    fps = (
+        base.select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+                )
+            ).alias("g"),
+            F.col("arr"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("arr"),
+                        (F.col("g") * 16 + 1).cast("int"),
+                        16,
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+        )
         .distinct()
     )
     fps = fps.localCheckpoint(eager=True)

@@ -1015,3 +1015,31 @@ def test_q162_each_source_draws_exactly_k_ticks(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.total == PPS_K, (r.source, r.total)
+
+
+def test_gate_queries_are_not_vacuous(spark, sf_dir):
+    """Filter-bearing gates must EXERCISE their filters: a 0-row
+    oracle match proves nothing (round-5 lesson — the majority
+    dominance threshold and doc-level overlap fingerprints were
+    vacuously empty on this corpus until re-tuned). If a fixture
+    regeneration empties one of these again, fail loudly here rather
+    than letting the driver record a hollow green row."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    names = [
+        "q149_value_share",
+        "q151_dominant_supplier",
+        "q172_source_overlap",
+        "q147_zscore_outliers",
+        "q148_iqr_outliers",
+    ]
+    if "sf0.001" not in sf_dir:
+        # the 3-sigma detectors need enough minutes to spike; the
+        # tiny fixture legitimately has none — they are pinned
+        # non-vacuous at the driver's sf0.01 gate and above
+        names += ["q168_burst_detection", "q177_cusum_changepoints"]
+    for name in names:
+        assert reg[name].fn(spark, sf_dir).count() > 0, name
+    tri = reg["q146_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert tri.triangles > 0 and tri.n_edges > 0
