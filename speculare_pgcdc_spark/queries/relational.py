@@ -780,18 +780,28 @@ def q27a(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q27_except",
     oracle="""
-        SELECT n_nationkey FROM nation
-        EXCEPT SELECT c_nationkey FROM customer
-        ORDER BY n_nationkey
+        SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        EXCEPT SELECT CAST(l_shipdate AS DATE) FROM lineitem
+        ORDER BY d
     """,
-    doc="U2 except (left-anti under distinct).",
+    doc="U2 except (left-anti under distinct): order dates on which "
+    "nothing shipped. Operands chosen to be NON-EMPTY at every "
+    "fixture SF — the original nation-minus-customer form was "
+    "vacuously empty (every nation has customers), so its gate only "
+    "ever proved 0 == 0.",
 )
 def q27b(spark: SparkSession, sf: str) -> DataFrame:
-    n = table(spark, sf, "nation").select("n_nationkey")
-    c = table(spark, sf, "customer").select(
-        F.col("c_nationkey").alias("n_nationkey")
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
     )
-    return n.exceptAll(c).distinct().orderBy("n_nationkey")
+    l = table(spark, sf, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d")
+    )
+    # subtract == SQL EXCEPT (set semantics): a date with 5 order
+    # occurrences and 3 shipment occurrences must be EXCLUDED —
+    # exceptAll's multiset subtraction would leave 2 copies standing
+    # (q70 covers the multiset form deliberately)
+    return o.subtract(l).orderBy("d")
 
 
 # ---------------------------------------------------------------------------

@@ -917,15 +917,20 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         )
         AND NOT EXISTS (
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-01-01'
         )
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
     doc="TPC-H Q22 shape (country-code grouping re-based on "
-    "c_nationkey — no c_phone in the fixtures): scalar AVG subquery "
-    "(computed once, broadcast as a literal-free cross join of one "
-    "row) + LEFT ANTI join against orders, then the nation rollup. "
-    "The anti join shuffles only custkeys, not full rows.",
+    "c_nationkey — no c_phone in the fixtures; dormancy re-based to "
+    "'no orders since 2000' because EVERY fixture customer has "
+    "lifetime orders, which made the original no-orders-ever form "
+    "vacuously empty): scalar AVG subquery (computed once, broadcast "
+    "as a literal-free cross join of one row) + LEFT ANTI join "
+    "against the recent-orders slice, then the nation rollup. The "
+    "anti join shuffles only custkeys, not full rows, and the date "
+    "filter pushes into the orders scan.",
 )
 def q113(spark: SparkSession, sf: str) -> DataFrame:
     cust = table(spark, sf, "customer").select(
@@ -935,11 +940,15 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg("c_acctbal").alias("avg_bal"))
     )
-    orders = table(spark, sf, "orders").select("o_custkey")
+    recent = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

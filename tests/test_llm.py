@@ -1033,6 +1033,8 @@ def test_gate_queries_are_not_vacuous(spark, sf_dir):
         "q172_source_overlap",
         "q147_zscore_outliers",
         "q148_iqr_outliers",
+        "q27_except",
+        "q113_tpch_q22_dormant_customers",
     ]
     if "sf0.001" not in sf_dir:
         # the 3-sigma detectors need enough minutes to spike; the
