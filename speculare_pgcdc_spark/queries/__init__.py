@@ -36,16 +36,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
+    # semantics/oracle changed in round 5 — must be re-attested first
+    "q27_except",
+    "q113_tpch_q22_dormant_customers",
+    "q146_triangle_count",
+    "q151_dominant_supplier",
+    "q172_source_overlap",
     # round-5 additions — no driver row yet
     "q143_segment_dedup",
     "q144_kl_source_drift",
     "q145_degree_distribution",
-    "q146_triangle_count",
     "q147_zscore_outliers",
     "q148_iqr_outliers",
     "q149_value_share",
     "q150_min_cost_supplier",
-    "q151_dominant_supplier",
     "q152_quality_rules",
     "q153_scd2_history",
     "q154_embedding_quantization",
@@ -66,7 +70,6 @@ SWEEP_FIRST = [
     "q169_decay_engagement",
     "q170_banded_percent_rank",
     "q171_table_profile",
-    "q172_source_overlap",
     "q173_salted_join",
     "q174_run_length_encoding",
     "q175_image_resize_standin",
@@ -90,7 +93,6 @@ SWEEP_FIRST = [
     "q110_tpch_q17_small_qty_revenue",
     "q111_tpch_q19_disjunctive_pred",
     "q112_tpch_q21_waiting_suppliers",
-    "q113_tpch_q22_dormant_customers",
     "q114_ewma",
     "q115_fuzzy_match",
     "q116_stats_aggregates",
