@@ -1369,14 +1369,14 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
                    AS uniq_x10000,
                CAST(n_words BETWEEN 20 AND 100000 AS BOOLEAN)
                    AS rule_length,
-               CAST(n_chars * 1.0 / n_words BETWEEN 3 AND 10 AS BOOLEAN)
+               CAST(n_chars * 1.0 / n_words BETWEEN 3 AND 4.5 AS BOOLEAN)
                    AS rule_word_len,
-               CAST(n_uniq * 1.0 / n_words >= 0.1 AS BOOLEAN)
+               CAST(n_uniq * 1.0 / n_words >= 0.4 AS BOOLEAN)
                    AS rule_uniq,
                CAST(has_stop = 1 AS BOOLEAN) AS rule_stopword,
                CAST(n_words BETWEEN 20 AND 100000
-                    AND n_chars * 1.0 / n_words BETWEEN 3 AND 10
-                    AND n_uniq * 1.0 / n_words >= 0.1
+                    AND n_chars * 1.0 / n_words BETWEEN 3 AND 4.5
+                    AND n_uniq * 1.0 / n_words >= 0.4
                     AND has_stop = 1 AS BOOLEAN) AS passes
         FROM stats
         ORDER BY doc_id
@@ -1406,8 +1406,11 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     mwl = F.col("n_chars") * 1.0 / F.col("n_words")
     uniq = F.col("n_uniq") * 1.0 / F.col("n_words")
     rule_length = F.col("n_words").between(20, 100000)
-    rule_word_len = mwl.between(3.0, 10.0)
-    rule_uniq = uniq >= 0.1
+    # bands tuned to DISCRIMINATE on this corpus (mwl spans 3.7-5.3,
+    # uniq 0.28-1.0): thresholds outside the observed range would make
+    # a rule constant-true — a flag the gate never exercises
+    rule_word_len = mwl.between(3.0, 4.5)
+    rule_uniq = uniq >= 0.4
     rule_stop = F.col("has_stop") == 1
     return stats.select(
         "doc_id",

@@ -1045,3 +1045,8 @@ def test_gate_queries_are_not_vacuous(spark, sf_dir):
         assert reg[name].fn(spark, sf_dir).count() > 0, name
     tri = reg["q146_triangle_count"].fn(spark, sf_dir).collect()[0]
     assert tri.triangles > 0 and tri.n_edges > 0
+    # every quality rule must discriminate (both truth values occur)
+    rules = reg["q152_quality_rules"].fn(spark, sf_dir)
+    for c in ("rule_length", "rule_word_len", "rule_uniq",
+              "rule_stopword", "passes"):
+        assert rules.select(c).distinct().count() == 2, c
