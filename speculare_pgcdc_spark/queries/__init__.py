@@ -80,6 +80,9 @@ SWEEP_FIRST = [
     "q180_ab_significance",
     "q181_seasonal_profile",
     "q182_windowed_funnel",
+    "q183_knn_accuracy",
+    "q184_lorenz_deciles",
+    "q185_mutual_information",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

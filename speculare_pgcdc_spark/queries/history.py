@@ -534,6 +534,87 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q184_lorenz_deciles",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DECIMAL(28,6)) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+            FROM per_cust
+        ),
+        by_decile AS (
+            -- cents as BIGINT: decimal // in DuckDB rounds the
+            -- intermediate quotient before flooring, so the ppm math
+            -- must stay in pure integer arithmetic
+            SELECT decile, COUNT(*) AS n, SUM(rev) AS rev,
+                   CAST(SUM(rev * 100) AS BIGINT) AS rev_c
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (SELECT SUM(rev_c) AS total_c FROM by_decile)
+        SELECT CAST(decile AS INTEGER) AS decile,
+               CAST(n AS BIGINT) AS n, rev,
+               CAST(SUM(rev_c * 1000000) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) // total_c AS BIGINT)
+                   AS cum_share_ppm
+        FROM by_decile CROSS JOIN tot
+        ORDER BY decile
+    """,
+    doc="Lorenz curve by revenue decile — the distributional "
+    "companion to q137's Gini scalar (the curve SHOWS the "
+    "concentration the coefficient summarizes): customers ranked by "
+    "exact decimal revenue under a total (rev, key) order, ntile "
+    "deciles, cumulative revenue share as integer ppm over the "
+    "10-row decile aggregate. The entity-grain ntile window is the "
+    "q137 shape; at extreme key cardinality the q170 banded-rank "
+    "rewrite replaces it — same output, no global window. Decimal "
+    "sums end-to-end; the only doubles are never compared.",
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    # raw DECIMAL revenue (not money_sum, whose display cast rounds
+    # through double): the ppm integer division needs exact decimals
+    per_cust = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(28,6)").alias("rev")
+        )
+    )
+    wd = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(wd))
+    by_decile = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("rev"),
+        F.sum(F.col("rev") * 100).cast("bigint").alias("rev_c"),
+    )
+    tot = by_decile.agg(F.sum("rev_c").alias("total_c"))
+    return (
+        by_decile.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share_ppm",
+            F.expr(
+                "sum(rev_c * 1000000) OVER (ORDER BY decile "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "DIV total_c"
+            ),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            "rev",
+            "cum_share_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "q181_seasonal_profile",
     oracle="""
         WITH hourly AS (

@@ -472,6 +472,176 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q183_knn_accuracy",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        probes AS (SELECT * FROM e WHERE vec_id < 20),
+        train AS (SELECT * FROM e WHERE vec_id >= 20),
+        scored AS (
+            SELECT p.vec_id, p.label AS true_label,
+                   t.label AS nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                       ORDER BY list_dot_product(p.v, t.v)
+                           / (sqrt(list_dot_product(p.v, p.v))
+                              * sqrt(list_dot_product(t.v, t.v))) DESC,
+                           t.vec_id) AS rk
+            FROM probes p CROSS JOIN train t
+        ),
+        votes AS (
+            SELECT vec_id, true_label, nlabel, COUNT(*) AS n
+            FROM scored WHERE rk <= 5
+            GROUP BY vec_id, true_label, nlabel
+        ),
+        top AS (
+            SELECT vec_id, true_label, nlabel AS predicted,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY n DESC, nlabel) AS vrk
+            FROM votes
+        )
+        SELECT vec_id, true_label, predicted,
+               CAST(true_label = predicted AS BOOLEAN) AS correct
+        FROM top WHERE vrk = 1
+        ORDER BY vec_id
+    """,
+    doc="kNN label prediction accuracy — the labeled-embedding "
+    "evaluation that closes the eval suite (q178's silhouette "
+    "measures geometry; this measures whether geometry predicts "
+    "LABELS): each probe takes its 5 nearest train vectors by exact "
+    "cosine (total (cosine desc, id) order — deterministic under "
+    "ties), majority vote with a (count desc, label) tie-break. The "
+    "probe set is bounded so the exact cross join is probes x train "
+    "— the verification-sized twin of the q43 top-k, whose ANN "
+    "variants (q53/q71/q126) are the scale path for large probe "
+    "sets. Identical IEEE cosines both engines; even the vote is "
+    "integer.",
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        sim._norm(F.col("embedding")).alias("nrm"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("true_label"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pn"),
+        )
+    )
+    train = e.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+    )
+    cos = sim._dot(F.col("pv"), F.col("tv")) / (
+        F.col("pn") * F.col("tn")
+    )
+    rk = W.partitionBy("pid").orderBy(F.col("_cos").desc(), "tid")
+    scored = (
+        probes.crossJoin(train)
+        .withColumn("_cos", cos)
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 5)
+    )
+    votes = scored.groupBy("pid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    vrk = W.partitionBy("pid").orderBy(F.col("n").desc(), "nlabel")
+    return (
+        votes.withColumn("vrk", F.row_number().over(vrk))
+        .filter(F.col("vrk") == 1)
+        .select(
+            F.col("pid").alias("vec_id"),
+            "true_label",
+            F.col("nlabel").alias("predicted"),
+            (F.col("true_label") == F.col("nlabel")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q185_mutual_information",
+    oracle="""
+        WITH joint AS (
+            SELECT event_type AS t,
+                   CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+                   COUNT(*) AS c
+            FROM events GROUP BY t, h
+        ),
+        mt AS (SELECT t, SUM(c) AS ct FROM joint GROUP BY t),
+        mh AS (SELECT h, SUM(c) AS ch FROM joint GROUP BY h),
+        tot AS (SELECT SUM(c) AS n FROM joint)
+        SELECT CAST(tot.n AS BIGINT) AS n,
+               CAST(ROUND(CAST(SUM(CAST(
+                   (c * 1.0 / n) * ln((c * 1.0 / n)
+                       / ((ct * 1.0 / n) * (ch * 1.0 / n)))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS mutual_info
+        FROM joint
+        JOIN mt ON joint.t = mt.t
+        JOIN mh ON joint.h = mh.h
+        CROSS JOIN tot
+        GROUP BY tot.n
+    """,
+    doc="Mutual information I(event_type; hour-of-day) — the "
+    "dependence measure between two categorical columns (feature "
+    "selection, drift detection between a label and a covariate; "
+    "near zero here because the synthetic stream is "
+    "time-homogeneous, which is itself the finding). One joint "
+    "(t, h) agg feeds both marginals; probabilities are exact "
+    "integer ratios so the p*ln terms are identical doubles, summed "
+    "in DECIMAL (the q136/q144 contract). Output is a single row — "
+    "at any scale only the types x 24 joint table exists after the "
+    "first aggregation.",
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    joint = (
+        table(spark, sf, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.hour("ts").cast("int").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joint = joint.localCheckpoint(eager=True)
+    mt = joint.groupBy("t").agg(F.sum("c").alias("ct"))
+    mh = joint.groupBy("h").agg(F.sum("c").alias("ch"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    p_th = F.col("c") * 1.0 / F.col("n")
+    term = (
+        p_th
+        * F.log(
+            p_th
+            / (
+                (F.col("ct") * 1.0 / F.col("n"))
+                * (F.col("ch") * 1.0 / F.col("n"))
+            )
+        )
+    ).cast("decimal(28,12)")
+    return (
+        joint.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mh), "h")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6)
+            .cast("double").alias("mutual_info")
+        )
+        .select(F.col("n").cast("bigint").alias("n"), "mutual_info")
+    )
+
+
+@register(
     "q175_image_resize_standin",
     oracle="""
         -- stand-in pixel path: truncate/pad the payload to w*h bytes.
