@@ -87,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     runp.add_argument("--limit", type=int, default=20)
     runp.add_argument(
         "--explain", action="store_true",
-        help="print the formatted physical plan instead of rows",
+        help="print the formatted physical plan instead of rows "
+        "(note: layout/interchange queries still execute their "
+        "build-time writes and eager checkpoints — --explain skips "
+        "only the final action)",
     )
 
     servep = sub.add_parser(

@@ -220,8 +220,8 @@ def salted_join(
     """Skew-proof equi-join: the hot-key remedy for a join whose key
     distribution concentrates on few values (the join-side complement
     of salted_agg). The BIG side gets a content-derived salt (hashing
-    `salt_on` — a high-cardinality column, default the key itself
-    plus nothing — see note), the SMALL side is replicated once per
+    `salt_on` when given, else the whole row — see note), the
+    SMALL side is replicated once per
     bucket, and the join runs on (key, salt): each hot key's rows
     spread over `salt_buckets` reducers instead of one straggler.
 

@@ -1056,6 +1056,11 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("y").alias("y"))
     )
     pts = pts.withColumn("b", F.expr(f"x DIV {SKYLINE_BIN}"))
+    # pin the distinct-x grain: bins and the join-back are two
+    # consumers, and the shared subtree (documents scan + tokenize +
+    # per-x agg) is the dominant cost — without the checkpoint it
+    # would execute twice (no cross-DAG CSE in Spark)
+    pts = pts.localCheckpoint(eager=True)
     bins = pts.groupBy("b").agg(F.max("y").alias("bmax"))
     w_bins = Window.orderBy(F.col("b").desc()).rowsBetween(
         Window.unboundedPreceding, -1

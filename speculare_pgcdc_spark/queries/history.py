@@ -548,19 +548,22 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
             FROM per_cust
         ),
         by_decile AS (
-            -- cents as BIGINT: decimal // in DuckDB rounds the
-            -- intermediate quotient before flooring, so the ppm math
-            -- must stay in pure integer arithmetic
+            -- whole-DOLLAR BIGINT units (FLOOR, not CAST — DuckDB
+            -- casts decimal->int by rounding, Spark by truncation):
+            -- the ppm math must stay pure integer (decimal // in
+            -- DuckDB rounds its intermediate quotient), and dollar
+            -- grain keeps total*1e6 inside int64 past SF 1000 where
+            -- cents would overflow around SF 0.4
             SELECT decile, COUNT(*) AS n, SUM(rev) AS rev,
-                   CAST(SUM(rev * 100) AS BIGINT) AS rev_c
+                   CAST(SUM(FLOOR(rev)) AS BIGINT) AS rev_u
             FROM ranked GROUP BY decile
         ),
-        tot AS (SELECT SUM(rev_c) AS total_c FROM by_decile)
+        tot AS (SELECT SUM(rev_u) AS total_u FROM by_decile)
         SELECT CAST(decile AS INTEGER) AS decile,
                CAST(n AS BIGINT) AS n, rev,
-               CAST(SUM(rev_c * 1000000) OVER (ORDER BY decile
+               CAST(SUM(rev_u * 1000000) OVER (ORDER BY decile
                         ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) // total_c AS BIGINT)
+                             AND CURRENT ROW) // total_u AS BIGINT)
                    AS cum_share_ppm
         FROM by_decile CROSS JOIN tot
         ORDER BY decile
@@ -591,17 +594,21 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("rev"),
-        F.sum(F.col("rev") * 100).cast("bigint").alias("rev_c"),
+        F.sum(F.floor("rev")).cast("bigint").alias("rev_u"),
     )
-    tot = by_decile.agg(F.sum("rev_c").alias("total_c"))
+    # pin the 10-row aggregate: tot and the crossJoin are two
+    # consumers, and without the checkpoint the per-customer agg plus
+    # the ntile window would execute twice
+    by_decile = by_decile.localCheckpoint(eager=True)
+    tot = by_decile.agg(F.sum("rev_u").alias("total_u"))
     return (
         by_decile.crossJoin(F.broadcast(tot))
         .withColumn(
             "cum_share_ppm",
             F.expr(
-                "sum(rev_c * 1000000) OVER (ORDER BY decile "
+                "sum(rev_u * 1000000) OVER (ORDER BY decile "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                "DIV total_c"
+                "DIV total_u"
             ),
         )
         .select(

@@ -427,6 +427,10 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
             F.col("xf").cast("double").alias("x"),
         )
     )
+    # pin the exploded (vec, dim) frame: the centroid agg and the
+    # distance join both consume it — without the checkpoint the
+    # scan + posexplode (the widest intermediate) runs twice
+    e = e.localCheckpoint(eager=True)
     cents = e.groupBy(
         F.col("label").alias("clabel"), "pos"
     ).agg(

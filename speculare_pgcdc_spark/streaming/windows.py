@@ -305,9 +305,6 @@ def scd2_current(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
-_CUSUM_OUT_SCHEMA = (
-    "event_type string, s_stat double, c double, n bigint, alarm boolean"
-)
 _CUSUM_STATE_SCHEMA = "c double, minc double, n bigint, alarmed boolean"
 
 
@@ -336,6 +333,15 @@ def streaming_cusum(
     Stream == Python-fold parity is pinned in tests/test_streaming.py.
     """
 
+    # output schema follows the ACTUAL key column (name + type) — a
+    # hardcoded "event_type string" would mislabel or fail Arrow
+    # conversion for any other key_col
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, s_stat double, c double,"
+        " n bigint, alarm boolean"
+    )
+
     def update(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
@@ -345,8 +351,17 @@ def streaming_cusum(
             c, minc, n, alarmed = state.get
         else:
             c, minc, n, alarmed = 0.0, 0.0, 0, False
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts", "event_id"])
+        # concat BEFORE sorting: a key's microbatch arrives as Arrow
+        # chunks (maxRecordsPerBatch); the running min / alarm latch
+        # are order-SENSITIVE, so per-chunk sorting would fold a
+        # >10k-event batch in the wrong order
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks) if len(chunks) > 1
+            else (chunks[0] if chunks else pd.DataFrame())
+        )
+        if len(batch):
+            ordered = batch.sort_values(["ts", "event_id"])
             for v in ordered[value_col]:
                 c += float(v) - target
                 minc = min(minc, c)
@@ -359,7 +374,7 @@ def streaming_cusum(
         s = c - minc
         yield pd.DataFrame(
             {
-                "event_type": [key[0]],
+                key_col: [key[0]],
                 "s_stat": [round(s, 10)],
                 "c": [round(c, 10)],
                 "n": [n],
@@ -369,7 +384,7 @@ def streaming_cusum(
 
     return events.groupBy(F.col(key_col)).applyInPandasWithState(
         update,
-        outputStructType=_CUSUM_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
