@@ -83,6 +83,8 @@ SWEEP_FIRST = [
     "q183_knn_accuracy",
     "q184_lorenz_deciles",
     "q185_mutual_information",
+    "q186_dup_cluster_sizes",
+    "q187_zipf_regression",
     # round-4 additions — no driver row yet
     "q101_tpch_q4_order_priority",
     "q102_tpch_q6_forecast_revenue",

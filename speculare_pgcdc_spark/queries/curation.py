@@ -1346,6 +1346,167 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q186_dup_cluster_sizes",
+    oracle="""
+        WITH segs AS (
+            SELECT md5(array_to_string(
+                       arr[t.g * 16 + 1 : t.g * 16 + 16], ' ')) AS fp
+            FROM (
+                SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                                   x -> x <> '') AS arr
+                FROM documents
+            ),
+            LATERAL (
+                SELECT unnest(range(0,
+                    CAST(ceil(len(arr) / 16.0) AS BIGINT))) AS g
+            ) t
+            WHERE len(arr) > 0
+        ),
+        groups AS (
+            SELECT fp, COUNT(*) AS sz FROM segs GROUP BY fp
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_segments,
+               CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+        FROM groups
+        GROUP BY sz
+        ORDER BY sz
+    """,
+    doc="Duplicate-cluster size distribution at the segment grain — "
+    "the dedup IMPACT report (how much mass keep-first removal "
+    "(q143) will strip, and whether duplication is many small pairs "
+    "or a few giant clusters — which decides LSH band tuning and "
+    "whether connected components are even needed). One fingerprint "
+    "agg then a size-histogram agg; output bounded by max cluster "
+    "size. n_removable = sum(size-1) is exactly q143's drop count, "
+    "tying the report to the operator it plans for.",
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = (
+        table(spark, sf, "documents")
+        .select(arr.alias("arr"))
+        .filter(F.size("arr") > 0)
+    )
+    segs = base.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+            )
+        ).alias("g"),
+        F.col("arr"),
+    ).select(
+        F.md5(
+            F.array_join(
+                F.slice(F.col("arr"), (F.col("g") * 16 + 1).cast("int"), 16),
+                " ",
+            )
+        ).alias("fp")
+    )
+    groups = segs.groupBy("fp").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        groups.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_segments"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_removable").cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "q187_zipf_regression",
+    oracle="""
+        WITH freqs AS (
+            SELECT t.tok, COUNT(*) AS f
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+            GROUP BY t.tok
+        ),
+        ranked AS (
+            SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+            FROM freqs
+        ),
+        pts AS (
+            SELECT ln(r) AS x, ln(f) AS y FROM ranked
+        ),
+        sums AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+                       AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(ROUND((n * sxy - sx * sy)
+                          / (n * sxx - sx * sx), 6) AS DOUBLE) AS slope,
+               CAST(ROUND((sy - (n * sxy - sx * sy)
+                          / (n * sxx - sx * sx) * sx) / n, 6) AS DOUBLE)
+                   AS intercept
+        FROM sums
+    """,
+    doc="OLS linear regression as a distributed aggregate, fitted to "
+    "the corpus's rank-frequency curve in log-log space (the Zipf "
+    "slope — natural text sits near -1; template spam and synthetic "
+    "corpora deviate, making this a corpus-health signal AND the "
+    "general closed-form regression shape: slope from the four "
+    "moment sums, all partial-aggregatable map-side). Ranks come "
+    "from one row_number over a total (freq desc, tok) order; the "
+    "ln terms are identical IEEE doubles in both engines and every "
+    "moment accumulates in DECIMAL. At 100 TB the global rank is the "
+    "only wide step — the q170 banded rewrite applies if the "
+    "vocabulary ever outgrows a window; the regression itself "
+    "reduces to one 4-number row.",
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    toks = _doc_tokens(
+        table(spark, sf, "documents").select("doc_id", "text")
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    pts = freqs.withColumn("r", F.row_number().over(w)).select(
+        F.log("r").alias("x"), F.log("f").alias("y")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).cast("double").alias("intercept"),
+    )
+
+
+@register(
     "q152_quality_rules",
     oracle="""
         WITH toks AS (
