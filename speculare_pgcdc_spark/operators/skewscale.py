@@ -241,12 +241,27 @@ def salted_join(
     from; by DEFAULT the salt hashes the WHOLE row (every big-side
     column), which spreads a hot key's rows as long as they differ
     anywhere. Hashing only the join key would give every row of a hot
-    key the SAME salt — zero mitigation — so that is never done."""
-    probe = (
-        [F.col(salt_on)]
-        if salt_on
-        else [F.col(c) for c in big.columns]
-    )
+    key the SAME salt — zero mitigation — so that is never done.
+    CAVEAT on the default: if a hot key's rows are IDENTICAL in every
+    probed column (low-entropy payloads), they all hash to one salt
+    and the skew survives — pass ``salt_on`` naming a per-row-unique
+    column (an id, an offset) when payloads can repeat. MAP-typed
+    columns are rejected up front (xxhash64 cannot hash maps; with
+    the whole-row default that would surface as a confusing
+    AnalysisException deep in the plan)."""
+    probe_cols = [salt_on] if salt_on else list(big.columns)
+    maps = [
+        f.name
+        for f in big.schema.fields
+        if f.name in probe_cols
+        and f.dataType.typeName() == "map"
+    ]
+    if maps:
+        raise ValueError(
+            f"salted_join cannot hash MAP-typed columns {maps}: "
+            "pass salt_on=<a non-map, per-row-unique column>"
+        )
+    probe = [F.col(c) for c in probe_cols]
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*probe), F.lit(salt_buckets))
     )

@@ -36,59 +36,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # semantics/oracle changed in round 5 — must be re-attested first
-    "q27_except",
-    "q113_tpch_q22_dormant_customers",
-    "q146_triangle_count",
+    # projections/plans changed in round 6 — must be re-attested first:
+    # q151/q176/q184 output-projection conformance (round->double),
+    # q130/q184/q187 banded-rank rewrites, q170 div-by-zero guard
     "q151_dominant_supplier",
-    "q172_source_overlap",
-    # round-5 additions — no driver row yet
-    "q143_segment_dedup",
-    "q144_kl_source_drift",
-    "q145_degree_distribution",
-    "q147_zscore_outliers",
-    "q148_iqr_outliers",
-    "q149_value_share",
-    "q150_min_cost_supplier",
-    "q152_quality_rules",
-    "q153_scd2_history",
-    "q154_embedding_quantization",
-    "q155_pmi_cooccurrence",
-    "q156_new_users_curve",
-    "q157_csv_roundtrip",
-    "q158_rolling_distinct_users",
-    "q159_compound_growth",
-    "q160_bucketed_join",
-    "q161_sequence_packing",
-    "q162_pps_systematic_sample",
-    "q163_pareto_frontier",
-    "q164_frame_sampling",
-    "q165_schema_evolution",
-    "q166_partition_pruning",
-    "q167_conversion_latency",
-    "q168_burst_detection",
-    "q169_decay_engagement",
-    "q170_banded_percent_rank",
-    "q171_table_profile",
-    "q173_salted_join",
-    "q174_run_length_encoding",
-    "q175_image_resize_standin",
     "q176_weighted_median",
-    "q177_cusum_changepoints",
-    "q178_silhouette",
-    "q179_orc_roundtrip",
-    "q180_ab_significance",
-    "q181_seasonal_profile",
-    "q182_windowed_funnel",
-    "q183_knn_accuracy",
     "q184_lorenz_deciles",
-    "q185_mutual_information",
-    "q186_dup_cluster_sizes",
+    "q130_rfm_segmentation",
     "q187_zipf_regression",
-    # round-4 additions — no driver row yet
-    "q101_tpch_q4_order_priority",
-    "q102_tpch_q6_forecast_revenue",
-    "q103_tpch_q7_volume_shipping",
+    "q170_banded_percent_rank",
+    # the round-4 slice the driver has NEVER sampled (no CORRECTNESS
+    # row in r1/r2/r3/r5) — CDC apply/IVM and the LLM-pipeline
+    # flagships first, then the TPC-H family, then the rest
+    "q96_cdc_apply",
+    "q97_cdc_incremental_matview",
+    "q100_heavy_hitters",
+    "q122_tfidf",
+    "q123_bigram_lm_score",
+    "q98_funnel",
+    "q99_retention_cohorts",
     "q104_tpch_q8_market_share",
     "q105_tpch_q9_product_profit",
     "q106_tpch_q13_custdist",
@@ -106,15 +72,12 @@ SWEEP_FIRST = [
     "q119_sequence_transitions",
     "q120_histogram",
     "q121_pagerank",
-    "q122_tfidf",
-    "q123_bigram_lm_score",
     "q124_market_basket",
     "q125_session_assignment",
     "q126_pq_ann",
     "q127_time_weighted_avg",
     "q128_ohlc_bars",
     "q129_grouping_sets",
-    "q130_rfm_segmentation",
     "q131_ratio_to_report",
     "q132_mad_robust_stats",
     "q133_topn_per_group",
@@ -127,15 +90,6 @@ SWEEP_FIRST = [
     "q140_winsorized_mean",
     "q141_ngram_novelty",
     "q142_effective_sources",
-    # new or newly-oracled since the r3 sweep — first driver row with
-    # an oracle attached happens this round
-    "q85_kmeans_clusters",
-    "q91_cluster_neardup",
-    "q96_cdc_apply",
-    "q97_cdc_incremental_matview",
-    "q98_funnel",
-    "q99_retention_cohorts",
-    "q100_heavy_hitters",
 ]
 
 

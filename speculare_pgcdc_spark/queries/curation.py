@@ -611,7 +611,13 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
                    COUNT(*) AS n_suppliers
             FROM per_pair GROUP BY l_partkey
         )
-        SELECT p.l_partkey, p.l_suppkey, p.qty, t.total_qty,
+        SELECT p.l_partkey, p.l_suppkey,
+               -- round->double on OUTPUT only (registry stability
+               -- convention, functions/money_sum): the driver's
+               -- canonicalizer renders raw DECIMAL columns engine-
+               -- dependently; the threshold math above stays decimal
+               CAST(ROUND(p.qty, 2) AS DOUBLE) AS qty,
+               CAST(ROUND(t.total_qty, 2) AS DOUBLE) AS total_qty,
                CAST(ROUND(CAST(p.qty AS DOUBLE)
                           / CAST(t.total_qty AS DOUBLE), 4) AS DOUBLE)
                    AS share
@@ -654,8 +660,9 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "l_partkey",
             "l_suppkey",
-            "qty",
-            "total_qty",
+            # round->double on output only; predicate math stays decimal
+            F.round("qty", 2).cast("double").alias("qty"),
+            F.round("total_qty", 2).cast("double").alias("total_qty"),
             F.round(
                 F.col("qty").cast("double")
                 / F.col("total_qty").cast("double"),
@@ -1470,22 +1477,34 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     "corpora deviate, making this a corpus-health signal AND the "
     "general closed-form regression shape: slope from the four "
     "moment sums, all partial-aggregatable map-side). Ranks come "
-    "from one row_number over a total (freq desc, tok) order; the "
-    "ln terms are identical IEEE doubles in both engines and every "
-    "moment accumulates in DECIMAL. At 100 TB the global rank is the "
-    "only wide step — the q170 banded rewrite applies if the "
-    "vocabulary ever outgrows a window; the regression itself "
-    "reduces to one 4-number row.",
+    "from the banded global rank over the total (freq desc, tok) "
+    "order (operators/rankband.py, binned by -f: distinct-frequency "
+    "cardinality is O(sqrt(corpus tokens)) under any Zipf-ish law, "
+    "so the only unpartitioned window runs over the tiny frequency-"
+    "grain aggregate — no vocabulary-grain sort); the ln terms are "
+    "identical IEEE doubles in both engines and every moment "
+    "accumulates in DECIMAL. The regression reduces to one 4-number "
+    "row; the oracle states the same rank with DuckDB's plain "
+    "ROW_NUMBER — correct as a spec, the plan shape this rewrite "
+    "avoids.",
 )
 def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.rankband import (
+        banded_row_number,
+    )
+
     toks = _doc_tokens(
         table(spark, sf, "documents").select("doc_id", "text")
     )
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy(F.col("f").desc(), "tok")
-    pts = freqs.withColumn("r", F.row_number().over(w)).select(
-        F.log("r").alias("x"), F.log("f").alias("y")
-    )
+    # bin = -f is monotone along the (f DESC, tok) order; in-bin rows
+    # share f, so the partitioned prefix window orders by tok alone
+    pts = banded_row_number(
+        freqs,
+        [F.col("f").desc(), F.col("tok")],
+        (-F.col("f")).cast("bigint"),
+        out="r",
+    ).select(F.log("r").alias("x"), F.log("f").alias("y"))
     dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")
     sums = pts.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1398,15 +1398,18 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="RFM segmentation (recency/frequency/monetary quartiles — the "
     "canonical customer-scoring rollup): one hash agg per customer, "
-    "then three ntile(4) windows. The windows are global (quartiles "
-    "are a GLOBAL property) but run over the CUSTOMER aggregate, not "
-    "the fact table — at 100 TB that frame is |customers|, and the "
-    "scale variant replaces ntile with fixed quantile cut-points from "
-    "approx_percentile (one pass, no global sort). Monetary sums ride "
-    "decimal; every ntile order key is totalized by c_custkey.",
+    "then three EXACT quartile assignments via the banded global rank "
+    "(operators/rankband.py — the q170 rewrite): each metric's "
+    "strictly-before count assembles from a cumsum over a tiny "
+    "bin-grain aggregate plus an in-bin PARTITIONED prefix window, so "
+    "no data-grain single-partition sort exists anywhere in the plan "
+    "even though quartiles are a global property. ntile(4) is then "
+    "integer arithmetic on (row_number, n) — bit-identical to the "
+    "oracle's NTILE spec. Monetary sums ride decimal; every order key "
+    "is totalized by o_custkey.",
 )
 def q130(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from speculare_pgcdc_spark.operators.rankband import banded_ntile
 
     base = (
         table(spark, sf, "orders")
@@ -1418,17 +1421,34 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
                 "monetary"
             ),
         )
+        # three banded-rank consumers share one customer aggregate
+        .localCheckpoint(eager=True)
     )
-    nt = lambda col: F.ntile(4).over(  # noqa: E731
-        Window.orderBy(F.col(col), F.col("o_custkey"))
-    ).cast("bigint")
+
+    def buckets(metric: str, bin_expr, name: str) -> DataFrame:
+        return banded_ntile(
+            base.select("o_custkey", metric),
+            [F.col(metric), F.col("o_custkey")],
+            bin_expr,
+            4,
+            out=name,
+        ).select("o_custkey", name)
+
+    r = buckets(
+        "last_order",
+        (F.year("last_order") * 12 + F.month("last_order"))
+        .cast("bigint"),
+        "r_bucket",
+    )
+    fb = buckets("freq", F.col("freq").cast("bigint"), "f_bucket")
+    m = buckets(
+        "monetary",
+        F.floor(F.col("monetary") / 10_000).cast("bigint"),
+        "m_bucket",
+    )
     return (
-        base.select(
-            "o_custkey",
-            nt("last_order").alias("r_bucket"),
-            nt("freq").alias("f_bucket"),
-            nt("monetary").alias("m_bucket"),
-        )
+        r.join(fb, "o_custkey")
+        .join(m, "o_custkey")
         .orderBy("o_custkey")
     )
 

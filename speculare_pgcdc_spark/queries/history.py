@@ -20,7 +20,9 @@ lake deployment needs:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -29,6 +31,20 @@ from pyspark.sql import functions as F
 from speculare_pgcdc_spark.catalog import table
 from speculare_pgcdc_spark.functions import money_sum, oracle_money_sum
 from speculare_pgcdc_spark.queries import register
+
+#: per-pid scratch roots registered for atexit cleanup (the layout/
+#: interchange queries write real files; a long-lived session must not
+#: leak one tree per run into the system tempdir)
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def _scratch(tag: str, sf: str) -> str:
+    """Per-pid, per-fixture scratch dir, removed at interpreter exit."""
+    root = os.path.join(tempfile.gettempdir(), f"{tag}_{os.getpid()}")
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, os.path.basename(os.path.normpath(sf)))
 
 
 @register(
@@ -241,18 +257,21 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     "(SCALING.md) is the same idea for range predicates.",
 )
 def q160(spark: SparkSession, sf: str) -> DataFrame:
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_bucket_demo_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf)),
+    loc = _scratch("spark_bucket_demo", sf)
+    # per-FIXTURE database name: LOCATION is fixed at first creation,
+    # so a shared name would silently write a second sf_dir's buckets
+    # under the first fixture's directory (round-5 advice finding)
+    db = "bucket_demo_" + (
+        os.path.basename(os.path.normpath(sf))
+        .replace(".", "_").replace("-", "_")
     )
     # explicit LOCATION: warehouse.dir is static config on a running
     # session, and the driver's cwd must never grow a spark-warehouse
     spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS bucket_demo LOCATION '{loc}'"
+        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'"
     )
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
-        tbl = f"bucket_demo.{name}_b"
+        tbl = f"{db}.{name}_b"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             table(spark, sf, name)
@@ -261,10 +280,10 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(tbl)
         )
-    orders_b = spark.table("bucket_demo.orders_b").select(
+    orders_b = spark.table(f"{db}.orders_b").select(
         "o_custkey", "o_totalprice"
     )
-    cust_b = spark.table("bucket_demo.customer_b").select(
+    cust_b = spark.table(f"{db}.customer_b").select(
         "c_custkey", "c_mktsegment"
     )
     # MERGE hint: at fixture scale Catalyst would broadcast the small
@@ -476,7 +495,10 @@ RANK_BIN = 10_000
         SELECT v, CAST(cnt AS BIGINT) AS cnt,
                CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
                         ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING), 0) * 1000000 // (n - 1)
+                             AND 1 PRECEDING), 0) * 1000000
+                    -- greatest(,1): a single-row input must yield
+                    -- ppm 0, not NULL (Spark) / div-by-zero (DuckDB)
+                    // greatest(n - 1, 1)
                     AS BIGINT) AS pr_ppm
         FROM g CROSS JOIN t
         ORDER BY v
@@ -526,7 +548,8 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
             "v",
             F.col("cnt").cast("bigint").alias("cnt"),
             F.expr(
-                "(below_bins + below_in_bin) * 1000000 DIV (n - 1)"
+                "(below_bins + below_in_bin) * 1000000 "
+                "DIV greatest(n - 1, 1)"
             ).cast("bigint").alias("pr_ppm"),
         )
         .orderBy("v")
@@ -560,7 +583,10 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
         ),
         tot AS (SELECT SUM(rev_u) AS total_u FROM by_decile)
         SELECT CAST(decile AS INTEGER) AS decile,
-               CAST(n AS BIGINT) AS n, rev,
+               CAST(n AS BIGINT) AS n,
+               -- round->double on OUTPUT only (registry stability
+               -- convention); the ppm math stays integer/decimal
+               CAST(ROUND(rev, 2) AS DOUBLE) AS rev,
                CAST(SUM(rev_u * 1000000) OVER (ORDER BY decile
                         ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) // total_u AS BIGINT)
@@ -571,14 +597,17 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     doc="Lorenz curve by revenue decile — the distributional "
     "companion to q137's Gini scalar (the curve SHOWS the "
     "concentration the coefficient summarizes): customers ranked by "
-    "exact decimal revenue under a total (rev, key) order, ntile "
-    "deciles, cumulative revenue share as integer ppm over the "
-    "10-row decile aggregate. The entity-grain ntile window is the "
-    "q137 shape; at extreme key cardinality the q170 banded-rank "
-    "rewrite replaces it — same output, no global window. Decimal "
-    "sums end-to-end; the only doubles are never compared.",
+    "exact decimal revenue under a total (rev, key) order, decile "
+    "assignment via the banded global rank (operators/rankband.py — "
+    "no entity-grain single-partition window; the oracle's NTILE is "
+    "the spec, the banded integer arithmetic is the plan), "
+    "cumulative revenue share as integer ppm over the 10-row decile "
+    "aggregate. Decimal sums end-to-end; output money renders "
+    "round->double per the registry convention.",
 )
 def q184(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.rankband import banded_ntile
+
     # raw DECIMAL revenue (not money_sum, whose display cast rounds
     # through double): the ppm integer division needs exact decimals
     per_cust = (
@@ -589,8 +618,13 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
             .cast("decimal(28,6)").alias("rev")
         )
     )
-    wd = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.withColumn("decile", F.ntile(10).over(wd))
+    ranked = banded_ntile(
+        per_cust,
+        [F.col("rev"), F.col("o_custkey")],
+        F.floor(F.col("rev") / 10_000).cast("bigint"),
+        10,
+        out="decile",
+    )
     by_decile = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("rev"),
@@ -614,7 +648,8 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("decile").cast("int").alias("decile"),
             F.col("n").cast("bigint").alias("n"),
-            "rev",
+            # round->double on output only; ppm math stayed decimal
+            F.round("rev", 2).cast("double").alias("rev"),
             "cum_share_ppm",
         )
         .orderBy("decile")
@@ -882,11 +917,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     src = table(spark, sf, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_orc_roundtrip_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf)),
-    )
+    out = _scratch("spark_orc_roundtrip", sf)
     write_orc(src, out)
     return (
         read_orc(spark, out)
@@ -916,7 +947,12 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
                        PARTITION BY l_returnflag) AS total_w
             FROM lineitem
         )
-        SELECT l_returnflag, total_w,
+        SELECT l_returnflag,
+               -- round->double on OUTPUT only (registry stability
+               -- convention): the half-mass predicate above stays
+               -- DECIMAL-exact; raw decimal output columns render
+               -- engine-dependently in the driver's canonicalizer
+               CAST(ROUND(total_w, 2) AS DOUBLE) AS total_w,
                MIN(price) AS wmedian
         FROM w
         WHERE cumw * 2 >= total_w
@@ -959,6 +995,12 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         w.filter(F.col("cumw") * 2 >= F.col("total_w"))
         .groupBy("l_returnflag", "total_w")
         .agg(F.min("price").alias("wmedian"))
+        .select(
+            "l_returnflag",
+            # round->double on output only; half-mass test was decimal
+            F.round("total_w", 2).cast("double").alias("total_w"),
+            "wmedian",
+        )
         .orderBy("l_returnflag")
     )
 
@@ -1153,11 +1195,7 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     src = table(spark, sf, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_schema_evo_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf)),
-    )
+    out = _scratch("spark_schema_evo", sf)
     gen1 = src.filter(F.col("event_id") % 2 == 1)
     gen2 = src.filter(F.col("event_id") % 2 == 0).withColumn(
         "value_sq", F.col("value") * F.col("value")
@@ -1208,11 +1246,7 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     src = table(spark, sf, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_part_prune_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf)),
-    )
+    out = _scratch("spark_part_prune", sf)
     src.write.mode("overwrite").partitionBy("event_type").parquet(out)
     return (
         spark.read.parquet(out)
@@ -1251,11 +1285,7 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     src = table(spark, sf, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_csv_roundtrip_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf)),
-    )
+    out = _scratch("spark_csv_roundtrip", sf)
     src.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.option("header", True)

@@ -489,11 +489,19 @@ def run_sidecar_forever(
     port: int = 8080,
     certfile: Optional[str] = None,
     keyfile: Optional[str] = None,
+    watch_query=None,
+    watch_poll_sec: float = 5.0,
 ) -> None:
     """Blocking entry point: serve an Engine's subscriptions over WS
     (the `create_server` + `axum::serve` analog, server.rs:18-66).
     With ``certfile``/``keyfile`` the server speaks TLS (wss://) —
-    the CONFIG.https + key_cert/key_priv path (server.rs:45-58)."""
+    the CONFIG.https + key_cert/key_priv path (server.rs:45-58).
+
+    ``watch_query`` ties the server's lifetime to the CDC stream (the
+    reference's joined-task supervision, main.rs:73-86): when the
+    StreamingQuery dies — exception or plain stop — the sidecar shuts
+    down and this raises instead of silently serving a stale out_dir
+    forever."""
 
     async def main():
         sidecar = WsSidecar.for_engine(engine, out_dir)
@@ -508,6 +516,22 @@ def run_sidecar_forever(
             f"ws sidecar listening on {scheme}://{host}:{bound}"
             f"{sidecar.path}"
         )
-        await asyncio.Event().wait()
+        if watch_query is None:
+            await asyncio.Event().wait()
+        try:
+            while True:
+                await asyncio.sleep(watch_poll_sec)
+                exc = watch_query.exception()
+                if exc is not None:
+                    raise RuntimeError(
+                        f"CDC watch stream failed: {exc}"
+                    )
+                if not watch_query.isActive:
+                    raise RuntimeError(
+                        "CDC watch stream stopped; shutting down "
+                        "sidecar"
+                    )
+        finally:
+            await sidecar.stop()
 
     asyncio.run(main())

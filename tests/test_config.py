@@ -220,6 +220,7 @@ def test_cli_serve_wires_config_into_sidecar(spark, tmp_path, monkeypatch):
         raise SystemExit(0)  # stop before the blocking loop
 
     monkeypatch.setattr(ws, "run_sidecar_forever", fake_serve)
+    before = {q.id for q in spark.streams.active}
     try:
         main(
             [
@@ -232,8 +233,12 @@ def test_cli_serve_wires_config_into_sidecar(spark, tmp_path, monkeypatch):
         )
     except SystemExit:
         pass
-    # the watch stream was started; stop it so the session stays clean
+    # stop ONLY the stream this test started (the shared session may
+    # carry other tests' streams under intra-session concurrency)
     for q in spark.streams.active:
-        q.stop()
+        if q.id not in before:
+            q.stop()
     assert got["host"] == "127.0.0.1" and got["port"] == 9321
     assert got["out_dir"] == str(tmp_path / "out")
+    # serve must tie server lifetime to the watch stream it started
+    assert got["watch_query"] is not None

@@ -440,3 +440,103 @@ def test_segment_dedup_conservation(spark, sf_dir):
         if n_kept:
             assert kept_tokens > (n_kept - 1) * SEG - SEG, r.doc_id
     assert sum(r.n_dropped for r in first) > 0
+
+
+def test_banded_row_number_equals_window_row_number(spark):
+    """rankband.banded_row_number must equal Spark's own global
+    row_number on adversarial data: heavy value ties (broken by key),
+    negative values, bins with many rows, bins with one row."""
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.operators.rankband import (
+        banded_row_number,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(-50, 50) * 10)  # dense ties, negatives
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        (r.k, r.rn)
+        for r in banded_row_number(
+            df, [F.col("v"), F.col("k")], F.floor(F.col("v") / 70)
+        ).collect()
+    }
+    w = Window.orderBy("v", "k")
+    exp = {
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize("n,k", [(2000, 4), (2000, 10), (7, 10), (13, 4)])
+def test_banded_ntile_equals_window_ntile(spark, n, k):
+    """banded_ntile == NTILE(k) for n >> k, n < k (each row its own
+    bucket) and n % k != 0 (uneven bucket sizes)."""
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.operators.rankband import banded_ntile
+
+    rng = random.Random(n * 31 + k)
+    rows = [(i, rng.randrange(-40, 40) * 5) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        (r.k, r.bucket)
+        for r in banded_ntile(
+            df, [F.col("v"), F.col("k")], F.floor(F.col("v") / 55), k
+        ).collect()
+    }
+    w = Window.orderBy("v", "k")
+    exp = {
+        (r.k, r.bucket)
+        for r in df.withColumn(
+            "bucket", F.ntile(k).over(w).cast("bigint")
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_banded_row_number_desc_order(spark):
+    """Descending leading key (the q187 shape): bin = -v."""
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.operators.rankband import (
+        banded_row_number,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 30)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, f bigint")
+    got = {
+        (r.k, r.r)
+        for r in banded_row_number(
+            df,
+            [F.col("f").desc(), F.col("k")],
+            (-F.col("f")).cast("bigint"),
+            out="r",
+        ).collect()
+    }
+    w = Window.orderBy(F.col("f").desc(), "k")
+    exp = {
+        (r.k, r.r)
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_salted_join_rejects_map_columns(spark):
+    """xxhash64 can't hash MAP columns; the whole-row default must
+    fail fast with an actionable error, not a deep AnalysisException."""
+    from speculare_pgcdc_spark.operators.skewscale import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": 1})], "k bigint, m map<string,int>"
+    )
+    small = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="MAP-typed"):
+        salted_join(big, small, "k")
+    # naming a non-map salt column works
+    assert salted_join(big, small, "k", salt_on="k").count() == 1

@@ -365,18 +365,101 @@ def test_q129_grouping_sets_is_single_expand_pass(q):
     assert "Expand" in p
 
 
-def test_q130_ntile_windows_run_over_customer_aggregate(q):
-    # the quartile windows are global by definition, but they must sit
-    # ABOVE the per-customer aggregate (|customers| rows), never over
-    # the raw orders scan — the aggregate is the only scan consumer
-    p = plan_string(q("q130_rfm_segmentation"))
-    assert p.count("orders.parquet") == 1
-    agg_pos = p.find("HashAggregate")
-    win_pos = p.find("Window")
-    assert agg_pos != -1 and win_pos != -1
-    # physical plans print top-down: the window must appear ABOVE
-    # (before) the aggregate feeding it
-    assert win_pos < agg_pos
+def assert_banded_windows_only(p: str):
+    """The banded-rank contract (rankband.py; q80/q163/q170 family):
+    every UNPARTITIONED window in the plan must run over the
+    one-row-per-bin aggregate (its sort line carries the __bcnt /
+    bcnt / _bt bin-count column), never over data grain."""
+    import re
+
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines, "expected Window nodes in the plan"
+    for ln in lines:
+        spec_head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert spec_head, ln
+        if " ASC" in spec_head.group(1) or " DESC" in spec_head.group(1):
+            assert "bcnt" in ln or "_bt" in ln, (
+                f"global window over data grain: {ln.strip()}"
+            )
+
+
+def test_q130_quartiles_banded_no_data_grain_global_window(q):
+    # quartiles are a global property, but the plan must not contain a
+    # customer-grain single-partition window: all three metric ranks
+    # ride the banded rewrite (cumsum over the tiny bin aggregate +
+    # in-bin partitioned prefix windows)
+    assert_banded_windows_only(plan_string(q("q130_rfm_segmentation")))
+
+
+def test_q184_deciles_banded_no_data_grain_global_window(q):
+    # same contract for the Lorenz deciles: the only unpartitioned
+    # windows are the bin cumsum and the 10-row decile cum-share
+    import re
+
+    p = plan_string(q("q184_lorenz_deciles"))
+    for ln in (l for l in p.splitlines() if "Window [" in l):
+        head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert head, ln
+        if " ASC" in head.group(1) or " DESC" in head.group(1):
+            # allowed: the bin cumsum (bcnt) and the cum-share window
+            # ordered by decile — a 10-row post-aggregate frame
+            assert "bcnt" in ln or "decile#" in head.group(1), (
+                f"global window over data grain: {ln.strip()}"
+            )
+
+
+def test_q187_vocab_rank_banded_no_data_grain_global_window(q):
+    # the Zipf rank must come from the banded rewrite, not a
+    # vocabulary-grain row_number window
+    p = plan_string(q("q187_zipf_regression"))
+    assert "row_number" not in p
+    assert_banded_windows_only(p)
+
+
+def test_q122_tfidf_equi_joins_partitioned_rank_no_python(q):
+    # tf-idf must stay bounded hash aggs + token equi-joins; the
+    # top-3 cut is a doc_id-PARTITIONED rank (never a global window),
+    # the N broadcast never shuffles, and nothing crosses to Python
+    import re
+
+    df = q("q122_tfidf")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    assert "CartesianProduct" not in p
+    # the only nested-loop is the broadcast attach of the 1-row N
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    for ln in (l for l in p.splitlines() if "Window [" in l):
+        head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert head and "doc_id" in head.group(1), (
+            f"unpartitioned rank window: {ln.strip()}"
+        )
+
+
+def test_q123_bigram_lm_tokens_equi_join_no_python(q):
+    # the LM score joins ride token equi-keys; the only windows are
+    # per-doc lead() windows on the doc_id shuffle
+    import re
+
+    df = q("q123_bigram_lm_score")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for ln in (l for l in p.splitlines() if "Window [" in l):
+        head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert head and "doc_id" in head.group(1), (
+            f"unpartitioned window: {ln.strip()}"
+        )
+
+
+def test_q100_heavy_hitters_recount_is_broadcast_semi(q):
+    # the MG sketch is the ONLY Python (bounded Arrow mapInPandas);
+    # the exact recount must semi-join the corpus against a BROADCAST
+    # candidate set — the corpus never shuffles on the item key
+    p = plan_string(q("q100_heavy_hitters"))
+    assert "MapInPandas" in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_q131_share_window_single_shuffle_no_join(q):

@@ -635,3 +635,84 @@ def test_ws_signed_cookie_auth_end_to_end(spark, tmp_path):
             await sidecar.stop()
 
     asyncio.run(scenario())
+
+
+def test_run_sidecar_forever_dies_with_watch_stream(tmp_path):
+    """Supervision contract (main.rs:73-86 analog): a dead CDC watch
+    stream must take the sidecar down — never keep serving a stale
+    out_dir. Exercises both death modes: stream exception and plain
+    stop."""
+    import pytest
+
+    from speculare_pgcdc_spark.service.ws_sidecar import (
+        run_sidecar_forever,
+    )
+
+    class FakeEngine:
+        _subs: dict = {}
+
+        def subscribe(self, *a, **k):
+            return None
+
+        def unsubscribe(self, *a, **k):
+            return None
+
+    class DeadQuery:
+        isActive = False
+
+        def exception(self):
+            return None
+
+    class FailedQuery:
+        isActive = True
+
+        def exception(self):
+            return Exception("boom from executor")
+
+    with pytest.raises(RuntimeError, match="stopped"):
+        run_sidecar_forever(
+            FakeEngine(), str(tmp_path / "out"), port=0,
+            watch_query=DeadQuery(), watch_poll_sec=0.01,
+        )
+    with pytest.raises(RuntimeError, match="boom"):
+        run_sidecar_forever(
+            FakeEngine(), str(tmp_path / "out"), port=0,
+            watch_query=FailedQuery(), watch_poll_sec=0.01,
+        )
+
+
+def test_ws_ids_skip_restored_engine_registry(spark, tmp_path):
+    """Restart path (VERDICT r5 #8): a checkpoint-restored Engine
+    repopulates `_subs` BEFORE the sidecar starts; `for_engine`'s
+    allocator must skip those ids too — it reads `engine._subs` live,
+    so pre-populated entries survive a new WS connect/disconnect."""
+    from speculare_pgcdc_spark.engine import Engine
+
+    async def scenario():
+        eng = Engine(
+            spark, "/root/testdata/sf0.001", tables=["events_a"]
+        )
+        # simulate restore-from-checkpoint: registry rebuilt up front
+        eng.subscribe(1, "insert:events_a")
+        eng.subscribe(2, "insert:events_a:host_uuid.eq.host-a")
+        sidecar = WsSidecar.for_engine(
+            eng, str(tmp_path / "out"), poll_interval=0.01
+        )
+        port = await sidecar.start()
+        try:
+            reader, writer, status, _ = await _handshake(
+                port, "insert:events_a"
+            )
+            assert "101" in status
+            await asyncio.sleep(0.05)
+            assert sorted(eng._subs) == [1, 2, 3]
+            writer.write(_client_frame(0x8))
+            await writer.drain()
+            await asyncio.sleep(0.2)
+            # only the WS connection's id was removed on disconnect
+            assert sorted(eng._subs) == [1, 2]
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
