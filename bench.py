@@ -51,6 +51,10 @@ TIER2 = [
     "q143_segment_dedup",
     "q158_rolling_distinct_users",
     "q160_bucketed_join",
+    # round-6 corpus-ops: segment-grain leakage audit (the widest new
+    # shuffle) and the banded-rank RFM rewrite (3x banded ntile)
+    "q191_split_leakage",
+    "q130_rfm_segmentation",
 ]
 
 

@@ -36,6 +36,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
+    # round-6 additions — no driver row yet
+    "q188_train_split",
+    "q189_skew_profile",
+    "q190_embedding_dim_profile",
+    "q191_split_leakage",
+    "q192_compaction_plan",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q130/q184/q187 banded-rank rewrites, q170 div-by-zero guard
@@ -129,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
         extended,
         curation,
         history,
+        corpus,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -1,0 +1,461 @@
+"""Corpus-operations queries (round 6): split management, skew
+diagnostics, embedding-space profiling, and lake maintenance — the
+operational layer AROUND the curation pipeline (dedup/sampling/quality
+live in llm.py and curation.py; these are the ops a team runs to keep
+a 100 TB corpus trainable and a cluster healthy).
+
+Reference scope note: the reference engine (src/) is a CDC forwarder
+with no analytics; these rows extend SURVEY.md §2D with the
+training-data-pipeline surface the build brief names as first-class.
+
+- q188: deterministic stratified train/val/test split (md5-threshold,
+  the q89 reproducibility contract applied to split assignment);
+- q189: join-key skew profile — the diagnostic that DECIDES when
+  q173's salted join or AQE skew handling is needed;
+- q190: per-dimension embedding statistics (the q154 quantizer's and
+  q53/q126 ANN trainers' health check);
+- q191: cross-split exact-content leakage audit (the q87
+  contamination check applied to the q188 split);
+- q192: small-file compaction planner over a partitioned lake dir
+  (rows-only: file bytes are compression-dependent by contract).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.queries import register
+from speculare_pgcdc_spark.queries.history import _scratch
+
+#: 16-bit md5-prefix thresholds for the 80/10/10 split (65536 * 0.8,
+#: * 0.9 — the q89 convention: content-deterministic, engine-exact,
+#: restart/replay stable; rand(seed) depends on partitioning)
+SPLIT_TRAIN_MAX = 52429
+SPLIT_VAL_MAX = 58982
+
+
+def _hv16(col):
+    """First 16 bits of md5(col as string) as BIGINT 0..65535 —
+    bit-identical across engines (q89's sampling hash)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+
+
+def _split_col(hv):
+    return (
+        F.when(hv < SPLIT_TRAIN_MAX, "train")
+        .when(hv < SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+
+
+_ORACLE_SPLIT = f"""
+            CASE WHEN CAST(CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       AS BIGINT) < {SPLIT_TRAIN_MAX} THEN 'train'
+                 WHEN CAST(CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       AS BIGINT) < {SPLIT_VAL_MAX} THEN 'val'
+                 ELSE 'test' END
+"""
+
+
+@register(
+    "q188_train_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT source, {_ORACLE_SPLIT} AS split, n_chars
+            FROM documents
+        ),
+        agg AS (
+            SELECT source, split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM assigned GROUP BY source, split
+        ),
+        tot AS (
+            SELECT source, SUM(n_docs) AS src_docs FROM agg
+            GROUP BY source
+        )
+        SELECT a.source, a.split,
+               CAST(a.n_docs AS BIGINT) AS n_docs, a.chars,
+               CAST(a.n_docs * 1000000 // t.src_docs AS BIGINT)
+                   AS doc_share_ppm
+        FROM agg a JOIN tot t ON a.source = t.source
+        ORDER BY a.source, a.split
+    """,
+    doc="Deterministic stratified train/val/test split (80/10/10): "
+    "assignment is a pure column expression on the first 16 bits of "
+    "md5(doc_id) — content-deterministic (the q89 contract), so the "
+    "split is identical across engines, restarts, partitionings, and "
+    "speculative re-execution, and any doc's split is answerable "
+    "without a lookup table. Per-(source, split) doc/char counts with "
+    "integer-ppm within-source shares: one narrow map + one hash agg "
+    "+ a tiny per-source rollup joined back broadcast. At 100 TB the "
+    "assignment column is free at scan time; no shuffle is keyed on "
+    "anything skewed.",
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    hv = _hv16(F.col("doc_id"))
+    agg = (
+        table(spark, sf, "documents")
+        .select("source", _split_col(hv).alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+    agg = agg.localCheckpoint(eager=True)
+    tot = agg.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return (
+        agg.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "split",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "chars",
+            F.expr("n_docs * 1000000 DIV src_docs").cast("bigint")
+            .alias("doc_share_ppm"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "q189_skew_profile",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey, COUNT(*) AS cnt
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+                   MAX(cnt) AS max_cnt
+            FROM per_key
+        ),
+        tiers AS (
+            -- warm/hot = frequency above 1.5x / 2x the mean rows per
+            -- key; compares are integer cross-multiplied
+            -- (cnt/mean > 2 <=> cnt * n_keys > 2 * n_rows), no float
+            -- ratio in a predicate. Two tiers so the profile
+            -- discriminates at every fixture scale (the 2x tier is
+            -- legitimately empty on the smallest, near-uniform one).
+            SELECT SUM(CASE WHEN cnt * n_keys * 2 > 3 * n_rows
+                       THEN 1 ELSE 0 END) AS n_warm,
+                   SUM(CASE WHEN cnt * n_keys > 2 * n_rows
+                       THEN 1 ELSE 0 END) AS n_hot,
+                   COALESCE(SUM(CASE WHEN cnt * n_keys > 2 * n_rows
+                       THEN cnt ELSE 0 END), 0) AS hot_rows
+            FROM per_key CROSS JOIN tot
+        )
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(max_cnt AS BIGINT) AS max_cnt,
+               CAST(max_cnt * 1000000 // n_rows AS BIGINT)
+                   AS max_share_ppm,
+               CAST(n_warm AS BIGINT) AS n_warm,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(hot_rows * 1000000 // n_rows AS BIGINT)
+                   AS hot_rows_ppm
+        FROM tot CROSS JOIN tiers
+    """,
+    doc="Join-key skew profile — the measurement that DECIDES the "
+    "strategy question every big join at 100 TB poses (plain shuffle "
+    "vs q173 salting vs AQE skew split): per-key counts in one hash "
+    "agg, then a constant-size profile — key count, max key's rows "
+    "and ppm share, and warm/hot tiers (keys above 1.5x / 2x the "
+    "mean, integer cross-multiplied; no float ratio in a predicate). "
+    "Profiled over orders.o_custkey, the fixture's skewest real join "
+    "key. The per-key aggregate is the only corpus-sized shuffle; "
+    "everything downstream is broadcast-sized. Run it per join key "
+    "at ingest and the salting decision becomes data, not folklore.",
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    per_key = (
+        table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    warm = F.col("cnt") * F.col("n_keys") * 2 > 3 * F.col("n_rows")
+    hot = F.col("cnt") * F.col("n_keys") > 2 * F.col("n_rows")
+    tiers = per_key.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.when(warm, 1).otherwise(0)).alias("n_warm"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot"),
+        F.coalesce(
+            F.sum(F.when(hot, F.col("cnt")).otherwise(0)), F.lit(0)
+        ).alias("hot_rows"),
+    )
+    return tot.crossJoin(F.broadcast(tiers)).select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_cnt").cast("bigint").alias("max_cnt"),
+        F.expr("max_cnt * 1000000 DIV n_rows").cast("bigint")
+        .alias("max_share_ppm"),
+        F.col("n_warm").cast("bigint").alias("n_warm"),
+        F.col("n_hot").cast("bigint").alias("n_hot"),
+        F.expr("hot_rows * 1000000 DIV n_rows").cast("bigint")
+        .alias("hot_rows_ppm"),
+    )
+
+
+@register(
+    "q190_embedding_dim_profile",
+    oracle="""
+        WITH vals AS (
+            SELECT g.idx AS dim, CAST(g.v AS DOUBLE) AS v
+            FROM embeddings,
+                 LATERAL (
+                    SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS idx
+                 ) g
+        ),
+        sums AS (
+            SELECT dim, COUNT(*) AS n,
+                   CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sx,
+                   CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)
+                       AS sxx,
+                   MIN(v) AS lo, MAX(v) AS hi
+            FROM vals GROUP BY dim
+        )
+        SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+               CAST(ROUND(sx / n, 6) AS DOUBLE) AS mean,
+               CAST(ROUND(sqrt((sxx - sx * sx / n) / n), 6) AS DOUBLE)
+                   AS std,
+               CAST(ROUND(lo, 6) AS DOUBLE) AS lo,
+               CAST(ROUND(hi, 6) AS DOUBLE) AS hi
+        FROM sums ORDER BY dim
+    """,
+    doc="Per-dimension embedding statistics (mean/std/min/max over "
+    "every vector): the health check in FRONT of the vector stack — "
+    "q154's scalar quantizer assumes finite per-dim ranges, q53/q126 "
+    "k-means assumes no dead or runaway dimension, and drift here is "
+    "the earliest signal an embedding model changed under the corpus. "
+    "One posexplode + one 64-group agg — constant output regardless "
+    "of corpus size, fully partial-aggregatable map-side. Float32 "
+    "values widen to identical IEEE doubles in both engines; the "
+    "moment sums ride DECIMAL(38,12) (the q187 contract) so shuffle "
+    "order can't wiggle the doubles; population std from the moments.",
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    vals = (
+        table(spark, sf, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "v0"))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            F.col("v0").cast("double").alias("v"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast(  # noqa: E731
+        "double"
+    )
+    sums = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("v")).alias("sx"),
+        dec(F.col("v") * F.col("v")).alias("sxx"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    return sums.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sx") / F.col("n"), 6).cast("double")
+        .alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / F.col("n")
+            ),
+            6,
+        ).cast("double").alias("std"),
+        F.round("lo", 6).cast("double").alias("lo"),
+        F.round("hi", 6).cast("double").alias("hi"),
+    ).orderBy("dim")
+
+
+#: tokens per leakage segment — q143's SEG grain (the "line"
+#: granularity of RefinedWeb-style corpus dedup)
+LEAK_SEG = 16
+
+
+@register(
+    "q191_split_leakage",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        segs AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       arr[g * {LEAK_SEG} + 1 :
+                           g * {LEAK_SEG} + {LEAK_SEG}], ' ')) AS fp
+            FROM t,
+                 LATERAL (
+                    SELECT unnest(generate_series(0,
+                        CAST(ceil(len(arr) / {LEAK_SEG}.0) AS BIGINT)
+                        - 1)) AS g
+                 ) u
+            WHERE len(arr) > 0
+        ),
+        assigned AS (
+            SELECT fp, {_ORACLE_SPLIT} AS split FROM segs
+        ),
+        per_fp AS (
+            SELECT fp, COUNT(DISTINCT split) AS n_splits,
+                   COUNT(*) AS n_occ
+            FROM assigned GROUP BY fp
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+               CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaked,
+               CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS leaked_ppm,
+               CAST(SUM(CASE WHEN n_splits > 1 THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS leaked_occurrences
+        FROM per_fp
+    """,
+    doc="Cross-split leakage audit at the 16-token SEGMENT grain "
+    "(q143's dedup granularity): segment fingerprints that occur in "
+    "MORE than one q188 split — the eval-integrity failure a split "
+    "on doc_id cannot see when near-duplicate content spans "
+    "documents (split by doc id, leak by content; the fixture's "
+    "repeated cross-doc segments make every count non-vacuous at "
+    "every scale). Contract companion to q87's n-gram eval "
+    "contamination: q87 guards the eval SET, this guards the split "
+    "boundary itself. Segmentation is the q143 pipeline (filter-"
+    "split + index slices); one fingerprint-grain agg whose keys are "
+    "content hashes — uniform by construction — then a constant-size "
+    "rollup. The standing fix is segment dedup (q143) BEFORE "
+    "splitting, and this query is the audit that proves it happened.",
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", arr.alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("arr") / float(LEAK_SEG)).cast("bigint")
+                - 1,
+            )
+        ).alias("g"),
+        F.col("arr"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("arr"),
+                    (F.col("g") * LEAK_SEG + 1).cast("int"),
+                    LEAK_SEG,
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    hv = _hv16(F.col("doc_id"))
+    assigned = segs.select("fp", _split_col(hv).alias("split"))
+    per_fp = assigned.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    leaked = F.when(F.col("n_splits") > 1, 1).otherwise(0)
+    return per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.sum(leaked).cast("bigint").alias("n_leaked"),
+        F.expr(
+            "sum(case when n_splits > 1 then 1 else 0 end) "
+            "* 1000000 DIV count(1)"
+        ).cast("bigint").alias("leaked_ppm"),
+        F.sum(
+            F.when(F.col("n_splits") > 1, F.col("n_occ")).otherwise(0)
+        ).cast("bigint").alias("leaked_occurrences"),
+    )
+
+
+#: compaction target bytes per output file (the planner's knob; real
+#: lakes use 128 MB-1 GB — the fixture files are tiny, so the demo
+#: target is small enough that the plan is non-trivial)
+COMPACTION_TARGET_BYTES = 64 * 1024
+
+
+@register(
+    "q192_compaction_plan",
+    oracle=None,  # file sizes are compression/layout-dependent by
+    # contract — rows-only; the plan invariants are pinned in
+    # tests/test_operators_random.py
+    doc="Small-file compaction planner — the lake-maintenance pass "
+    "that keeps a partitioned table scannable (a 100 TB table that "
+    "accretes one file per micro-batch per partition dies of file-"
+    "listing and scheduler overhead long before it dies of bytes): "
+    "write events partitioned by event_type, list the resulting "
+    "layout, and emit per-partition (n_files, bytes, target_files, "
+    "merge_needed) against a target file size. The listing is driver-"
+    "side here (a local-FS stand-in for the catalog/manifest listing "
+    "a lake format provides); the output is partition-grain — "
+    "bounded by partition count, never by data. The REWRITE the plan "
+    "prescribes is a per-partition repartition(target_files) write — "
+    "exactly q166's layout machinery.",
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    out = _scratch("spark_compaction_plan", sf)
+    (
+        table(spark, sf, "events")
+        .select("event_id", "event_type", "value")
+        # many small files per partition: the pathological layout the
+        # planner exists to detect (repartition before the write so
+        # every partition dir gets multiple files)
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    rows = []
+    for name in sorted(os.listdir(out)):
+        pdir = os.path.join(out, name)
+        if not (os.path.isdir(pdir) and name.startswith("event_type=")):
+            continue
+        files = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        nbytes = sum(os.path.getsize(f) for f in files)
+        target = max(1, math.ceil(nbytes / COMPACTION_TARGET_BYTES))
+        rows.append(
+            (
+                name.split("=", 1)[1],
+                len(files),
+                nbytes,
+                target,
+                len(files) > target,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "partition string, n_files int, bytes bigint, "
+        "target_files int, merge_needed boolean",
+    ).orderBy("partition")

@@ -540,3 +540,76 @@ def test_salted_join_rejects_map_columns(spark):
         salted_join(big, small, "k")
     # naming a non-map salt column works
     assert salted_join(big, small, "k", salt_on="k").count() == 1
+
+
+def test_q188_split_deterministic_and_complete(spark, sf_dir):
+    """The stratified split must (a) cover every document exactly once
+    and (b) be bit-identical across runs/partitionings (md5-threshold
+    assignment, not rand)."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    fn = load_all()["q188_train_split"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b
+    n_docs = sum(r.n_docs for r in a)
+    exp = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert n_docs == exp
+    # all three splits materialize somewhere in the corpus
+    assert {r.split for r in a} == {"train", "val", "test"}
+
+
+def test_q189_skew_profile_non_vacuous_tiers(spark, sf_dir):
+    """The warm tier (1.5x mean) must be non-empty at every fixture
+    scale — a gate that matches zero rows proves nothing (round-3
+    lesson); the 2x hot tier is allowed empty only at sf0.001."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    r = load_all()["q189_skew_profile"].fn(spark, sf_dir).collect()[0]
+    assert r.n_warm > 0
+    assert r.max_share_ppm > 1_000_000 // r.n_keys  # above fair share
+    if "sf0.001" not in sf_dir:
+        assert r.n_hot > 0 and r.hot_rows_ppm > 0
+
+
+def test_q191_split_leakage_non_vacuous(spark, sf_dir):
+    """The fixture's repeated cross-doc segments must register as
+    leakage at every scale — and every leaked fingerprint implies at
+    least two occurrences."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    r = load_all()["q191_split_leakage"].fn(spark, sf_dir).collect()[0]
+    assert r.n_leaked > 0
+    assert r.leaked_occurrences >= 2 * r.n_leaked
+    assert 0 < r.leaked_ppm < 1_000_000
+
+
+def test_q192_compaction_plan_invariants(spark, sf_dir):
+    """Planner invariants: every event_type partition appears, file
+    counts/bytes are positive, target_files = ceil(bytes/target), and
+    the deliberately fragmented layout needs merging somewhere."""
+    import math as _math
+
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.queries.corpus import (
+        COMPACTION_TARGET_BYTES,
+    )
+
+    rows = load_all()["q192_compaction_plan"].fn(
+        spark, sf_dir
+    ).collect()
+    types = {
+        r.event_type
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type").distinct().collect()
+    }
+    assert {r.partition for r in rows} == types
+    for r in rows:
+        assert r.n_files > 0 and r.bytes > 0
+        assert r.target_files == max(
+            1, _math.ceil(r.bytes / COMPACTION_TARGET_BYTES)
+        )
+        assert r.merge_needed == (r.n_files > r.target_files)
+    assert any(r.merge_needed for r in rows)

@@ -719,3 +719,42 @@ def test_q182_window_rides_user_equi_join_not_theta(q):
     p = plan_string(q("q182_windowed_funnel"))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q188_split_assignment_is_scan_time_no_extra_shuffle(q):
+    # the split column must be a pure projection over the scan (no
+    # join, no window); the per-source rollup joins back broadcast
+    df = q("q188_train_split")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 1
+    assert "SortMergeJoin" not in p
+
+
+def test_q189_skew_profile_single_wide_stage(q):
+    # the per-key agg is the only corpus-sized shuffle; the profile
+    # and tier rollups ride broadcasts over the pinned key aggregate
+    df = q("q189_skew_profile")
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p
+    assert not has_python_eval(df)
+
+
+def test_q190_dim_profile_single_scan_single_agg(q):
+    df = q("q190_embedding_dim_profile")
+    p = plan_string(df)
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p
+    assert not has_python_eval(df)
+    # the scan reads only the embedding column
+    schemas = read_schemas(df)
+    assert schemas and schemas[0] == {"embedding"}
+
+
+def test_q191_leakage_no_window_no_join(q):
+    # segment fingerprint agg + constant rollup: no windows (q143's
+    # occurrence window is NOT needed here), no join at all
+    df = q("q191_split_leakage")
+    p = plan_string(df)
+    assert "Window" not in p and "Join" not in p
+    assert not has_python_eval(df)
