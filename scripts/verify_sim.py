@@ -41,21 +41,15 @@ from speculare_pgcdc_spark.catalog import TABLES  # noqa: E402
 from tests.conftest import assert_oracle_match  # noqa: E402
 
 
-def sweep_one(spark, sf_dir: str) -> tuple[int, dict[str, dict]]:
-    """Run the full registry against one fixture dir; returns
-    (entry_rows, per-query {status, sec, err})."""
+def sweep_one(spark, sf_dir: str) -> dict[str, dict]:
+    """Run the full registry against one fixture dir; returns the
+    per-query {status, sec, err} map."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-
-    # the driver's smoke check: entry() runs and returns rows
-    flagship = entrymod.entry(spark)
-    n_entry = len(flagship.collect())
-    assert n_entry >= 0 and flagship.schema.fieldNames()
-    print(f"[{sf_dir}] entry() OK: {n_entry} rows", flush=True)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -86,7 +80,7 @@ def sweep_one(spark, sf_dir: str) -> tuple[int, dict[str, dict]]:
           f"fails={len(fails)} {fails}")
     print("slowest:", json.dumps({n: r["sec"] for n, r in slow}))
     con.close()
-    return n_entry, results
+    return results
 
 
 def _counts(results: dict[str, dict]) -> dict[str, int]:
@@ -115,12 +109,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the driver's smoke check: entry() runs and returns rows — once
+    # per process (entry() loads its own fixed fixture dir by contract)
+    flagship = entrymod.entry(spark)
+    n_entry = len(flagship.collect())
+    assert n_entry >= 0 and flagship.schema.fieldNames()
+    print(f"entry() OK: {n_entry} rows", flush=True)
+
     runs: dict[str, dict] = {}
     for sf_dir in sf_dirs:
         t0 = time.time()
-        n_entry, results = sweep_one(spark, sf_dir)
+        results = sweep_one(spark, sf_dir)
         runs[sf_dir] = {
-            "entry_rows": n_entry,
             "n_queries": len(results),
             "counts": _counts(results),
             "total_sec": round(time.time() - t0, 1),
@@ -128,18 +128,17 @@ def main() -> None:
         }
 
     if out_path:
-        # single-sf artifact keeps the historical flat layout (the
-        # judge diffs SWEEP_r{N}.json across rounds); multi-sf adds
-        # the per-scale matrix beside the primary (last) run
-        primary = runs[sf_dirs[-1]]
-        doc = {"sf_dir": sf_dirs[-1], **primary}
+        # flat layout for the primary (last) scale — the judge diffs
+        # SWEEP_r{N}.json across rounds — plus the OTHER scales under
+        # sf_matrix (the primary is not repeated there)
+        doc = {
+            "sf_dir": sf_dirs[-1],
+            "entry_rows": n_entry,
+            **runs[sf_dirs[-1]],
+        }
         if len(sf_dirs) > 1:
             doc["sf_matrix"] = {
-                d: {
-                    k: v
-                    for k, v in r.items()
-                }
-                for d, r in runs.items()
+                d: r for d, r in runs.items() if d != sf_dirs[-1]
             }
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)

@@ -62,10 +62,26 @@ def banded_row_number(
     its two consumers (bin aggregate + in-bin window) share one
     computation.
     """
+    _check_reserved(df)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)
     return _rank_binned(binned, order_cols, out)
+
+
+#: internal working columns — input frames must not collide with them
+#: (withColumn would silently overwrite, and the trailing drop would
+#: silently delete the caller's data)
+_RESERVED = ("__b", "__bcnt", "__below_bins", "__below_in", "__rn", "__n")
+
+
+def _check_reserved(df: DataFrame) -> None:
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"rankband reserves column names {list(_RESERVED)}; "
+            f"rename {clash} before calling"
+        )
 
 
 def _rank_binned(
@@ -117,6 +133,9 @@ def banded_ntile(
     ``base = 0`` branch (n < k) never divides because rows then always
     fall in the first-``rem`` branch.
     """
+    if k < 1:
+        raise ValueError(f"banded_ntile needs k >= 1, got {k}")
+    _check_reserved(df)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)

@@ -250,11 +250,23 @@ def salted_join(
     the whole-row default that would surface as a confusing
     AnalysisException deep in the plan)."""
     probe_cols = [salt_on] if salt_on else list(big.columns)
+
+    def _has_map(dt) -> bool:
+        # xxhash64 rejects MAP anywhere in the type tree (top-level,
+        # inside a struct field, inside an array element)
+        tn = dt.typeName()
+        if tn == "map":
+            return True
+        if tn == "struct":
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if tn == "array":
+            return _has_map(dt.elementType)
+        return False
+
     maps = [
         f.name
         for f in big.schema.fields
-        if f.name in probe_cols
-        and f.dataType.typeName() == "map"
+        if f.name in probe_cols and _has_map(f.dataType)
     ]
     if maps:
         raise ValueError(

@@ -42,9 +42,12 @@ SWEEP_FIRST = [
     "q190_embedding_dim_profile",
     "q191_split_leakage",
     "q192_compaction_plan",
+    "q193_join_size_estimate",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
-    # q130/q184/q187 banded-rank rewrites, q170 div-by-zero guard
+    # q150's floor-scaled e4 cost (double-ROUND half-tie found by the
+    # sf0.1 sweep), q130/q184/q187 banded-rank rewrites, q170 guard
+    "q150_min_cost_supplier",
     "q151_dominant_supplier",
     "q176_weighted_median",
     "q184_lorenz_deciles",

@@ -17,13 +17,16 @@ training-data-pipeline surface the build brief names as first-class.
 - q191: cross-split exact-content leakage audit (the q87
   contamination check applied to the q188 split);
 - q192: small-file compaction planner over a partitioned lake dir
-  (rows-only: file bytes are compression-dependent by contract).
+  (rows-only: file bytes are compression-dependent by contract);
+- q193: exact join-size prediction from per-key counts (the
+  self-join cost model next to q189's skew profile).
 """
 
 from __future__ import annotations
 
 import math
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -324,8 +327,11 @@ LEAK_SEG = 16
         SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
                CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_leaked,
+               -- greatest(,1): an empty corpus must yield ppm 0, not
+               -- a DuckDB div-by-zero / Spark NULL split (q170 lesson)
                CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
-                    * 1000000 // COUNT(*) AS BIGINT) AS leaked_ppm,
+                    * 1000000 // greatest(COUNT(*), 1) AS BIGINT)
+                   AS leaked_ppm,
                CAST(SUM(CASE WHEN n_splits > 1 THEN n_occ ELSE 0 END)
                     AS BIGINT) AS leaked_occurrences
         FROM per_fp
@@ -388,7 +394,7 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(leaked).cast("bigint").alias("n_leaked"),
         F.expr(
             "sum(case when n_splits > 1 then 1 else 0 end) "
-            "* 1000000 DIV count(1)"
+            "* 1000000 DIV greatest(count(1), 1)"
         ).cast("bigint").alias("leaked_ppm"),
         F.sum(
             F.when(F.col("n_splits") > 1, F.col("n_occ")).otherwise(0)
@@ -445,9 +451,14 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         ]
         nbytes = sum(os.path.getsize(f) for f in files)
         target = max(1, math.ceil(nbytes / COMPACTION_TARGET_BYTES))
+        # dir tokens are Hive URI-escaped ('a b' -> 'a%20b'); unquote
+        # so the plan's partition value matches the real column value
+        # (NULL partitions keep Spark's __HIVE_DEFAULT_PARTITION__
+        # sentinel — there is no in-band value to restore)
+        token = unquote(name.split("=", 1)[1])
         rows.append(
             (
-                name.split("=", 1)[1],
+                token,
                 len(files),
                 nbytes,
                 target,
@@ -459,3 +470,56 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         "partition string, n_files int, bytes bigint, "
         "target_files int, merge_needed boolean",
     ).orderBy("partition")
+
+
+@register(
+    "q193_join_size_estimate",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, COUNT(*) AS c
+            FROM events GROUP BY user_id
+        ),
+        est AS (
+            SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows,
+                   SUM(c * c) AS join_rows, MAX(c * c) AS max_key_pairs
+            FROM per_key
+        )
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(join_rows AS BIGINT) AS join_rows,
+               CAST(join_rows // greatest(n_rows, 1) AS BIGINT)
+                   AS amplification,
+               CAST(max_key_pairs * 1000000 // greatest(join_rows, 1)
+                    AS BIGINT) AS max_key_share_ppm
+        FROM est
+    """,
+    doc="Exact join-size prediction WITHOUT executing the join: "
+    "|A self-join on k| = sum over keys of c(k)^2, from the per-key "
+    "counts alone — the cost model to consult BEFORE paying a "
+    "self-join shuffle (near-dup candidate generation q42/q65, "
+    "sessionization, graph edge building are all self-joins, and "
+    "their blow-up is decided entirely by this sum). Companion to "
+    "q189: that profiles shuffle skew, this predicts output "
+    "cardinality — amplification (output rows per input row) and the "
+    "worst key's share of all pairs, integer-division exact. One "
+    "per-key agg + a constant-size rollup; generalizes to A JOIN B "
+    "as sum(cA * cB) over the shared keys by the same shape.",
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    per_key = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint")
+        .alias("join_rows"),
+        F.expr(
+            "sum(c * c) DIV greatest(sum(c), 1)"
+        ).cast("bigint").alias("amplification"),
+        F.expr(
+            "max(c * c) * 1000000 DIV greatest(sum(c * c), 1)"
+        ).cast("bigint").alias("max_key_share_ppm"),
+    )

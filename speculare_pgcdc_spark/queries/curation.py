@@ -539,7 +539,13 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
             FROM costs
         )
         SELECT p.p_partkey, b.l_suppkey AS s_suppkey, s.s_name, n.n_name,
-               CAST(ROUND(b.unit_cost, 4) AS DOUBLE) AS unit_cost
+               -- FLOOR-scaled integer, not ROUND(double, 4): the two
+               -- engines' double ROUND can split a .xxxx5 half-tie
+               -- (observed at sf0.1: 147.70135 -> 147.7013 vs
+               -- 147.7014); floor of identical IEEE doubles is
+               -- engine-stable (the q152 lesson)
+               CAST(FLOOR(b.unit_cost * 10000) AS BIGINT)
+                   AS unit_cost_e4
         FROM best b
         JOIN part p ON b.l_partkey = p.p_partkey
         JOIN supplier s ON b.l_suppkey = s.s_suppkey
@@ -555,7 +561,8 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     "parallelism. part/supplier/nation join AFTER the argmin, so the "
     "detail joins see one row per part; the p_size filter pushes "
     "into the part scan. IEEE division is order-independent and min "
-    "is exact, so the double compare is engine-stable.",
+    "is exact; the display cost is FLOOR-scaled e4 integer because "
+    "double ROUND half-ties split across engines (seen at sf0.1).",
 )
 def q150(spark: SparkSession, sf: str) -> DataFrame:
     costs = (
@@ -591,7 +598,10 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
             "n_name",
-            F.round("unit_cost", 4).cast("double").alias("unit_cost"),
+            # floor-scaled e4 integer: double ROUND half-ties are not
+            # engine-stable (q152 lesson; sf0.1 regression)
+            F.floor(F.col("unit_cost") * 10000).cast("bigint")
+            .alias("unit_cost_e4"),
         )
         .orderBy("p_partkey")
     )

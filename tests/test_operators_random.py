@@ -613,3 +613,31 @@ def test_q192_compaction_plan_invariants(spark, sf_dir):
         )
         assert r.merge_needed == (r.n_files > r.target_files)
     assert any(r.merge_needed for r in rows)
+
+
+def test_salted_join_rejects_nested_map_columns(spark):
+    """The MAP guard must see maps anywhere in the type tree — a map
+    inside a struct or array reaches xxhash64 just the same."""
+    from speculare_pgcdc_spark.operators.skewscale import salted_join
+
+    big = spark.createDataFrame(
+        [(1, ({"a": 1},))],
+        "k bigint, payload struct<attrs: map<string,int>>",
+    )
+    small = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    with pytest.raises(ValueError, match="MAP-typed"):
+        salted_join(big, small, "k")
+
+
+def test_rankband_rejects_reserved_columns_and_bad_k(spark):
+    from speculare_pgcdc_spark.operators.rankband import (
+        banded_ntile,
+        banded_row_number,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "v bigint, __b bigint")
+    with pytest.raises(ValueError, match="reserves column names"):
+        banded_row_number(df, [F.col("v")], F.col("v"))
+    ok = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError, match="k >= 1"):
+        banded_ntile(ok, [F.col("v")], F.col("v"), 0)
