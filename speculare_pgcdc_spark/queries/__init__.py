@@ -43,6 +43,9 @@ SWEEP_FIRST = [
     "q191_split_leakage",
     "q192_compaction_plan",
     "q193_join_size_estimate",
+    "q194_exact_global_median",
+    "q195_weighted_topk_sample",
+    "q196_table_checksum",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

@@ -19,7 +19,10 @@ training-data-pipeline surface the build brief names as first-class.
 - q192: small-file compaction planner over a partitioned lake dir
   (rows-only: file bytes are compression-dependent by contract);
 - q193: exact join-size prediction from per-key counts (the
-  self-join cost model next to q189's skew profile).
+  self-join cost model next to q189's skew profile);
+- q194: exact global median via banded-rank order statistics;
+- q195: fixed-K weighted sample (A-Res, md5-derived uniforms);
+- q196: bucketed table checksum (CDC replica verification).
 """
 
 from __future__ import annotations
@@ -522,4 +525,223 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(
             "max(c * c) * 1000000 DIV greatest(sum(c * c), 1)"
         ).cast("bigint").alias("max_key_share_ppm"),
+    )
+
+
+@register(
+    "q194_exact_global_median",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_totalprice AS v,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               AVG(v) AS median
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    """,
+    doc="EXACT global median without any data-grain global sort: "
+    "reduce to the distinct-value grain with counts (the q170 "
+    "banding), cumsum over the tiny value-bin aggregate gives every "
+    "value's global rank interval [below+1, below+cnt], and the "
+    "median positions (n+1) DIV 2 and n DIV 2 + 1 select at most two "
+    "values whose intervals cover them — averaged exactly as the "
+    "oracle's AVG of the two middle rows (same IEEE (a+b)/2 in both "
+    "engines; quantile_cont's lower+(upper-lower)*f phrasing is NOT "
+    "bit-identical to it and is deliberately avoided). approx_"
+    "percentile gives the fast sketch answer (q77); this is the "
+    "exact one at unlimited scale — the oracle states the same spec "
+    "with the single-partition window this plan exists to avoid.",
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    g = (
+        table(spark, sf, "orders")
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("b", F.floor(F.col("v") / 10_000).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    bins = g.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.select(
+        "b",
+        F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0))
+        .alias("below_bins"),
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = g.agg(F.sum("cnt").alias("n"))
+    spans = (
+        g.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bins), "b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lo", F.col("below_bins") + F.col("below_in") + 1)
+        .withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+    )
+    p1 = F.expr("(n + 1) DIV 2")
+    p2 = F.expr("n DIV 2 + 1")
+    mids = spans.filter(
+        ((F.col("lo") <= p1) & (p1 <= F.col("hi")))
+        | ((F.col("lo") <= p2) & (p2 <= F.col("hi")))
+    )
+    # a value spanning BOTH positions contributes twice, exactly like
+    # the oracle's two qualifying rows
+    weight = (
+        F.when((F.col("lo") <= p1) & (p1 <= F.col("hi")), 1)
+        .otherwise(0)
+        + F.when((F.col("lo") <= p2) & (p2 <= F.col("hi")), 1)
+        .otherwise(0)
+    )
+    return mids.select(
+        F.col("n"), (F.col("v") * weight).alias("vw"), weight.alias("w")
+    ).agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.sum("vw") / F.sum("w")).alias("median"),
+    )
+
+
+#: fixed sample size for the weighted top-k sample (q195)
+WSAMPLE_K = 50
+
+
+@register(
+    "q195_weighted_topk_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   -- A-Res order key ln(u)/w with u derived from md5
+                   -- (content-deterministic; 48 bits -> exact double
+                   -- in (0,1]); larger key = selected
+                   ln((CAST(CAST(concat('0x', substr(
+                           md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) AS DOUBLE) + 1)
+                      / 281474976710656.0)
+                   / greatest(n_chars, 1) AS k
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT {WSAMPLE_K}
+    """,
+    doc="Fixed-size weighted sample without replacement (Efraimidis-"
+    "Spirakis A-Res): order key ln(u)/w with u a content-"
+    "deterministic md5-derived uniform — each doc's inclusion "
+    "probability is proportional to its weight (chars here; tokens "
+    "or quality scores in production), and the whole sample is "
+    "reproducible across engines/restarts/partitionings like every "
+    "sampling pass in this repo (q89/q95/q162 are Bernoulli/PPS-"
+    "systematic; this is the fixed-K companion). ln of identical "
+    "IEEE doubles is engine-stable (the q123/q136/q187 contract). "
+    "Plan: narrow map + TakeOrdered top-K — no global sort, no "
+    "shuffle beyond the K-row reduction; output is the selected ids "
+    "(no float in the contract).",
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    u48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.log(
+        (u48.cast("double") + 1) / float(1 << 48)
+    ) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+        .select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+        )
+    )
+
+
+#: checksum buckets (q196) — compare per bucket to LOCALIZE divergence
+CHECKSUM_BUCKETS = 64
+
+
+@register(
+    "q196_table_checksum",
+    oracle=f"""
+        WITH digests AS (
+            SELECT event_id % {CHECKSUM_BUCKETS} AS bucket,
+                   -- 48-bit md5 prefix of a float-free row rendering
+                   -- (doubles are FLOOR-scaled to integer cents:
+                   -- double->string formatting differs across
+                   -- engines, integer rendering does not)
+                   CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                       CAST(event_id AS VARCHAR),
+                       event_type,
+                       CAST(user_id AS VARCHAR),
+                       CAST(CAST(FLOOR(value * 100) AS BIGINT)
+                            AS VARCHAR))), 1, 12)) AS BIGINT)
+                       AS BIGINT) AS d
+            FROM events
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(d AS HUGEINT))
+                    % 1000000000000000000 AS BIGINT) AS checksum
+        FROM digests GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Bucketed table checksum — the replication-verification "
+    "primitive the CDC stack needs ABOVE the feed (the reference "
+    "forwards changes, src/forwarder/mod.rs; proving the APPLIED "
+    "replica equals the source is this): every row digests to a "
+    "48-bit md5 prefix over a float-free rendering (doubles enter as "
+    "FLOOR-scaled cents — double->string formatting is not engine-"
+    "stable, integer rendering is), digests SUM per id-band bucket "
+    "(order-independent, so shuffle order is irrelevant) modulo 1e18 "
+    "in exact DECIMAL. Two replicas compare checksum-by-bucket and "
+    "re-sync only divergent buckets — a 100 TB table verifies with "
+    "{CHECKSUM_BUCKETS} numbers per side, and after q96 apply_changes "
+    "only TOUCHED buckets need recomputation (bucket = key band).",
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("event_type"),
+                    F.col("user_id").cast("string"),
+                    F.floor(F.col("value") * 100).cast("bigint")
+                    .cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        table(spark, sf, "events")
+        .select(
+            (F.col("event_id") % CHECKSUM_BUCKETS).cast("int")
+            .alias("bucket"),
+            digest.alias("d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                % F.lit(10 ** 18).cast("decimal(38,0)")
+            ).cast("bigint").alias("checksum"),
+        )
+        .orderBy("bucket")
     )

@@ -641,3 +641,52 @@ def test_rankband_rejects_reserved_columns_and_bad_k(spark):
     ok = spark.createDataFrame([(1,)], "v bigint")
     with pytest.raises(ValueError, match="k >= 1"):
         banded_ntile(ok, [F.col("v")], F.col("v"), 0)
+
+
+def test_q196_checksum_localizes_single_row_divergence(spark, sf_dir):
+    """The verification contract: corrupt ONE row of a replica and
+    exactly one bucket's checksum diverges (same n), so a re-sync
+    touches 1/CHECKSUM_BUCKETS of the table, not all of it."""
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.queries.corpus import CHECKSUM_BUCKETS
+
+    fn = load_all()["q196_table_checksum"].fn
+    source = {r.bucket: (r.n, r.checksum) for r in
+              fn(spark, sf_dir).collect()}
+
+    # replica with one corrupted value: run the same digest over a
+    # modified frame by monkey-free means — recompute via the query on
+    # a temp view is overkill; instead verify determinism + mutate
+    replica = {r.bucket: (r.n, r.checksum) for r in
+               fn(spark, sf_dir).collect()}
+    assert replica == source  # deterministic across runs
+
+    import speculare_pgcdc_spark.catalog as cat
+
+    real_table = cat.table
+    events = real_table(spark, sf_dir, "events")
+    corrupted = events.withColumn(
+        "value",
+        F.when(F.col("event_id") == 7, F.col("value") + 1.0)
+        .otherwise(F.col("value")),
+    )
+
+    def fake_table(s, sf, name):
+        return corrupted if name == "events" else real_table(s, sf, name)
+
+    try:
+        cat.table = fake_table
+        # corpus.py imported `table` by name; patch there too
+        import speculare_pgcdc_spark.queries.corpus as corpus_mod
+
+        corpus_mod.table = fake_table
+        bad = {r.bucket: (r.n, r.checksum) for r in
+               fn(spark, sf_dir).collect()}
+    finally:
+        cat.table = real_table
+        corpus_mod.table = real_table
+
+    diverged = [b for b in source if source[b] != bad[b]]
+    assert diverged == [7 % CHECKSUM_BUCKETS]
+    b = diverged[0]
+    assert source[b][0] == bad[b][0]  # same row count, different sum

@@ -758,3 +758,21 @@ def test_q191_leakage_no_window_no_join(q):
     p = plan_string(df)
     assert "Window" not in p and "Join" not in p
     assert not has_python_eval(df)
+
+
+def test_q194_median_banded_no_data_grain_window(q):
+    # exact global median must ride the banded rank: no row_number,
+    # unpartitioned windows only over the bin aggregate
+    p = plan_string(q("q194_exact_global_median"))
+    assert "row_number" not in p
+    assert_banded_windows_only(p)
+
+
+def test_q195_weighted_sample_is_takeordered(q):
+    # fixed-K weighted sample: TakeOrdered reduction, never a global
+    # sort shuffle; assignment is a pure map over the scan
+    df = q("q195_weighted_topk_sample")
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert not has_python_eval(df)
