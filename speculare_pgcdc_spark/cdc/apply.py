@@ -27,11 +27,33 @@ from pyspark.sql import functions as F
 
 def _change_key(key_col: str):
     """The change's key as a string: row map for inserts/updates,
-    oldkeys (v1) / identity (v2) from the raw payload for deletes."""
+    oldkeys (v1) / identity (v2) from the raw payload for deletes.
+
+    The delete key is located BY NAME in oldkeys.keynames / the
+    identity entries — never positionally: a composite or reordered
+    REPLICA IDENTITY (e.g. (tenant_id, event_id)) puts key_col at an
+    arbitrary index, and taking [0] would silently delete the wrong
+    row. Values go through variant 'array<string>' coercion, the same
+    lenient typed-cell rule the v1/v2 parse uses for columnvalues."""
+    names = F.expr(
+        "variant_get(try_parse_json(change_json), "
+        "'$.oldkeys.keynames', 'array<string>')"
+    )
+    vals = F.expr(
+        "variant_get(try_parse_json(change_json), "
+        "'$.oldkeys.keyvalues', 'array<string>')"
+    )
+    pos = F.array_position(names, key_col)
+    v1_del = F.when(pos > 0, F.try_element_at(vals, pos.cast("int")))
+    idn = F.expr(
+        "variant_get(try_parse_json(change_json), '$.identity', "
+        "'array<struct<name:string,value:string>>')"
+    )
+    v2_del = F.try_element_at(
+        F.filter(idn, lambda x: x["name"] == F.lit(key_col)), F.lit(1)
+    )["value"]
     return F.coalesce(
-        F.try_element_at("row_str", F.lit(key_col)),
-        F.get_json_object("change_json", "$.oldkeys.keyvalues[0]"),
-        F.get_json_object("change_json", "$.identity[0].value"),
+        F.try_element_at("row_str", F.lit(key_col)), v1_del, v2_del
     )
 
 
@@ -179,12 +201,25 @@ def start_apply_query(
     spark = changes_stream.sparkSession
     ordered = [key_col, *[c for c in columns if c != key_col]]
 
+    old = f"{snapshot_dir}.old"
+
+    def recover() -> None:
+        # crash between the two renames leaves only .old (no live
+        # snapshot): restore it — the checkpoint replays the batch and
+        # apply is idempotent, so converging from the pre-batch state
+        # is correct. A crash AFTER the swap leaves both: the stale
+        # .old is garbage. Leftover .tmp dirs are incomplete writes.
+        if not os.path.exists(snapshot_dir) and os.path.exists(old):
+            os.rename(old, snapshot_dir)
+        elif os.path.exists(old):
+            shutil.rmtree(old)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        recover()
         base = spark.read.parquet(snapshot_dir)
         out = apply_changes(base, batch_df, key_col, columns, tables)
         tmp = f"{snapshot_dir}.b{batch_id}.tmp"
         out.select(*ordered).write.mode("overwrite").parquet(tmp)
-        old = f"{snapshot_dir}.old"
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(snapshot_dir, old)

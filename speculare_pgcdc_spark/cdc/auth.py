@@ -67,11 +67,18 @@ class SubscriptionAuthorizer:
         api_keys: DataFrame,
         ttl_seconds: int = 3600,
         allow_in_lists: bool = False,
+        max_entries: int = 100_000,
     ) -> None:
         self.api_keys = api_keys
         self.ttl = ttl_seconds
         self.allow_in_lists = allow_in_lists
+        self.max_entries = max_entries
         self._cache: dict[tuple, tuple[float, bool]] = {}
+
+    #: eviction sweep cadence: every N inserts, drop expired entries —
+    #: the moka analog EVICTS on TTL; a grow-only dict would accumulate
+    #: one entry per distinct (attacker-chosen) probe value forever
+    _SWEEP_EVERY = 256
 
     def _exists(self, col: str, customer_id: str, value: str) -> bool:
         key = (col, customer_id, value)
@@ -88,6 +95,20 @@ class SubscriptionAuthorizer:
             .count()
         )
         self._cache[key] = (now, ok)
+        if len(self._cache) % self._SWEEP_EVERY == 0:
+            expired = [
+                k for k, (t, _) in self._cache.items()
+                if now - t >= self.ttl
+            ]
+            for k in expired:
+                del self._cache[k]
+            # hard cap (moka max_capacity analog): expiry alone can't
+            # bound a probe flood faster than the TTL — drop oldest
+            if len(self._cache) > self.max_entries:
+                for k, _ in sorted(
+                    self._cache.items(), key=lambda kv: kv[1][0]
+                )[: len(self._cache) - self.max_entries]:
+                    del self._cache[k]
         return ok
 
     def restrict(self, auth: AuthInfo, watch: WatchFor) -> WatchFor:

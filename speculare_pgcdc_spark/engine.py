@@ -59,7 +59,7 @@ class Engine:
         #: catalog the subscriptions validate against (detect_tables
         #: analog — reference loads it once at startup, cdc/mod.rs:30-47)
         self.tables = list(tables) if tables is not None else list(TABLES)
-        self._subs: dict[int, tuple[int, str]] = {}
+        self._subs: dict[int, str] = {}  # sub_id -> DSL
         self._views_registered = False
 
     # -- batch analytics surface -------------------------------------
@@ -105,7 +105,7 @@ class Engine:
             if authorizer is None:
                 raise ValueError("auth requires an authorizer")
             authorizer.restrict(auth, watch)
-        self._subs[sub_id] = (sub_id, dsl_query)
+        self._subs[sub_id] = dsl_query
         return watch
 
     def unsubscribe(self, sub_id: int) -> None:
@@ -115,7 +115,7 @@ class Engine:
         """The registry as the broadcast static side of the routing
         join (ServerState analog, ws_utils.rs:23-29)."""
         return subscriptions_df(
-            self.spark, list(self._subs.values()), self.tables
+            self.spark, list(self._subs.items()), self.tables
         )
 
     # -- CDC dispatch (EP2 + EP3) --------------------------------------

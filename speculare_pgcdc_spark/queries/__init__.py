@@ -49,14 +49,16 @@ SWEEP_FIRST = [
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the
-    # sf0.1 sweep), q130/q184/q187 banded-rank rewrites, q170 guard
+    # sf0.1 sweep), q130/q184/q187 banded-rank rewrites. (q170's
+    # greatest(n-1,1) guard is value-identical on any multi-row input
+    # and r5-green — re-attested by the three-scale sweep artifact,
+    # not spending a driver slot.)
     "q150_min_cost_supplier",
     "q151_dominant_supplier",
     "q176_weighted_median",
     "q184_lorenz_deciles",
     "q130_rfm_segmentation",
     "q187_zipf_regression",
-    "q170_banded_percent_rank",
     # the round-4 slice the driver has NEVER sampled (no CORRECTNESS
     # row in r1/r2/r3/r5) — CDC apply/IVM and the LLM-pipeline
     # flagships first, then the TPC-H family, then the rest

@@ -50,7 +50,7 @@ import itertools
 import os
 import ssl as _ssl
 from typing import Callable, Optional
-from urllib.parse import parse_qs, unquote, urlsplit
+from urllib.parse import parse_qs, urlsplit
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -118,6 +118,15 @@ async def read_frame(
         length = int.from_bytes(await reader.readexactly(8), "big")
     if require_mask and not masked:
         raise WsProtocolError(1002, "client frame not masked")
+    if opcode >= 0x8 and length > 125:
+        # RFC 6455 §5.5: control frames carry at most 125 payload
+        # bytes. Enforcing it here also keeps the single-byte pong
+        # length encoding valid — a 200-byte ping echoed as
+        # bytes([0x8A, 200]) would set the MASK bit (0xC8) and desync
+        # the client's framing
+        raise WsProtocolError(
+            1002, f"control frame of {length} bytes refused"
+        )
     if max_len and length > max_len:
         raise WsProtocolError(1009, f"frame of {length} bytes refused")
     mask = await reader.readexactly(4) if masked else b"\x00" * 4
@@ -203,17 +212,13 @@ class WsSidecar:
         auth_from_headers: Optional[Callable[[dict], object]] = None,
         id_taken: Optional[Callable[[int], bool]] = None,
     ) -> None:
-        from speculare_pgcdc_spark.streaming.fanout import read_outbox
-
         self.out_dir = out_dir
         self.subscribe = subscribe
         self.unsubscribe = unsubscribe
-        #: custom read_lines keeps the suffix-framing contract; the
-        #: default outbox layout gets the offset-tracking OutboxTailer
+        #: custom read_lines keeps the suffix-framing contract; with
+        #: None the default outbox layout gets the offset-tracking
+        #: OutboxTailer in _serve_client (no full-outbox re-read path)
         self._custom_read_lines = read_lines
-        self.read_lines = read_lines or (
-            lambda sid: read_outbox(out_dir, sid)
-        )
         self.poll_interval = poll_interval
         self.path = path
         #: ID_COUNTER analog — per sidecar, and ``id_taken`` lets the
@@ -327,7 +332,10 @@ class WsSidecar:
                     writer, 400, "missing the query params"
                 )
                 return
-            dsl = unquote(qs["query"][0])
+            # parse_qs already percent-decodes; decoding AGAIN would
+            # corrupt filter values containing literal %XX sequences
+            # (the reference's axum Query extractor decodes once)
+            dsl = qs["query"][0]
             sub_id = self._next_id()
             try:
                 if self.auth_from_headers is not None:
@@ -415,7 +423,7 @@ class WsSidecar:
 
             def poll() -> list[str]:
                 nonlocal sent
-                lines = self.read_lines(sub_id)
+                lines = self._custom_read_lines(sub_id)
                 new = lines[sent:]
                 sent = max(sent, len(lines))
                 return new

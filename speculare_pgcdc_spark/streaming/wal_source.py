@@ -39,6 +39,7 @@ partitioning the feed (multiple shards/slots), not from one cursor.
 from __future__ import annotations
 
 import sqlite3
+from contextlib import contextmanager
 from typing import Callable, Iterator, List, Tuple
 from urllib.parse import parse_qs, urlsplit
 
@@ -88,6 +89,12 @@ def ensure_wal_tables(db_path: str) -> None:
     try:
         con.execute(
             "CREATE TABLE IF NOT EXISTS wal (lsn INTEGER, payload TEXT)"
+        )
+        # index the poll/cutoff range scans: without it every trigger
+        # full-scans the whole WAL ever written — O(history) per poll,
+        # quadratic over the stream's lifetime
+        con.execute(
+            "CREATE INDEX IF NOT EXISTS wal_lsn ON wal(lsn)"
         )
         con.execute(
             "CREATE TABLE IF NOT EXISTS wal_ack ("
@@ -258,8 +265,23 @@ class PostgresWalBackend(WalBackend):
                     "wal_poll over JDBC needs psycopg (v3) or psycopg2"
                 ) from ex
 
+    @contextmanager
+    def _session(self):
+        # psycopg2's `with connection:` scopes the TRANSACTION but does
+        # NOT close the connection (psycopg3's does) — without the
+        # explicit close, a long-running stream leaks one TCP
+        # connection per trigger per method until the server's
+        # max_connections is gone. Close in finally covers both
+        # drivers (closing an already-closed psycopg3 conn is a no-op).
+        con = self._connect()
+        try:
+            with con:
+                yield con
+        finally:
+            con.close()
+
     def poll(self, after: int, limit: int) -> List[Tuple[int, str]]:
-        with self._connect() as con, con.cursor() as cur:
+        with self._session() as con, con.cursor() as cur:
             cur.execute(
                 f"SELECT MAX(lsn) FROM (SELECT DISTINCT lsn "
                 f"FROM {self.wal_table} WHERE lsn > %s "
@@ -277,7 +299,7 @@ class PostgresWalBackend(WalBackend):
             return cur.fetchall()
 
     def fetch_range(self, start: int, end: int) -> List[Tuple[int, str]]:
-        with self._connect() as con, con.cursor() as cur:
+        with self._session() as con, con.cursor() as cur:
             cur.execute(
                 f"SELECT lsn, payload FROM {self.wal_table} "
                 f"WHERE lsn > %s AND lsn <= %s ORDER BY lsn",
@@ -286,7 +308,7 @@ class PostgresWalBackend(WalBackend):
             return cur.fetchall()
 
     def ack(self, lsn: int) -> None:
-        with self._connect() as con, con.cursor() as cur:
+        with self._session() as con, con.cursor() as cur:
             cur.execute(
                 f"INSERT INTO {self.ack_table} (id, lsn) "
                 f"VALUES (0, %s) ON CONFLICT (id) DO UPDATE SET "

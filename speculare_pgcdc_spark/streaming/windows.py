@@ -261,8 +261,18 @@ def streaming_ewma(
             ewma, n = state.get
         else:
             ewma, n = 0.0, 0
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts", "event_id"])
+        # concatenate BEFORE sorting: a key whose batch slice spans
+        # multiple Arrow chunks (maxRecordsPerBatch) is not globally
+        # ts-ordered across chunks, and EWMA is order-sensitive —
+        # same contract as streaming_cusum below
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            )
+            ordered = whole.sort_values(["ts", "event_id"])
             for v in ordered["value"]:
                 v = float(v)
                 ewma = v if n == 0 else alpha * v + (1 - alpha) * ewma

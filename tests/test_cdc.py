@@ -480,3 +480,52 @@ def test_refresh_aggregates_carries_untouched_groups_forward(spark):
     } | ({} if "b" not in got else {"b": got["b"]})
     # b lost its only row to the move, c to the delete -> both gone
     assert "b" not in got and "c" not in got
+
+
+def test_apply_changes_composite_identity_delete_key_by_name(spark):
+    """Regression (round-6 review): a REPLICA IDENTITY listing the key
+    column at a non-first position — (tenant_id, id) — must still
+    delete by the NAMED key column, not by position [0]. Covers both
+    the v1 oldkeys and v2 identity framings."""
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+
+    v1 = (
+        '{"change":[{"kind":"delete","table":"t","oldkeys":'
+        '{"keynames":["tenant_id","id"],"keyvalues":[7,2]}}]}'
+    )
+    feed = spark.createDataFrame(
+        [(1, v1)], "lsn bigint, payload string"
+    )
+    changes = parse_wal2json(feed, seq_col="lsn").withColumn(
+        "table_name", F.col("table")
+    )
+    base = spark.createDataFrame(
+        [(2, "victim"), (7, "bystander")], "id bigint, name string"
+    )
+    got = apply_changes(
+        base, changes, key_col="id",
+        columns={"id": "bigint", "name": "string"},
+    )
+    # positional [0] would have deleted id=7 (the tenant!) and kept 2
+    assert {r["id"]: r["name"] for r in got.collect()} == {
+        7: "bystander"
+    }
+
+    v2 = (
+        '{"action":"D","table":"t","identity":['
+        '{"name":"tenant_id","type":"bigint","value":7},'
+        '{"name":"id","type":"bigint","value":2}]}'
+    )
+    feed2 = spark.createDataFrame(
+        [(1, v2)], "lsn bigint, payload string"
+    )
+    changes2 = parse_wal2json(
+        feed2, seq_col="lsn", fmt="v2"
+    ).withColumn("table_name", F.col("table"))
+    got2 = apply_changes(
+        base, changes2, key_col="id",
+        columns={"id": "bigint", "name": "string"},
+    )
+    assert {r["id"]: r["name"] for r in got2.collect()} == {
+        7: "bystander"
+    }

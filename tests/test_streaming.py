@@ -1773,3 +1773,114 @@ def test_fanout_auto_flips_paths_mid_stream(spark, tmp_path, monkeypatch):
     # either order, but each batch's ids are contiguous ascending)
     assert sorted(ids) == list(range(10))
     assert ids.index(0) < ids.index(1) and ids.index(2) < ids.index(9)
+
+
+def test_streaming_cdc_apply_recovers_from_crashed_swap(
+    spark, tmp_path
+):
+    """Round-6 review: a crash BETWEEN the snapshot swap's two renames
+    leaves only <snap>.old on disk; the next batch must restore it and
+    proceed (checkpoint replay + idempotent apply converge), never
+    PATH_NOT_FOUND forever."""
+    from speculare_pgcdc_spark.cdc.apply import start_apply_query
+    from speculare_pgcdc_spark.cdc.pipeline import parse_wal2json
+
+    feed_dir = str(tmp_path / "feed")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "name": "string"}
+
+    spark.createDataFrame(
+        [(1, "one"), (2, "two")], "id bigint, name string"
+    ).write.parquet(snap)
+    # simulate the mid-swap crash: live snapshot renamed away, new one
+    # never arrived
+    os.rename(snap, f"{snap}.old")
+    assert not os.path.exists(snap)
+
+    msg = {
+        "change": [
+            {
+                "kind": "insert",
+                "table": "t",
+                "columnnames": ["id", "name"],
+                "columnvalues": [3, "three"],
+            }
+        ]
+    }
+    with open(f"{feed_dir}/f0.json", "w") as f:
+        f.write(json.dumps(msg) + "\n")
+
+    stream = parse_wal2json(
+        file_change_feed(spark, feed_dir)
+    ).withColumn("table_name", F.col("table"))
+    q = start_apply_query(
+        stream, snap, ckpt, "id", cols, available_now=True
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["id"]: r["name"] for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {1: "one", 2: "two", 3: "three"}
+    assert not os.path.exists(f"{snap}.old")
+
+
+def test_streaming_ewma_multi_chunk_batch_folds_in_order(
+    spark, tmp_path
+):
+    """Round-6 review regression: a key whose single-batch slice spans
+    MULTIPLE Arrow chunks (maxRecordsPerBatch below the group size)
+    must still fold in global (ts, event_id) order — per-chunk sorting
+    would fold later-chunk earlier-ts events after earlier-chunk later
+    ones and silently corrupt the order-sensitive EWMA."""
+    from speculare_pgcdc_spark.streaming.windows import streaming_ewma
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    in_dir = str(tmp_path / "ewma_chunk_in")
+    os.makedirs(in_dir, exist_ok=True)
+    # one key, 12 events in one file (one microbatch), written in
+    # REVERSE ts order so chunk boundaries scramble event order
+    rows = [
+        {
+            "ts": f"2024-01-01 00:00:{sec:02d}",
+            "user_id": 1,
+            "event_id": sec,
+            "value": float(sec * 7 % 13),
+        }
+        for sec in range(12, 0, -1)
+    ]
+    _write_jsonl(os.path.join(in_dir, "b0.jsonl"), rows)
+    src = (
+        spark.readStream.schema(
+            "ts timestamp, user_id bigint, event_id bigint, value double"
+        )
+        .json(in_dir)
+    )
+    q = (
+        streaming_ewma(src)
+        .writeStream.format("memory")
+        .queryName("t_ewma_chunk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.ewma, r.n_events)
+            for r in spark.sql("SELECT * FROM t_ewma_chunk").collect()
+        }
+    finally:
+        q.stop()
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+    e, n = 0.0, 0
+    for sec in range(1, 13):  # true event order
+        v = float(sec * 7 % 13)
+        e = v if n == 0 else 0.5 * v + 0.5 * e
+        n += 1
+    assert got == {1: (round(e, 10), n)}

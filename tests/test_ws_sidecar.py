@@ -716,3 +716,62 @@ def test_ws_ids_skip_restored_engine_registry(spark, tmp_path):
             await sidecar.stop()
 
     asyncio.run(scenario())
+
+
+def test_oversized_ping_fails_connection_1002(tmp_path):
+    """RFC 6455 §5.5: control frames cap at 125 payload bytes; a
+    200-byte ping must fail the connection with 1002 — echoing it
+    would emit a length byte with the MASK bit set (0xC8) and desync
+    the client's framing (round-6 review)."""
+
+    async def scenario():
+        sidecar, reg, reader, writer = await _upgraded(tmp_path)
+        try:
+            payload = b"p" * 200
+            mask = b"\x12\x34\x56\x78"
+            data = bytes(
+                c ^ mask[i % 4] for i, c in enumerate(payload)
+            )
+            # masked ping with 16-bit extended length (200 bytes)
+            writer.write(
+                bytes([0x89, 0x80 | 126])
+                + len(payload).to_bytes(2, "big") + mask + data
+            )
+            await writer.drain()
+            while True:
+                opcode, data = await asyncio.wait_for(
+                    read_frame(reader), timeout=10
+                )
+                if opcode == 0x8:  # close, never a corrupt pong
+                    assert _read_close_code(data) == 1002
+                    break
+        finally:
+            writer.close()
+            await sidecar.stop()
+
+    asyncio.run(scenario())
+
+
+def test_query_param_is_percent_decoded_exactly_once(tmp_path):
+    """Round-6 review: parse_qs already percent-decodes; a filter
+    value sent as 'a%2520b' (one encoding of the literal 'a%20b')
+    must reach the DSL as 'a%20b', never double-decoded to 'a b' —
+    the reference's axum Query extractor decodes once."""
+
+    async def scenario():
+        sidecar, reg = _sidecar(tmp_path)
+        port = await sidecar.start()
+        try:
+            reader, writer, status, _ = await _handshake(
+                port, "insert:events_a:host_uuid.eq.a%2520b"
+            )
+            assert "101" in status
+            await asyncio.sleep(0.05)
+            assert list(reg.subs.values()) == [
+                "insert:events_a:host_uuid.eq.a%20b"
+            ]
+            writer.close()
+        finally:
+            await sidecar.stop()
+
+    asyncio.run(scenario())
