@@ -46,6 +46,10 @@ SWEEP_FIRST = [
     "q194_exact_global_median",
     "q195_weighted_topk_sample",
     "q196_table_checksum",
+    "q197_incremental_ingest",
+    "q198_rank_auc",
+    "q199_calibration_bins",
+    "q200_hll_user_sketch",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

@@ -22,7 +22,15 @@ training-data-pipeline surface the build brief names as first-class.
   self-join cost model next to q189's skew profile);
 - q194: exact global median via banded-rank order statistics;
 - q195: fixed-K weighted sample (A-Res, md5-derived uniforms);
-- q196: bucketed table checksum (CDC replica verification).
+- q196: bucketed table checksum (CDC replica verification);
+- q197: incremental ingest dedup — a new batch admitted against the
+  historical fingerprint store (the daily-ingestion form of q45);
+- q198: exact tie-corrected rank-sum AUC (Mann-Whitney U) of a score
+  column against a binary label, via the banded rank — the metric
+  that gates a quality-classifier filter before it touches a corpus;
+- q199: calibration (reliability) bins for the same score/label pair;
+- q200: mergeable per-group HLL sketches + their union (the
+  sketch-per-partition / merge-centrally distinct-count architecture).
 """
 
 from __future__ import annotations
@@ -745,3 +753,310 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: leading tokens hashed into the ingest fingerprint (q197) — a prefix
+#: sketch, not the full text: near-identical docs produced by suffix
+#: edits (boilerplate appends, truncation) still collide, which is the
+#: point of an INGEST gate; the full-content md5 form is q45
+INGEST_FP_TOKENS = 8
+
+
+@register(
+    "q197_incremental_ingest",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, lang, source, n_chars,
+                   md5(array_to_string(
+                       list_filter(string_split(COALESCE(text, ''), ' '),
+                                   x -> x <> '')[1:{INGEST_FP_TOKENS}],
+                       ' ')) AS fp
+            FROM documents
+        ),
+        store AS (
+            SELECT DISTINCT fp FROM fp WHERE length(source) = 4
+        ),
+        inc AS (
+            SELECT f.lang, f.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY f.fp
+                                      ORDER BY f.doc_id) AS rn,
+                   CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM fp f LEFT JOIN store s ON f.fp = s.fp
+            WHERE length(f.source) = 5
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_incoming,
+               CAST(SUM(CASE WHEN hit = 0 AND rn = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_admitted,
+               CAST(SUM(hit) AS BIGINT) AS n_dup_store,
+               CAST(SUM(CASE WHEN hit = 0 AND rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_batch,
+               CAST(SUM(CASE WHEN hit = 0 AND rn = 1 THEN n_chars
+                        ELSE 0 END) AS BIGINT) AS admitted_chars
+        FROM inc GROUP BY lang ORDER BY lang
+    """,
+    doc="Incremental corpus ingestion: admit an incoming batch (the "
+    "len-5 sources, src10..src19) against the historical fingerprint "
+    "store (the len-4 sources) — the DAILY form of dedup, where the "
+    "corpus is append-only and re-deduping 100 TB per batch is not an "
+    "option. Fingerprint = md5 of the first "
+    f"{INGEST_FP_TOKENS} tokens (a prefix sketch: suffix edits still "
+    "collide; q45 is the full-content form). A doc is admitted iff "
+    "its fingerprint misses the store AND it is the first occurrence "
+    "within its own batch (keep-lowest doc_id); store hits trump "
+    "batch dups. Per-lang admission report. Scale: the store side is "
+    "a DISTINCT fingerprint projection (in production: the persisted "
+    "fingerprint table, bucketed by fp so this join is co-located and "
+    "shuffle-free); both the left join and the first-occurrence "
+    "window shuffle ONCE on the uniformly-distributed fp key — "
+    "batch-sized, not corpus-sized, work per ingest.",
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    fp = F.md5(F.array_join(F.slice(toks, 1, INGEST_FP_TOKENS), " "))
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars", fp.alias("fp")
+    )
+    store = (
+        docs.filter(F.length("source") == 4)
+        .select("fp").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    inc = (
+        docs.filter(F.length("source") == 5)
+        .withColumn("rn", F.row_number().over(w))
+        .join(store, "fp", "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+    )
+    admitted = (F.col("hit") == 0) & (F.col("rn") == 1)
+    return (
+        inc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.sum(admitted.cast("int")).cast("bigint")
+            .alias("n_admitted"),
+            F.sum("hit").cast("bigint").alias("n_dup_store"),
+            F.sum(((F.col("hit") == 0) & (F.col("rn") > 1)).cast("int"))
+            .cast("bigint").alias("n_dup_batch"),
+            F.sum(F.when(admitted, F.col("n_chars")).otherwise(0))
+            .cast("bigint").alias("admitted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: value-bin width for q198's banded cumulative counts (n_chars grain)
+AUC_BIN = 64
+
+
+@register(
+    "q198_rank_auc",
+    oracle="""
+        WITH g AS (
+            SELECT n_chars AS v,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS pos_cnt,
+                   COUNT(*) - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                       END) AS neg_cnt
+            FROM documents GROUP BY v
+        ),
+        c AS (
+            SELECT pos_cnt, neg_cnt,
+                   COALESCE(SUM(neg_cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS neg_below
+            FROM g
+        ),
+        t AS (
+            SELECT CAST(SUM(pos_cnt) AS HUGEINT) AS n_pos,
+                   CAST(SUM(neg_cnt) AS HUGEINT) AS n_neg,
+                   CAST(SUM(2 * pos_cnt * neg_below
+                            + pos_cnt * neg_cnt) AS HUGEINT) AS u2
+            FROM c
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(u2 * 1000000 // greatest(2 * n_pos * n_neg, 1)
+                    AS BIGINT) AS auc_ppm
+        FROM t
+    """,
+    doc="Exact tie-corrected rank-sum AUC (Mann-Whitney U) of a score "
+    "column (n_chars) against a binary label (lang = 'en') — the "
+    "metric that decides whether a quality-classifier filter is good "
+    "enough to gate a corpus, computed WITHOUT sklearn and WITHOUT a "
+    "data-grain global window. Reduce to the distinct-score grain "
+    "(pos/neg counts per value), assemble each value's "
+    "strictly-below negative count from the q170 banding (cumsum "
+    "over the one-row-per-bin aggregate + an in-bin prefix window), "
+    "then 2U = sum(2*pos*neg_below + pos*neg) — the pos*neg term IS "
+    "the half-credit tie correction, doubled so everything stays "
+    "integer. AUC emitted as ppm by exact integer division: Spark "
+    "accumulates in DECIMAL(38,0) and divides via the pmod identity "
+    "((x - pmod(x, d)) / d, exact because the numerator is a "
+    "multiple), the oracle in HUGEINT — BIGINT would overflow at "
+    "~4e6 rows since U ~ n_pos * n_neg. Scale: the only corpus-sized "
+    "shuffle is the distinct-value aggregate; every window runs at "
+    "bin or in-bin grain.",
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        table(spark, sf, "documents")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(pos).alias("pos_cnt"),
+            (F.count(F.lit(1)) - F.sum(pos)).alias("neg_cnt"),
+        )
+        .withColumn("b", F.expr(f"v DIV {AUC_BIN}"))
+    )
+    g = g.localCheckpoint(eager=True)
+    bins = g.groupBy("b").agg(F.sum("neg_cnt").alias("bcnt"))
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.withColumn(
+        "below_bins", F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0))
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        g.withColumn(
+            "neg_in_bin",
+            F.coalesce(F.sum("neg_cnt").over(w_in), F.lit(0)),
+        )
+        .join(F.broadcast(bins.select("b", "below_bins")), "b")
+        .withColumn(
+            "neg_below", F.col("below_bins") + F.col("neg_in_bin")
+        )
+    )
+    dec = "decimal(38,0)"
+    u2_term = (
+        2 * F.col("pos_cnt") * F.col("neg_below")
+        + F.col("pos_cnt") * F.col("neg_cnt")
+    ).cast(dec)
+    return (
+        scored.agg(
+            F.sum("pos_cnt").cast(dec).alias("n_pos"),
+            F.sum("neg_cnt").cast(dec).alias("n_neg"),
+            F.sum(u2_term).alias("u2"),
+        )
+        .select(
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.col("n_neg").cast("bigint").alias("n_neg"),
+            F.expr(
+                # exact integer quotient in DECIMAL: strip the
+                # remainder first so the decimal division cannot round
+                "CAST((u2 * 1000000 - pmod(u2 * 1000000, "
+                "  greatest(2 * n_pos * n_neg, 1))) "
+                " / greatest(2 * n_pos * n_neg, 1) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+#: fixed reliability-diagram bins for q199 (deciles of score/max)
+CAL_BINS = 10
+
+
+@register(
+    "q199_calibration_bins",
+    oracle=f"""
+        WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+        b AS (
+            SELECT least(n_chars * {CAL_BINS} // mx,
+                         {CAL_BINS - 1}) AS score_bin,
+                   n_chars,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents CROSS JOIN m
+        )
+        SELECT CAST(score_bin AS BIGINT) AS score_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+               CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT)
+                   AS pos_rate_ppm
+        FROM b GROUP BY score_bin ORDER BY score_bin
+    """,
+    doc="Calibration (reliability-diagram) bins for a score/label "
+    "pair — q198's AUC says whether the score RANKS well; this says "
+    "whether its magnitude can be thresholded: docs bucketed into "
+    f"{CAL_BINS} fixed bins of score/max (integer cross-multiplied, "
+    "no float ratio), per-bin count, mean score, and positive-rate "
+    "ppm. The max is a broadcast scalar; binning is then a pure "
+    "column expression at scan time and the per-bin rollup is one "
+    f"hash agg onto {CAL_BINS} groups — no window, no data-grain "
+    "anything, the cheapest possible second pass at 100 TB.",
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    m = docs.agg(F.max("n_chars").alias("mx"))
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        docs.crossJoin(F.broadcast(m))
+        .select(
+            F.least(
+                F.expr(f"n_chars * {CAL_BINS} DIV mx"),
+                F.lit(CAL_BINS - 1),
+            ).cast("bigint").alias("score_bin"),
+            "n_chars",
+            pos.alias("pos"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(n_chars) DIV COUNT(*)").cast("bigint")
+            .alias("mean_chars"),
+            F.expr("SUM(pos) * 1000000 DIV COUNT(*)").cast("bigint")
+            .alias("pos_rate_ppm"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+@register(
+    "q200_hll_user_sketch",
+    oracle=None,  # sketch estimates; accuracy pinned in test_oracle.py
+    doc="Mergeable distinct-count sketches — the architecture that "
+    "replaces COUNT(DISTINCT) at 100 TB: one Datasketches HLL per "
+    "event_type (hll_sketch_agg, register-max semantics, so the "
+    "result is order- and partitioning-insensitive => deterministic "
+    "and restart-stable), estimates per group, plus the 'ALL' row "
+    "from hll_union_agg over the PER-GROUP sketches — the point is "
+    "that the union never rescans the data: sketch once per "
+    "partition/day/shard, merge centrally forever after. Accuracy "
+    "vs the exact counts is pinned at 5% in test_oracle.py "
+    "(rows-only by the q46/q54 sketch-family contract: estimates "
+    "have no cross-engine oracle).",
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    sk = (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        # pin: the per-type sketches feed BOTH outputs; without it the
+        # union branch would re-aggregate the whole table
+        .localCheckpoint(eager=True)
+    )
+    per = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    merged = (
+        sk.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("bigint")
+            .alias("est_users"),
+        )
+    )
+    return per.unionAll(merged).orderBy("event_type")

@@ -80,3 +80,23 @@ def test_stratified_sample_deterministic_and_in_bounds(spark, duck, sf_dir):
         else:
             sd = (n * frac * (1 - frac)) ** 0.5
             assert abs(got - n * frac) <= 5 * sd, (t, got, n * frac, sd)
+
+
+def test_hll_sketch_union_within_bound(spark, duck, sf_dir):
+    """q200: every per-type Datasketches HLL estimate, and the merged
+    'ALL' union estimate, must land within 5% of the exact distinct
+    count — and the union must NEVER rescan data (it merges the
+    per-type sketches; accuracy proves the merge is lossless enough)."""
+    est = {
+        r.event_type: r.est_users
+        for r in REGISTRY["q200_hll_user_sketch"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    exact["ALL"] = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert set(est) == set(exact)
+    for t, ref in exact.items():
+        assert abs(est[t] - ref) / max(ref, 1) <= 0.05, (t, est[t], ref)

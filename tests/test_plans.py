@@ -776,3 +776,31 @@ def test_q195_weighted_sample_is_takeordered(q):
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
     assert not has_python_eval(df)
+
+
+def test_q197_ingest_window_partitioned_by_fingerprint(q):
+    # incremental ingest: the first-occurrence window must be
+    # PARTITIONED by fp (batch-sized per-key work), and nothing may
+    # run single-partition at data grain; fingerprinting is JVM-side
+    df = q("q197_incremental_ingest")
+    p = plan_string(df)
+    assert "Window" in p and "SinglePartition" not in p
+    assert not has_python_eval(df)
+
+
+def test_q198_auc_banded_no_data_grain_window(q):
+    # rank-sum AUC: unpartitioned windows only over the bin aggregate
+    # (q170 banding); the distinct-score agg is the only wide stage
+    p = plan_string(q("q198_rank_auc"))
+    assert "row_number" not in p
+    assert_banded_windows_only(p)
+
+
+def test_q199_calibration_no_window_broadcast_max(q):
+    # reliability bins: binning is scan-time arithmetic against a
+    # broadcast scalar max — no window, no join beyond the broadcast
+    df = q("q199_calibration_bins")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 1 or "BroadcastNestedLoop" in p
+    assert not has_python_eval(df)
