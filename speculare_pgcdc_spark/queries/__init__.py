@@ -50,6 +50,8 @@ SWEEP_FIRST = [
     "q198_rank_auc",
     "q199_calibration_bins",
     "q200_hll_user_sketch",
+    "q201_bm25_topk",
+    "q202_hard_negatives",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

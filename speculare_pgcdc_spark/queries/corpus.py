@@ -30,7 +30,11 @@ training-data-pipeline surface the build brief names as first-class.
   that gates a quality-classifier filter before it touches a corpus;
 - q199: calibration (reliability) bins for the same score/label pair;
 - q200: mergeable per-group HLL sketches + their union (the
-  sketch-per-partition / merge-centrally distinct-count architecture).
+  sketch-per-partition / merge-centrally distinct-count architecture);
+- q201: BM25 top-k retrieval (term-filtered tf shuffle, broadcast
+  df/N/avgdl, DECIMAL-summed scores, integer-ranked TakeOrdered);
+- q202: hard-negative / far-positive mining over a bounded anchor set
+  (contrastive-training data prep; ANN is the corpus-scale tier).
 """
 
 from __future__ import annotations
@@ -1060,3 +1064,266 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return per.unionAll(merged).orderBy("event_type")
+
+
+#: q201 BM25 parameters (the standard Robertson defaults) and the
+#: fixed query — one rare term ('dup' appears in ~5% of docs) plus two
+#: near-stopwords, so idf separation is what the scores exercise
+BM25_TERMS = ("dup", "spark", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@register(
+    "q201_bm25_topk",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len(arr)) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM base
+        ),
+        tf AS (
+            SELECT doc_id, len(arr) AS dl, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, arr, unnest(arr) AS tok FROM base)
+            WHERE tok IN ('dup', 'spark', 'vector')
+            GROUP BY doc_id, dl, tok
+        ),
+        dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        scored AS (
+            SELECT t.doc_id,
+                   SUM(CAST(
+                       ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * t.tf * ({BM25_K1} + 1)
+                       / (t.tf + {BM25_K1} * (1 - {BM25_B}
+                          + {BM25_B} * t.dl / s.avgdl))
+                       AS DECIMAL(38,18))) AS score,
+                   COUNT(*) AS n_terms
+            FROM tf t JOIN dfs d ON t.tok = d.tok
+                 CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               CAST(FLOOR(score * 1000000) AS BIGINT) AS score_e6,
+               CAST(n_terms AS BIGINT) AS n_terms
+        FROM scored
+        ORDER BY score_e6 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    doc="BM25 top-k retrieval — the lexical ranking function behind "
+    "corpus search and retrieval-based eval-set construction, scored "
+    "for a fixed 3-term query with the Robertson k1/b defaults. "
+    "Pipeline: token lengths from the split array at scan time (no "
+    "explode for the length pass), the term filter applied BEFORE "
+    "the only corpus-sized shuffle (the per-(doc, term) tf "
+    "aggregate, which carries dl along so no doc-length join "
+    "exists), df and the N/avgdl scalars broadcast back, per-term "
+    "partial scores DECIMAL-summed (shuffle-order-independent, the "
+    "q136 contract), floor-scaled to integer micro-units BEFORE the "
+    "rank so the top-k cutoff never rides a raw double, TakeOrdered "
+    "for the final k. At 100 TB the tf aggregate keys on (doc_id, "
+    "term) post-filter — query-matched rows only, not the corpus; "
+    "the batch-retrieval form (many queries) broadcasts a term list "
+    "and adds query_id to the same shape. ln() on identical IEEE "
+    "operands agrees across engines (the q136/q144 precedent).",
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = table(spark, sf, "documents").select(
+        "doc_id", arr.alias("arr")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("arr")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    matched = base.select(
+        "doc_id",
+        F.size("arr").alias("dl"),
+        F.explode(
+            F.filter(F.col("arr"), lambda x: x.isin(*BM25_TERMS))
+        ).alias("tok"),
+    )
+    tf = matched.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(38,18)")
+    return (
+        tf.join(F.broadcast(dfs), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("score") * 1000000).cast("bigint")
+            .alias("score_e6"),
+            "n_terms",
+        )
+        .orderBy(F.col("score_e6").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+#: q202 anchor set bound — the exact cross join is anchors x corpus,
+#: verification-sized by the q183 convention (ANN is the scale path)
+HARDNEG_ANCHORS = 32
+
+
+@register(
+    "q202_hard_negatives",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        anchors AS (
+            SELECT vec_id AS aid, label AS albl, v AS av
+            FROM e WHERE vec_id < {HARDNEG_ANCHORS}
+        ),
+        pairs AS (
+            SELECT a.aid, a.albl, c.vec_id AS cid, c.label AS clbl,
+                   CAST(FLOOR(list_dot_product(a.av, c.v)
+                       / (sqrt(list_dot_product(a.av, a.av))
+                          * sqrt(list_dot_product(c.v, c.v)))
+                       * 1000000) AS BIGINT) AS sim_ppm
+            FROM anchors a CROSS JOIN e c
+            WHERE c.vec_id <> a.aid
+        ),
+        neg AS (
+            SELECT aid, cid, sim_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY aid
+                       ORDER BY sim_ppm DESC, cid) AS rk
+            FROM pairs WHERE clbl <> albl
+        ),
+        pos AS (
+            SELECT aid, cid, sim_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY aid
+                       ORDER BY sim_ppm ASC, cid) AS rk
+            FROM pairs WHERE clbl = albl
+        )
+        SELECT a.aid AS vec_id, a.albl AS label,
+               n.cid AS hard_neg_id, n.sim_ppm AS hard_neg_sim_ppm,
+               p.cid AS far_pos_id, p.sim_ppm AS far_pos_sim_ppm
+        FROM anchors a
+        LEFT JOIN neg n ON n.aid = a.aid AND n.rk = 1
+        LEFT JOIN pos p ON p.aid = a.aid AND p.rk = 1
+        ORDER BY vec_id
+    """,
+    doc="Hard-negative / far-positive mining for contrastive training "
+    "— per anchor, the most-similar OTHER-label vector (the hard "
+    "negative that makes a triplet informative) and the least-similar "
+    "SAME-label vector (the hardest positive): exact cosines over a "
+    f"bounded {HARDNEG_ANCHORS}-anchor probe set, floor-scaled to "
+    "integer ppm BEFORE ranking so the argmax/argmin never order on "
+    "a raw double (ties then break on candidate id — fully "
+    "engine-stable). LEFT joins keep anchors whose label class is a "
+    "singleton. Scale: the cross join is the verification-sized "
+    "exact twin (the q183 contract); at corpus scale the candidate "
+    "set per anchor comes from the ANN tier (q53 IVF / q126 PQ) and "
+    "this ranking runs per bucket — the mining logic is unchanged, "
+    "only candidate generation swaps.",
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        sim._norm(F.col("embedding")).alias("nrm"),
+    )
+    anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clbl"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_ppm = F.floor(
+        sim._dot(F.col("av"), F.col("cv"))
+        / (F.col("an") * F.col("cn"))
+        * 1000000
+    ).cast("bigint")
+    pairs = (
+        anchors.crossJoin(cands)
+        .filter(F.col("cid") != F.col("aid"))
+        .withColumn("sim_ppm", sim_ppm)
+        .select("aid", "albl", "cid", "clbl", "sim_ppm")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    neg_rk = W.partitionBy("aid").orderBy(
+        F.col("sim_ppm").desc(), "cid"
+    )
+    neg = (
+        pairs.filter(F.col("clbl") != F.col("albl"))
+        .withColumn("rk", F.row_number().over(neg_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("hard_neg_id"),
+            F.col("sim_ppm").alias("hard_neg_sim_ppm"),
+        )
+    )
+    pos_rk = W.partitionBy("aid").orderBy("sim_ppm", "cid")
+    pos = (
+        pairs.filter(
+            (F.col("clbl") == F.col("albl"))
+        )
+        .withColumn("rk", F.row_number().over(pos_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("far_pos_id"),
+            F.col("sim_ppm").alias("far_pos_sim_ppm"),
+        )
+    )
+    return (
+        anchors.select(
+            F.col("aid"), F.col("albl").alias("label")
+        )
+        .join(neg, "aid", "left")
+        .join(pos, "aid", "left")
+        .select(
+            F.col("aid").alias("vec_id"),
+            "label",
+            "hard_neg_id",
+            "hard_neg_sim_ppm",
+            "far_pos_id",
+            "far_pos_sim_ppm",
+        )
+        .orderBy("vec_id")
+    )

@@ -804,3 +804,29 @@ def test_q199_calibration_no_window_broadcast_max(q):
     assert "Window" not in p
     assert broadcast_hash_join_count(df) >= 1 or "BroadcastNestedLoop" in p
     assert not has_python_eval(df)
+
+
+def test_q201_bm25_term_filter_before_shuffle_broadcast_stats(q):
+    # BM25: the term filter must precede the tf shuffle (matched rows
+    # only reach the exchange), df/N/avgdl come back as broadcasts,
+    # and the final k is a TakeOrdered, never a global sort
+    df = q("q201_bm25_topk")
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_q202_hard_negatives_windows_per_anchor(q):
+    # mining windows are PARTITIONED by anchor (the only
+    # SinglePartition exchanges Spark may inject are the constant-size
+    # runtime bloom-filter buffer merges, not data-grain work);
+    # similarity is the JVM zip_with fold (no Python)
+    df = q("q202_hard_negatives")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected per-anchor ranking windows"
+    for ln in win_lines:
+        assert "aid" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
