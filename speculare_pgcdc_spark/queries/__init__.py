@@ -52,6 +52,12 @@ SWEEP_FIRST = [
     "q200_hll_user_sketch",
     "q201_bm25_topk",
     "q202_hard_negatives",
+    "q203_ndcg_at_k",
+    "q204_mrr",
+    "q205_threshold_sweep",
+    "q206_cohens_kappa",
+    "q207_autocorrelation",
+    "q208_theil_sen_trend",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

@@ -1327,3 +1327,620 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------
+# Retrieval / classifier evaluation metrics (round 6, batch 3): the
+# measurements a team runs on every ranking function and quality
+# classifier BEFORE letting it filter or order a corpus. All outputs
+# follow the engine-stability convention: integer e9-scaled discount
+# constants, exact BIGINT/DECIMAL arithmetic, ppm via exact DIV.
+# --------------------------------------------------------------------
+
+#: NDCG@k cutoff and the e9-scaled rank discounts 1e9/log2(r+1),
+#: r = 1..k, precomputed as INTEGER literals so both engines sum the
+#: exact same numbers (no ln/log2 call in either plan); _NDCG_IDCG_E9
+#: holds the ideal-DCG prefix sums (index m = ideal DCG of m
+#: relevant docs).
+NDCG_K = 10
+_NDCG_DISC_E9 = (
+    1000000000, 630929753, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464876, 301029995, 289064826,
+)
+_NDCG_IDCG_E9 = (
+    0, 1000000000, 1630929753, 2130929753, 2561606311, 2948459118,
+    3304666305, 3637999638, 3953464514, 4254494509, 4543559335,
+)
+
+_NDCG_DISC_SQL = "CASE rk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC_E9)
+) + " END"
+_NDCG_IDCG_SQL = "CASE least(n_rel, 10) " + " ".join(
+    f"WHEN {m} THEN {v}" for m, v in enumerate(_NDCG_IDCG_E9)
+) + " END"
+
+
+@register(
+    "q203_ndcg_at_k",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ),
+        dcg AS (
+            SELECT source,
+                   SUM(rel * ({_NDCG_DISC_SQL})) AS dcg_e9
+            FROM ranked WHERE rk <= {NDCG_K} GROUP BY source
+        ),
+        stats AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS n_rel
+            FROM documents GROUP BY source
+        )
+        SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+               CAST(s.n_rel AS BIGINT) AS n_rel,
+               CAST(COALESCE(d.dcg_e9, 0) * 1000000
+                    // greatest({_NDCG_IDCG_SQL}, 1) AS BIGINT)
+                   AS ndcg_ppm
+        FROM stats s LEFT JOIN dcg d ON s.source = d.source
+        ORDER BY s.source
+    """,
+    doc="NDCG@10 of a ranking (score = n_chars desc, doc_id "
+    "tiebreak) against binary relevance (lang = 'en'), per query "
+    "group (source) — the retrieval-eval metric behind every search "
+    "and eval-set ranking change. Engine-stable by construction: the "
+    "1/log2(rank+1) discounts are precomputed e9-scaled INTEGER "
+    "literals (no transcendental call in either plan), DCG is a "
+    "BIGINT sum, ideal DCG is a prefix-sum lookup on "
+    "least(n_rel, k), and NDCG is exact integer DIV to ppm. Scale: "
+    "the rank filter rk <= k sits directly on the window, which "
+    "Spark's WindowGroupLimit rewrite turns into per-partition "
+    "partial top-k before the shuffle — the full sort of each "
+    "source's documents never happens; everything after is "
+    "group-grain.",
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    rel = F.when(F.col("lang") == "en", 1).otherwise(0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    disc = F.lit(None)
+    for r, d in enumerate(_NDCG_DISC_E9):
+        disc = F.when(F.col("rk") == r + 1, d).otherwise(disc)
+    dcg = (
+        docs.select("source", rel.alias("rel"),
+                    F.col("n_chars"), F.col("doc_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NDCG_K)
+        .groupBy("source")
+        .agg(F.sum(F.col("rel") * disc).alias("dcg_e9"))
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(rel).cast("bigint").alias("n_rel"),
+    )
+    idcg = F.lit(None)
+    for m, v in enumerate(_NDCG_IDCG_E9):
+        idcg = F.when(
+            F.least(F.col("n_rel"), F.lit(NDCG_K)) == m, v
+        ).otherwise(idcg)
+    return (
+        stats.join(dcg, "source", "left")
+        .select(
+            "source", "n_docs", "n_rel",
+            (F.coalesce(F.col("dcg_e9"), F.lit(0)) * 1000000)
+            .cast("bigint").alias("_num"),
+            idcg.alias("_idcg"),
+        )
+        .select(
+            "source", "n_docs", "n_rel",
+            F.expr("CAST(_num DIV greatest(_idcg, 1) AS BIGINT)")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q204_mrr",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ),
+        firstrel AS (
+            SELECT source, MIN(rk) AS r FROM ranked
+            WHERE lang = 'en' GROUP BY source
+        )
+        SELECT s.source,
+               CAST(f.r AS BIGINT) AS first_rel_rank,
+               CAST(COALESCE(1000000 // f.r, 0) AS BIGINT) AS rr_ppm
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN firstrel f ON s.source = f.source
+        ORDER BY s.source
+    """,
+    doc="Mean-reciprocal-rank inputs per query group (source): the "
+    "rank of the FIRST relevant document (lang = 'en') under the "
+    "(n_chars desc, doc_id) ordering, and its reciprocal as exact "
+    "integer ppm (1000000 DIV rank). Computed WITHOUT ranking the "
+    "group: the best relevant doc per source is one max(struct(...)) "
+    "aggregate, and its rank is 1 + the count of docs ordered "
+    "strictly above it — a broadcast join of the group-grain best "
+    "row against the scan plus one hash agg. No window at all, so "
+    "at 100 TB the cost is two scans and group-grain joins, "
+    "independent of group size or skew. Sources with no relevant "
+    "doc keep a NULL rank and rr_ppm 0 (LEFT join).",
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select(
+        "source", "doc_id", "n_chars", "lang"
+    )
+    best = (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "source",
+            F.col("b.nc").alias("bnc"),
+            (-F.col("b.nd")).alias("bid"),
+        )
+    )
+    above = (
+        docs.join(F.broadcast(best), "source")
+        .filter(
+            (F.col("n_chars") > F.col("bnc"))
+            | (
+                (F.col("n_chars") == F.col("bnc"))
+                & (F.col("doc_id") < F.col("bid"))
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    return (
+        docs.select("source").distinct()
+        .join(F.broadcast(best.select("source", "bnc")), "source",
+              "left")
+        .join(F.broadcast(above), "source", "left")
+        .select(
+            "source",
+            F.when(
+                F.col("bnc").isNotNull(),
+                F.coalesce(F.col("n_above"), F.lit(0)) + 1,
+            ).cast("bigint").alias("first_rel_rank"),
+        )
+        .select(
+            "source",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+            ).cast("bigint").alias("rr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: q205 threshold grid resolution (score-bin count, q199's convention)
+SWEEP_BINS = 20
+
+
+@register(
+    "q205_threshold_sweep",
+    oracle=f"""
+        WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+        b AS (
+            SELECT least(n_chars * {SWEEP_BINS} // mx,
+                         {SWEEP_BINS - 1}) AS score_bin,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents CROSS JOIN m
+        ),
+        g AS (
+            SELECT score_bin, SUM(pos) AS pos_cnt,
+                   COUNT(*) - SUM(pos) AS neg_cnt
+            FROM b GROUP BY score_bin
+        ),
+        t AS (
+            SELECT SUM(pos_cnt) AS total_pos FROM g
+        ),
+        c AS (
+            SELECT score_bin,
+                   SUM(pos_cnt) OVER (ORDER BY score_bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS tp,
+                   SUM(neg_cnt) OVER (ORDER BY score_bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS fp
+            FROM g
+        )
+        SELECT CAST(score_bin AS BIGINT) AS thresh_bin,
+               CAST(tp + fp AS BIGINT) AS n_pred,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT)
+                   AS precision_ppm,
+               CAST(tp * 1000000 // greatest(t.total_pos, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST(2 * tp * 1000000
+                    // greatest(tp + fp + t.total_pos, 1) AS BIGINT)
+                   AS f1_ppm
+        FROM c CROSS JOIN t
+        ORDER BY thresh_bin
+    """,
+    doc="Operating-point sweep for a score/label pair: "
+    "precision / recall / F1 at every threshold of a "
+    f"{SWEEP_BINS}-bin score grid (predict positive when score-bin "
+    ">= t) — the curve a team reads to PICK the quality-filter "
+    "threshold that q198's AUC only summarizes. Shape: one hash agg "
+    "to bin grain, then reverse-cumulative windows over the "
+    f"<= {SWEEP_BINS}-row bin table (the q198 banding contract: "
+    "windows only ever run at bin grain), totals broadcast; every "
+    "metric is exact integer ppm (F1 = 2*tp // (2*tp + fp + fn) "
+    "with fn folded via total_pos). Scale: the corpus touches one "
+    "scan + one agg; the sweep itself is O(bins).",
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    m = docs.agg(F.max("n_chars").alias("mx"))
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        docs.crossJoin(F.broadcast(m))
+        .select(
+            F.least(
+                F.expr(f"n_chars * {SWEEP_BINS} DIV mx"),
+                F.lit(SWEEP_BINS - 1),
+            ).alias("score_bin"),
+            pos.alias("pos"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.sum("pos").alias("pos_cnt"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("neg_cnt"),
+        )
+    )
+    g = g.localCheckpoint(eager=True)
+    t = g.agg(F.sum("pos_cnt").alias("total_pos"))
+    w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.select(
+            "score_bin",
+            F.sum("pos_cnt").over(w).alias("tp"),
+            F.sum("neg_cnt").over(w).alias("fp"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("score_bin").cast("bigint").alias("thresh_bin"),
+            (F.col("tp") + F.col("fp")).cast("bigint")
+            .alias("n_pred"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.expr(
+                "CAST(tp * 1000000 DIV greatest(tp + fp, 1) "
+                "AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(tp * 1000000 DIV greatest(total_pos, 1) "
+                "AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(2 * tp * 1000000 DIV "
+                "greatest(tp + fp + total_pos, 1) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("thresh_bin")
+    )
+
+
+#: q206 rater A threshold: docs with n_chars >= this count as "long"
+KAPPA_CHARS = 300
+
+
+@register(
+    "q206_cohens_kappa",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0
+                   END AS a,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT COUNT(*) AS n,
+                   SUM(a) AS a1, SUM(b) AS b1,
+                   SUM(a * b) AS n11,
+                   SUM((1 - a) * (1 - b)) AS n00,
+                   SUM(a * (1 - b)) AS n10,
+                   SUM((1 - a) * b) AS n01
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n00 AS BIGINT) AS n00,
+               CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10,
+               CAST(n11 AS BIGINT) AS n11,
+               CAST(FLOOR(
+                   CAST(n * (n00 + n11)
+                        - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                   / CAST(greatest(n * n
+                        - (a1 * b1 + (n - a1) * (n - b1)), 1)
+                        AS DOUBLE) * 1000000) AS BIGINT) AS kappa_e6
+        FROM c
+    """,
+    doc="Cohen's kappa between two labelling functions — rater A = "
+    f"'long doc' (n_chars >= {KAPPA_CHARS}), rater B = 'is English' "
+    "(lang = 'en') — the chance-corrected agreement measure used to "
+    "decide whether two annotation pipelines (or a classifier and a "
+    "human pass) measure the same thing before one replaces the "
+    "other. One scan, one 6-counter hash agg to a single row; kappa "
+    "= (n*(n00+n11) - chance) / (n^2 - chance) with chance = "
+    "a1*b1 + a0*b0 kept as exact BIGINTs, the final ratio taken in "
+    "DOUBLE on identical integer operands and floored to e6 (floor "
+    "is toward -inf in both engines, so negative kappa — "
+    "worse-than-chance agreement — stays engine-stable). The full "
+    "2x2 contingency table is emitted alongside so any other "
+    "agreement statistic is derivable without a rescan.",
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    a = F.when(F.col("n_chars") >= KAPPA_CHARS, 1).otherwise(0)
+    b = F.when(F.col("lang") == "en", 1).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+    )
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.floor(
+            (
+                F.col("n") * (F.col("n00") + F.col("n11"))
+                - (
+                    F.col("a1") * F.col("b1")
+                    + (F.col("n") - F.col("a1"))
+                    * (F.col("n") - F.col("b1"))
+                )
+            ).cast("double")
+            / F.greatest(
+                F.col("n") * F.col("n")
+                - (
+                    F.col("a1") * F.col("b1")
+                    + (F.col("n") - F.col("a1"))
+                    * (F.col("n") - F.col("b1"))
+                ),
+                F.lit(1),
+            ).cast("double")
+            * 1000000
+        ).cast("bigint").alias("kappa_e6"),
+    )
+
+
+#: q207 maximum autocorrelation lag (days)
+ACF_MAX_LAG = 7
+
+
+@register(
+    "q207_autocorrelation",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events GROUP BY d
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx FROM days
+        ),
+        den AS (
+            SELECT SUM(CAST((s.n * d.x - s.sx) AS HUGEINT)
+                       * (s.n * d.x - s.sx)) AS den
+            FROM days d CROSS JOIN s
+        ),
+        lags AS (
+            SELECT CAST(x AS BIGINT) AS lag
+            FROM generate_series(1, {ACF_MAX_LAG}) t(x)
+        ),
+        num AS (
+            SELECT l.lag, COUNT(*) AS n_pairs,
+                   SUM(CAST((s.n * a.x - s.sx) AS HUGEINT)
+                       * (s.n * b.x - s.sx)) AS num
+            FROM lags l
+            JOIN days a ON TRUE
+            JOIN days b ON b.d = a.d + CAST(l.lag AS INTEGER)
+            CROSS JOIN s
+            GROUP BY l.lag
+        )
+        SELECT num.lag,
+               CAST(num.n_pairs AS BIGINT) AS n_pairs,
+               CAST(FLOOR(CAST(num.num AS DOUBLE)
+                    / CAST(greatest(den.den, 1) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS acf_ppm
+        FROM num CROSS JOIN den
+        ORDER BY num.lag
+    """,
+    doc="Lag-1..7 autocorrelation of the daily event-count series — "
+    "the seasonality detector behind capacity planning and the "
+    "q168/q177 anomaly thresholds (a strong lag-7 says 'weekly "
+    "cycle', a high lag-1 says 'bursts persist'). Exact arithmetic "
+    "throughout: with S = sum(x) and n = days, the centered product "
+    "(x_t - S/n)(x_{{t+k}} - S/n) is scaled by n^2 to the all-integer "
+    "(n*x_t - S)(n*x_{{t+k}} - S), DECIMAL/HUGEINT-summed; only the "
+    "final num/den ratio is taken in DOUBLE (identical operands -> "
+    "identical IEEE result) and floored to ppm. Shape: one "
+    "corpus-sized agg to day grain, then everything — the lag "
+    "self-join on d = d + k, the scalar den — runs on the tiny day "
+    "table; missing days simply drop pairs (n_pairs reports "
+    "coverage). At 100 TB the day table is still thousands of rows.",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    days = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    s = days.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    dec = "decimal(38,0)"
+    den = (
+        days.crossJoin(F.broadcast(s))
+        .select(
+            (
+                (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+                * (F.col("n") * F.col("x") - F.col("sx"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("den"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = days.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = days.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    num = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("lag").cast("int")),
+        )
+        .crossJoin(F.broadcast(s))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("sx")).cast(dec)
+                * (F.col("n") * F.col("xb") - F.col("sx"))
+            ).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.floor(
+                F.col("num").cast("double")
+                / F.greatest(
+                    F.col("den"), F.lit(1).cast(dec)
+                ).cast("double")
+                * 1000000
+            ).cast("bigint").alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q208_theil_sen_trend",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events GROUP BY d
+        ),
+        t AS (
+            SELECT CAST(d - (SELECT MIN(d) FROM days) AS BIGINT)
+                       AS t, x
+            FROM days
+        ),
+        pairs AS (
+            SELECT CAST(b.x - a.x AS DOUBLE)
+                   / CAST(b.t - a.t AS DOUBLE) AS slope
+            FROM t a JOIN t b ON b.t > a.t
+        ),
+        ranked AS (
+            SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                   COUNT(*) OVER () AS np
+            FROM pairs
+        ),
+        sel AS (
+            SELECT AVG(slope) AS med, MAX(np) AS np FROM ranked
+            WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT)
+                   AS n_days,
+               CAST(np AS BIGINT) AS n_pairs,
+               CAST(FLOOR(med * 1000000) AS BIGINT) AS slope_ppm
+        FROM sel
+    """,
+    doc="Theil-Sen robust trend of the daily event-count series: the "
+    "exact median of all pairwise slopes (x_j - x_i)/(t_j - t_i) — "
+    "the slope estimator that shrugs off the outlier days that make "
+    "OLS (q187's fit) lie about traffic trends. Median selection is "
+    "explicit order statistics (row_number, pick positions "
+    "(n+1)//2 and (n+2)//2, AVG the one or two values) so both "
+    "engines average the SAME two IEEE doubles — no reliance on "
+    "matching quantile-interpolation conventions — and the result "
+    "is floored to ppm (floor toward -inf: negative trends stay "
+    "stable). Shape: one corpus-sized agg to day grain; the "
+    "O(days^2) pair join and its sort are day-grain (3.65k days = "
+    "6.6M pairs at a decade of data — executor-trivial). Slope "
+    "units: events/day.",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tmin = days.agg(F.min("d").alias("d0"))
+    t = days.crossJoin(F.broadcast(tmin)).select(
+        F.datediff("d", "d0").cast("bigint").alias("t"), "x"
+    )
+    a = t.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = t.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("tb") - F.col("ta")).cast("double")
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = pairs.select(
+        "slope", F.row_number().over(w).alias("rn")
+    ).crossJoin(
+        F.broadcast(pairs.agg(F.count(F.lit(1)).alias("np")))
+    )
+    sel = ranked.filter(
+        (F.col("rn") == F.expr("(np + 1) DIV 2"))
+        | (F.col("rn") == F.expr("(np + 2) DIV 2"))
+    ).agg(F.avg("slope").alias("med"), F.max("np").alias("np"))
+    n_days = days.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        sel.crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.floor(F.col("med") * 1000000).cast("bigint")
+            .alias("slope_ppm"),
+        )
+    )
