@@ -58,6 +58,11 @@ SWEEP_FIRST = [
     "q206_cohens_kappa",
     "q207_autocorrelation",
     "q208_theil_sen_trend",
+    "q209_repetition_ratio",
+    "q210_ks_test",
+    "q211_chi_squared",
+    "q212_js_divergence",
+    "q213_kaplan_meier",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

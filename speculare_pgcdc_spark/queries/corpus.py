@@ -1944,3 +1944,522 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
             .alias("slope_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Distribution tests + corpus-hygiene filters (round 6, batch 4):
+# repetition filtering (the Gopher-style duplicate-n-gram rule),
+# two-sample KS, chi-squared independence, JS divergence, and a
+# Kaplan-Meier time-to-event curve — the statistical toolkit behind
+# "did this corpus / cohort actually change" decisions.
+# --------------------------------------------------------------------
+
+#: q209: docs whose duplicate-bigram fraction is at/above this ppm are
+#: flagged repetitive (fixture range: median ~28k, max ~133k ppm)
+REP_FLAG_PPM = 60000
+
+
+@register(
+    "q209_repetition_ratio",
+    oracle=f"""
+        WITH b AS (
+            SELECT source,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS a
+            FROM documents
+        ),
+        g AS (
+            SELECT source,
+                   CASE WHEN len(a) >= 2 THEN
+                       list_transform(generate_series(1, len(a) - 1),
+                           i -> a[i] || ' ' || a[i + 1])
+                   ELSE [] END AS bg
+            FROM b
+        ),
+        r AS (
+            SELECT source,
+                   (len(bg) - len(list_distinct(bg))) * 1000000
+                       // greatest(len(bg), 1) AS rep_ppm
+            FROM g
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(rep_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_rep_ppm,
+               CAST(SUM(CASE WHEN rep_ppm >= {REP_FLAG_PPM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Intra-document repetition filter (the Gopher-family "
+    "duplicate-n-gram rule): per doc, the fraction of bigrams that "
+    "are repeats of an earlier bigram in the same doc — template "
+    "spam, keyword stuffing, and decode-loop artifacts all light "
+    "this up. rep_ppm = (n_bigrams - n_distinct_bigrams) exact "
+    "integer ppm; per-source rollup emits mean rep and the count "
+    f"over the {REP_FLAG_PPM} ppm flag line. Entirely map-side: "
+    "bigrams, distinct count, and the ratio are per-row array "
+    "expressions (transform over index sequence + array_distinct — "
+    "no explode, no shuffle at token grain); the only shuffle is "
+    "the source-grain rollup. At 100 TB this is the cheapest shape "
+    "a token-level filter can have.",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    a = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    docs = table(spark, sf, "documents").select(
+        "source", a.alias("a")
+    )
+    bg = F.when(
+        F.size("a") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("a") - 1),
+            lambda i: F.concat(
+                F.element_at("a", i),
+                F.lit(" "),
+                F.element_at("a", i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    r = docs.select(
+        "source", bg.alias("bg")
+    ).select(
+        "source",
+        F.expr(
+            "(size(bg) - size(array_distinct(bg))) * 1000000 "
+            "DIV greatest(size(bg), 1)"
+        ).alias("rep_ppm"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(rep_ppm) DIV COUNT(*)").cast("bigint")
+            .alias("mean_rep_ppm"),
+            F.sum(
+                (F.col("rep_ppm") >= REP_FLAG_PPM).cast("int")
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+#: q210 value-bin width (n_chars grain, the q198 banding)
+KS_BIN = 64
+
+
+@register(
+    "q210_ks_test",
+    oracle="""
+        WITH g AS (
+            SELECT n_chars AS v,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS a_cnt,
+                   SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                       AS b_cnt
+            FROM documents GROUP BY v
+        ),
+        t AS (
+            SELECT CAST(SUM(a_cnt) AS HUGEINT) AS na,
+                   CAST(SUM(b_cnt) AS HUGEINT) AS nb
+            FROM g
+        ),
+        c AS (
+            SELECT SUM(a_cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ca,
+                   SUM(b_cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cb
+            FROM g
+        )
+        SELECT CAST(t.na AS BIGINT) AS n_en,
+               CAST(t.nb AS BIGINT) AS n_other,
+               CAST(MAX(abs(CAST(ca AS HUGEINT) * t.nb
+                            - CAST(cb AS HUGEINT) * t.na))
+                    * 1000000 // greatest(t.na * t.nb, 1) AS BIGINT)
+                   AS ks_ppm
+        FROM c CROSS JOIN t
+        GROUP BY t.na, t.nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the en and "
+    "non-en n_chars distributions — the distribution-shift test a "
+    "team runs before blaming a metric move on a pipeline change "
+    "(q144's KL needs binning and misses location shifts; KS is "
+    "binning-free). Exact integer throughout: D = max |F1 - F2| is "
+    "computed as max |ca*n2 - cb*n1| over distinct values (one "
+    "cross-multiplication per value, no float CDFs), emitted as "
+    "exact ppm of n1*n2. The cumulative counts come from the q198 "
+    "two-level banding (bin cumsum + in-bin prefix), so no window "
+    "ever sees data grain — value grain is bounded by the score "
+    "range, not the corpus. Spark accumulates the cross products "
+    "in DECIMAL(38,0) (HUGEINT in the oracle): n1*n2 overflows "
+    "BIGINT at ~3e9 rows per class.",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        table(spark, sf, "documents")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(pos).alias("a_cnt"),
+            (F.count(F.lit(1)) - F.sum(pos)).alias("b_cnt"),
+        )
+        .withColumn("b", F.expr(f"v DIV {KS_BIN}"))
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
+    )
+    bins = g.groupBy("b").agg(
+        F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
+    )
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.select(
+        "b",
+        F.coalesce(F.sum("ba").over(w_bins), F.lit(0))
+        .alias("below_a"),
+        F.coalesce(F.sum("bb").over(w_bins), F.lit(0))
+        .alias("below_b"),
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    c = (
+        g.withColumn("ia", F.sum("a_cnt").over(w_in))
+        .withColumn("ib", F.sum("b_cnt").over(w_in))
+        .join(F.broadcast(bins), "b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.abs(
+                (F.col("below_a") + F.col("ia")).cast(dec)
+                * F.col("nb")
+                - (F.col("below_b") + F.col("ib")).cast(dec)
+                * F.col("na")
+            ).alias("d"),
+            F.col("na").cast(dec).alias("na"),
+            F.col("nb").cast(dec).alias("nb"),
+        )
+    )
+    return c.groupBy("na", "nb").agg(
+        F.max("d").alias("mx")
+    ).select(
+        F.col("na").cast("bigint").alias("n_en"),
+        F.col("nb").cast("bigint").alias("n_other"),
+        F.expr(
+            "CAST((mx * 1000000 - pmod(mx * 1000000, "
+            "greatest(na * nb, 1))) / greatest(na * nb, 1) "
+            "AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+@register(
+    "q211_chi_squared",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, COUNT(*) AS obs
+            FROM documents GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+        ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+        n AS (SELECT SUM(obs) AS n FROM o),
+        grid AS (
+            SELECT rt.lang, ct.source, rt.r, ct.c, n.n,
+                   COALESCE(o.obs, 0) AS obs
+            FROM rt CROSS JOIN ct CROSS JOIN n
+            LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST((COUNT(DISTINCT lang) - 1)
+                    * (COUNT(DISTINCT source) - 1) AS BIGINT)
+                   AS dof,
+               CAST(ROUND(CAST(SUM(CAST(
+                   CAST((obs * n - r * c) * (obs * n - r * c)
+                        AS DOUBLE)
+                   / CAST(n * r * c AS DOUBLE)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS chi2
+        FROM grid
+    """,
+    doc="Chi-squared test of independence for the lang x source "
+    "contingency table — 'does language mix depend on source?', the "
+    "stratification check run before pooling sources into one "
+    "training blend. Each cell's (O - E)^2 / E is algebraically "
+    "rescaled to (O*n - r*c)^2 / (n*r*c) so numerator and "
+    "denominator are EXACT BIGINTs (zero cells included via the "
+    "row x column grid — they contribute r*c/n); only then does "
+    "each term go to DOUBLE (identical operands -> identical IEEE "
+    "quotient), accumulating in DECIMAL(28,12) with the final "
+    "round->double output (the q144 contract). Shape: one hash agg "
+    "to cell grain, marginals re-aggregated from the cells (the "
+    "corpus is scanned once), and the grid is category-sized.",
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    term = (
+        ((F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+         * (F.col("obs") * F.col("n") - F.col("r") * F.col("c")))
+        .cast("double")
+        / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    ).cast("decimal(28,12)")
+    return grid.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum(term).cast("double"), 6).cast("double")
+        .alias("chi2"),
+    )
+
+
+@register(
+    "q212_js_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+                   t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        per AS (
+            SELECT tok,
+                   SUM(grp) AS c1,
+                   COUNT(*) - SUM(grp) AS c2
+            FROM toks GROUP BY tok
+        ),
+        t AS (
+            SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per
+        )
+        SELECT CAST(t.n1 AS BIGINT) AS n_tokens_en,
+               CAST(t.n2 AS BIGINT) AS n_tokens_other,
+               CAST(ROUND(CAST(SUM(CAST(
+                   0.5 * (CASE WHEN c1 > 0 THEN
+                       (c1 * 1.0 / t.n1) * ln((c1 * 1.0 / t.n1)
+                           / (((c1 * 1.0 / t.n1)
+                               + (c2 * 1.0 / t.n2)) / 2))
+                       ELSE 0 END)
+                   + 0.5 * (CASE WHEN c2 > 0 THEN
+                       (c2 * 1.0 / t.n2) * ln((c2 * 1.0 / t.n2)
+                           / (((c1 * 1.0 / t.n1)
+                               + (c2 * 1.0 / t.n2)) / 2))
+                       ELSE 0 END)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS js_divergence
+        FROM per CROSS JOIN t
+        GROUP BY t.n1, t.n2
+    """,
+    doc="Jensen-Shannon divergence between the en and non-en unigram "
+    "distributions — the SYMMETRIC, bounded (<= ln 2) cousin of "
+    "q144's KL, the standard 'how different are these two corpora' "
+    "number (KL is infinite on any token one side lacks; JS "
+    "handles disjoint support, which real corpus pairs always "
+    "have). One (tok)-keyed agg carries both class counts, totals "
+    "are a broadcast scalar; p, q, m = (p+q)/2 are doubles from "
+    "exact integer ratios so both engines form identical IEEE "
+    "terms, zero-count sides contribute exactly 0 by CASE (not by "
+    "float underflow), and terms accumulate in DECIMAL(28,12) with "
+    "round->double output (the q144/q136 contract). Scale: "
+    "token-vocabulary grain after one corpus scan.",
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("lang", "text")
+    grp = F.when(F.col("lang") == "en", 1).otherwise(0)
+    toks = docs.select(
+        grp.alias("grp"),
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("tok").agg(
+        F.sum("grp").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("grp")).alias("c2"),
+    )
+    t = per.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p = F.col("c1") * 1.0 / F.col("n1")
+    q = F.col("c2") * 1.0 / F.col("n2")
+    m = (p + q) / 2
+    term = (
+        0.5 * F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5
+        * F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(0.0)
+    ).cast("decimal(28,12)")
+    return (
+        per.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).cast("double")
+            .alias("js_divergence")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n_tokens_en"),
+            F.col("n2").cast("bigint").alias("n_tokens_other"),
+            "js_divergence",
+        )
+    )
+
+
+#: q213 step encoding base: step = n_risk * KM_ENC + d_events, so the
+#: recurrence can ride a BIGINT-typed list fold in both engines
+KM_ENC = 100000000
+
+
+@register(
+    "q213_kaplan_meier",
+    oracle=f"""
+        WITH oe AS (
+            SELECT MAX(CAST(ts AS DATE)) AS oe FROM events
+        ),
+        u AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ts AS DATE) END) AS fp
+            FROM events GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT CASE WHEN fp IS NOT NULL
+                        THEN CAST(fp - f AS BIGINT)
+                        ELSE CAST((SELECT oe FROM oe) - f AS BIGINT)
+                   END AS t,
+                   CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM u
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM u2),
+        pts AS (
+            SELECT t, SUM(ev) AS d, COUNT(*) AS c_all
+            FROM u2 GROUP BY t
+        ),
+        pts2 AS (
+            SELECT t, d,
+                   n - COALESCE(SUM(c_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS r
+            FROM pts CROSS JOIN tot
+        ),
+        steps AS (
+            SELECT list(struct_pack(t := t, r := r, d := d)
+                        ORDER BY t) AS arr
+            FROM pts2 WHERE d > 0
+        ),
+        curve AS (
+            SELECT unnest(generate_series(1, len(arr))) AS i, arr
+            FROM steps
+        )
+        SELECT CAST((arr[i]).t AS BIGINT) AS t,
+               CAST((arr[i]).r AS BIGINT) AS n_risk,
+               CAST((arr[i]).d AS BIGINT) AS d_events,
+               CAST(list_reduce(
+                   list_prepend(CAST(1000000 AS BIGINT),
+                       list_transform(list_slice(arr, 1, i),
+                           x -> CAST(x.r * {KM_ENC} + x.d
+                                     AS BIGINT))),
+                   (a, b) -> a * ((b // {KM_ENC}) - (b % {KM_ENC}))
+                             // (b // {KM_ENC})) AS BIGINT)
+                   AS surv_ppm
+        FROM curve ORDER BY t
+    """,
+    doc="Kaplan-Meier curve for time-to-first-purchase per user, "
+    "right-censored at the observation window's end for users who "
+    "never converted — the estimator that makes conversion-latency "
+    "claims honest when the window cuts users off (q167's latency "
+    "distribution silently drops non-converters; KM keeps them in "
+    "the denominator until censored). Survival is the product "
+    "S(t) = prod(1 - d_i/n_i), which no engine exposes as an "
+    "aggregate — computed here as an exact INTEGER recurrence "
+    "S_i = S_(i-1) * (n_i - d_i) DIV n_i from 1e6, folded over the "
+    "(time, at-risk, deaths) step list per output row (Spark "
+    "aggregate() over slice(); DuckDB list_reduce over an encoded "
+    "BIGINT list) — deterministic floor at each step, zero "
+    "float products, zero exp/ln. Shape: one user-grain agg is the "
+    "only corpus-sized work; the step table is day-grain and the "
+    "O(T^2) slice-folds are over tens of rows.",
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    oe = ev.agg(F.max(F.to_date("ts")).alias("oe"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.to_date("ts")
+            )
+        ).alias("fp"),
+    )
+    u2 = u.crossJoin(F.broadcast(oe)).select(
+        F.when(
+            F.col("fp").isNotNull(), F.datediff("fp", "f")
+        )
+        .otherwise(F.datediff("oe", "f"))
+        .cast("bigint").alias("t"),
+        F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tot = u2.agg(F.count(F.lit(1)).alias("n"))
+    pts = u2.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c_all")
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pts2 = (
+        pts.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n")
+                - F.coalesce(F.sum("c_all").over(w), F.lit(0))
+            ).alias("r"),
+        )
+    )
+    steps = pts2.filter(F.col("d") > 0).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "r", "d"))
+        ).alias("arr")
+    )
+    return (
+        steps.select(
+            F.col("arr"),
+            F.posexplode("arr").alias("i", "s"),
+        )
+        .select(
+            F.col("s.t").cast("bigint").alias("t"),
+            F.col("s.r").cast("bigint").alias("n_risk"),
+            F.col("s.d").cast("bigint").alias("d_events"),
+            F.expr(
+                "CAST(aggregate(slice(arr, 1, i + 1), "
+                "CAST(1000000 AS BIGINT), "
+                "(acc, x) -> (acc * (x.r - x.d)) DIV x.r) "
+                "AS BIGINT)"
+            ).alias("surv_ppm"),
+        )
+        .orderBy("t")
+    )
