@@ -63,6 +63,13 @@ SWEEP_FIRST = [
     "q211_chi_squared",
     "q212_js_divergence",
     "q213_kaplan_meier",
+    "q214_negative_sampling",
+    "q215_normalized_dedup",
+    "q216_inverted_index",
+    "q217_token_fertility",
+    "q218_cohort_ltv",
+    "q219_state_at_purchase",
+    "q220_referential_integrity",
     # projections/plans changed in round 6 — must be re-attested first:
     # q151/q176/q184 output-projection conformance (round->double),
     # q150's floor-scaled e4 cost (double-ROUND half-tie found by the

@@ -2463,3 +2463,609 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# --------------------------------------------------------------------
+# Training-prep table builders (round 6, batch 5): the negative-
+# sampling distribution, the normalization tier under exact dedup,
+# posting lists, and tokenizer fertility — artifacts a training
+# pipeline materializes from the corpus rather than questions it
+# asks of it.
+# --------------------------------------------------------------------
+
+#: q214: how many top-frequency tokens the sampling table reports
+NEGSAMP_TOPK = 50
+
+
+@register(
+    "q214_negative_sampling",
+    oracle=f"""
+        WITH toks AS (
+            SELECT t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        c AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        w AS (
+            SELECT tok, c,
+                   sqrt(CAST(c AS DOUBLE)
+                        * sqrt(CAST(c AS DOUBLE))) AS w
+            FROM c
+        ),
+        t AS (
+            SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
+                       AS tw,
+                   SUM(c) AS n
+            FROM w
+        )
+        SELECT tok, CAST(c AS BIGINT) AS c,
+               CAST(FLOOR(w / t.tw * 1000000) AS BIGINT)
+                   AS sample_ppm,
+               CAST(c * 1000000 // t.n AS BIGINT) AS uniform_ppm
+        FROM w CROSS JOIN t
+        ORDER BY c DESC, tok
+        LIMIT {NEGSAMP_TOPK}
+    """,
+    doc="Negative-sampling table (the word2vec unigram^0.75 "
+    "distribution): per token, its smoothed sampling probability "
+    "next to its raw frequency — the table a contrastive/skip-gram "
+    "trainer draws negatives from, with the 3/4 power that damps "
+    "head tokens and lifts the tail. Engine-stable exponent: "
+    "c^0.75 is computed as sqrt(c * sqrt(c)) — IEEE 754 requires "
+    "sqrt to be correctly rounded (pow is NOT), so both engines "
+    "produce bit-identical weights; the normalizer accumulates in "
+    "DECIMAL(28,12) (shuffle-order-proof) and probabilities are "
+    "floored to ppm. Shape: one token agg, a broadcast scalar, "
+    f"TakeOrdered top-{NEGSAMP_TOPK}; at corpus scale the full "
+    "table would be written out partitioned by token bucket "
+    "instead of top-k'd.",
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("text")
+    toks = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = c.withColumn(
+        "w",
+        F.sqrt(
+            F.col("c").cast("double")
+            * F.sqrt(F.col("c").cast("double"))
+        ),
+    )
+    t = w.agg(
+        F.sum(F.col("w").cast("decimal(28,12)")).cast("double")
+        .alias("tw"),
+        F.sum("c").alias("n"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "tok",
+            F.col("c").cast("bigint").alias("c"),
+            F.floor(F.col("w") / F.col("tw") * 1000000)
+            .cast("bigint").alias("sample_ppm"),
+            F.expr("CAST(c * 1000000 DIV n AS BIGINT)")
+            .alias("uniform_ppm"),
+        )
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(NEGSAMP_TOPK)
+    )
+
+
+@register(
+    "q215_normalized_dedup",
+    oracle="""
+        WITH n AS (
+            SELECT source,
+                   md5(COALESCE(text, '')) AS raw_fp,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(COALESCE(text, '')),
+                       '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g'))) AS norm_fp
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - COUNT(DISTINCT raw_fp) AS BIGINT)
+                   AS raw_dupes,
+               CAST(COUNT(*) - COUNT(DISTINCT norm_fp) AS BIGINT)
+                   AS norm_dupes,
+               CAST(COUNT(DISTINCT raw_fp)
+                    - COUNT(DISTINCT norm_fp) AS BIGINT)
+                   AS extra_from_norm
+        FROM n GROUP BY source ORDER BY source
+    """,
+    doc="The normalization tier under exact dedup: lowercase, strip "
+    "non-alphanumerics, collapse whitespace — the canonical form "
+    "that catches near-identical docs exact md5 dedup (q45) misses "
+    "(case flips, punctuation-only edits, whitespace reflow: the "
+    "most common crawl-duplicate classes BEFORE real near-dup "
+    "models are needed). Per source: raw-fingerprint dupes vs "
+    "normalized-fingerprint dupes and the extra yield from "
+    "normalizing. Normalization is pure scan-time string "
+    "expressions (both engines replace-all with character-class "
+    "regexes that mean the same thing in Java regex and RE2); the "
+    "count-distincts are per-source two-level aggs — one shuffle "
+    "each at 100 TB, keyed on fingerprints that cannot be skewed "
+    "(md5).",
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(txt), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = table(spark, sf, "documents").select(
+        "source",
+        F.md5(txt).alias("raw_fp"),
+        F.md5(norm).alias("norm_fp"),
+    )
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("raw_fp"))
+            .cast("bigint").alias("raw_dupes"),
+            (F.count(F.lit(1)) - F.countDistinct("norm_fp"))
+            .cast("bigint").alias("norm_dupes"),
+            (F.countDistinct("raw_fp") - F.countDistinct("norm_fp"))
+            .cast("bigint").alias("extra_from_norm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: q216 posting-list caps: report the top-INDEX_TOPK tokens by doc
+#: frequency, each with its first INDEX_POSTINGS doc ids
+INDEX_TOPK = 20
+INDEX_POSTINGS = 8
+
+
+@register(
+    "q216_inverted_index",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        ranked AS (
+            SELECT tok, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY tok
+                       ORDER BY doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY tok) AS df
+            FROM pairs
+        )
+        SELECT tok, CAST(df AS BIGINT) AS df,
+               array_to_string(list(CAST(doc_id AS VARCHAR)
+                   ORDER BY doc_id), ',') AS postings
+        FROM ranked
+        WHERE rn <= {INDEX_POSTINGS}
+        GROUP BY tok, df
+        ORDER BY df DESC, tok
+        LIMIT {INDEX_TOPK}
+    """,
+    doc="Inverted-index construction (the retrieval-side twin of "
+    "q201's BM25 scoring): per token, document frequency and the "
+    f"head of its sorted posting list (first {INDEX_POSTINGS} doc "
+    f"ids, comma-joined), reported for the top-{INDEX_TOPK} tokens "
+    "by df. The posting-list head comes from a rank filter "
+    "DIRECTLY on the per-token window, which Spark's "
+    "WindowGroupLimit turns into per-partition partial bottom-k — "
+    "a hot token's full posting list is never materialized on one "
+    "task (the classic inverted-index skew trap); df rides the "
+    "same distinct-pair agg. At 100 TB the full index would write "
+    "per-token-bucket partitions; the plan shape (distinct pairs "
+    "-> group-limit -> group agg) is unchanged.",
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_cnt = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    heads = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= INDEX_POSTINGS)
+        .groupBy("tok")
+        .agg(
+            # sort as BIGINT first, stringify after — a string sort
+            # would order "10" before "2"
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        df_cnt.join(heads, "tok")
+        .select(
+            "tok", F.col("df").cast("bigint").alias("df"), "postings"
+        )
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(INDEX_TOPK)
+    )
+
+
+#: q217's subword proxy: letter runs, digit runs, or single symbols —
+#: the shape a byte-level BPE's pre-tokenizer carves text into
+FERTILITY_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q217_token_fertility",
+    oracle=f"""
+        WITH d AS (
+            SELECT lang, n_chars,
+                   len(list_filter(string_split(
+                       COALESCE(text, ''), ' '), x -> x <> ''))
+                       AS ws_toks,
+                   len(regexp_extract_all(COALESCE(text, ''),
+                       '{FERTILITY_RE}')) AS sub_toks
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+               CAST(SUM(sub_toks) AS BIGINT) AS subword_tokens,
+               CAST(SUM(n_chars) * 1000000
+                    // greatest(SUM(sub_toks), 1) AS BIGINT)
+                   AS chars_per_subword_ppm,
+               CAST(SUM(sub_toks) * 1000000
+                    // greatest(SUM(ws_toks), 1) AS BIGINT)
+                   AS fertility_ppm
+        FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility per language: characters per subword "
+    "token and subword tokens per whitespace word — the numbers "
+    "that decide how many TRAINING tokens a corpus is actually "
+    "worth and which languages a tokenizer punishes (fertility "
+    "near 1 = words survive whole; high fertility = heavy "
+    "fragmentation, inflated sequence lengths, wasted context "
+    "window). Subword proxy: letter runs / digit runs / single "
+    "symbols via one regexp_extract_all whose character-class "
+    "pattern means the same thing in Java regex and RE2. Entirely "
+    "map-side per-row counts + one lang-grain agg; ratios are "
+    "exact integer ppm. At 100 TB this is a single scan.",
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    d = table(spark, sf, "documents").select(
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(F.split(txt, " "), lambda x: x != "")
+        ).alias("ws_toks"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(COALESCE(text, ''), "
+                f"'{FERTILITY_RE}', 0)"
+            )
+        ).alias("sub_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("ws_toks").cast("bigint").alias("ws_tokens"),
+            F.sum("sub_toks").cast("bigint")
+            .alias("subword_tokens"),
+            F.expr(
+                "CAST(SUM(n_chars) * 1000000 "
+                "DIV greatest(SUM(sub_toks), 1) AS BIGINT)"
+            ).alias("chars_per_subword_ppm"),
+            F.expr(
+                "CAST(SUM(sub_toks) * 1000000 "
+                "DIV greatest(SUM(ws_toks), 1) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# Warehouse-side lifecycle analytics (round 6, batch 6): cohort LTV,
+# point-in-time state attribution over an SCD2 change stream, and the
+# referential-integrity audit — the downstream consumers a CDC
+# replica (the reference's whole purpose) feeds.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q218_cohort_ltv",
+    oracle="""
+        WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   o_totalprice
+            FROM orders
+        ),
+        first AS (
+            SELECT o_custkey,
+                   year(MIN(d)) * 12 + (month(MIN(d)) - 1) AS ym
+            FROM o GROUP BY o_custkey
+        ),
+        csize AS (
+            SELECT ym, COUNT(*) AS cohort_size FROM first GROUP BY ym
+        ),
+        g AS (
+            SELECT f.ym,
+                   (year(o.d) * 12 + (month(o.d) - 1)) - f.ym
+                       AS month_offset,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o.o_custkey) AS n_active,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS rev,
+                   CAST(SUM(FLOOR(CAST(o.o_totalprice
+                        AS DECIMAL(28,6)))) AS BIGINT) AS rev_u
+            FROM o JOIN first f ON o.o_custkey = f.o_custkey
+            GROUP BY f.ym, month_offset
+        )
+        SELECT make_date(g.ym // 12, g.ym % 12 + 1, 1)
+                   AS cohort_month,
+               CAST(g.month_offset AS BIGINT) AS month_offset,
+               CAST(g.n_orders AS BIGINT) AS n_orders,
+               CAST(g.n_active AS BIGINT) AS n_active,
+               CAST(ROUND(g.rev, 2) AS DOUBLE) AS rev,
+               CAST(SUM(g.rev_u) OVER (PARTITION BY g.ym
+                        ORDER BY g.month_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                    // c.cohort_size AS BIGINT)
+                   AS cum_ltv_per_cust_u
+        FROM g JOIN csize c ON g.ym = c.ym
+        ORDER BY cohort_month, month_offset
+    """,
+    doc="Cohort lifetime value: customers grouped by first-order "
+    "month, revenue tracked per month offset since acquisition, "
+    "plus cumulative LTV per cohort member — the retention-economics "
+    "view a subscriber materializes from a CDC order stream. Month "
+    "arithmetic is pure integers (year*12 + month-1: no "
+    "months_between float, no calendar-diff engine drift); revenue "
+    "follows the q184 unit contract — DECIMAL(28,6) sums with "
+    "round->double display, whole-dollar FLOOR units for the "
+    "integer DIV per-customer LTV (dollar grain survives SF 1000 "
+    "where cents overflow). Shape: a customer-grain min-agg joined "
+    "back on the same key (one shuffle partitioning reused), then "
+    "everything is (cohort x offset) grain incl. the running-sum "
+    "window.",
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    ym = lambda c: F.year(c) * 12 + (F.month(c) - 1)  # noqa: E731
+    first = o.groupBy("o_custkey").agg(
+        ym(F.min("d")).alias("ym")
+    )
+    csize = first.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    g = (
+        o.join(first, "o_custkey")
+        .withColumn("month_offset", ym(F.col("d")) - F.col("ym"))
+        .groupBy("ym", "month_offset")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint")
+            .alias("n_active"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(28,6)")
+            ).alias("rev"),
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("decimal(28,6)"))
+            ).cast("bigint").alias("rev_u"),
+        )
+    )
+    w = (
+        Window.partitionBy("ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(F.broadcast(csize), "ym")
+        .select(
+            F.make_date(
+                F.expr("ym DIV 12"), F.col("ym") % 12 + 1, F.lit(1)
+            ).alias("cohort_month"),
+            F.col("month_offset").cast("bigint")
+            .alias("month_offset"),
+            "n_orders",
+            "n_active",
+            F.round(F.col("rev"), 2).cast("double").alias("rev"),
+            F.expr(
+                "CAST(SUM(rev_u) OVER (PARTITION BY ym "
+                "ORDER BY month_offset ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW) DIV cohort_size "
+                "AS BIGINT)"
+            ).alias("cum_ltv_per_cust_u"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+@register(
+    "q219_state_at_purchase",
+    oracle="""
+        WITH u AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN NULL
+                        ELSE event_type END AS state_ev,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END AS is_fact
+            FROM events
+            ),
+        f AS (
+            SELECT user_id, is_fact,
+                   last_value(state_ev IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_fact, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS state
+            FROM u
+        )
+        SELECT COALESCE(state, 'none') AS state_at_purchase,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM f WHERE is_fact = 1
+        GROUP BY state_at_purchase
+        ORDER BY state_at_purchase
+    """,
+    doc="Point-in-time state attribution over an SCD2 change stream: "
+    "for every purchase, the user's last non-purchase event type "
+    "strictly before it (ties at the same timestamp resolve "
+    "change-before-fact, then event_id) — 'what state converts', "
+    "the question an SCD2 dimension (q153) exists to answer. "
+    "Executed as the JOIN-FREE merge form of the as-of join "
+    "(operators/asof.py, J7): facts and changes union into one "
+    "stream, one user-partitioned window carries the last "
+    "non-null state forward — a single shuffle on the entity key, "
+    "no range join, no per-fact probe. Purchases before any state "
+    "change attribute to 'none' (the LEFT semantic). At 100 TB "
+    "this scales with per-user history like any SCD2 build.",
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", F.lit(None)
+        ).otherwise(F.col("event_type")).alias("state_ev"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("is_fact"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = u.select(
+        "user_id",
+        "is_fact",
+        F.last("state_ev", ignorenulls=True).over(w).alias("state"),
+    )
+    return (
+        f.filter(F.col("is_fact") == 1)
+        .groupBy(
+            F.coalesce(F.col("state"), F.lit("none"))
+            .alias("state_at_purchase")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint")
+            .alias("n_users"),
+        )
+        .orderBy("state_at_purchase")
+    )
+
+
+@register(
+    "q220_referential_integrity",
+    oracle="""
+        WITH cnts AS (
+            SELECT l_orderkey, COUNT(*) AS c
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        per_order AS (
+            SELECT o.o_orderkey, COALESCE(c.c, 0) AS l_cnt
+            FROM orders o LEFT JOIN cnts c
+                 ON o.o_orderkey = c.l_orderkey
+        ),
+        hist AS (
+            SELECT l_cnt, COUNT(*) AS n_orders
+            FROM per_order GROUP BY l_cnt
+        ),
+        orphans AS (
+            SELECT CAST(-1 AS BIGINT) AS l_cnt, COUNT(*) AS n_orders
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+        )
+        SELECT CAST(l_cnt AS BIGINT) AS l_cnt,
+               CAST(n_orders AS BIGINT) AS n
+        FROM (SELECT * FROM hist UNION ALL
+              SELECT * FROM orphans WHERE n_orders > 0)
+        ORDER BY l_cnt
+    """,
+    doc="Referential-integrity audit between a fact table and its "
+    "parent — the first report run against any CDC-replicated pair "
+    "(a replica that dropped deletes or reordered applies shows up "
+    "HERE before any aggregate drifts): the per-order lineitem-count "
+    "histogram with childless orders surfacing as l_cnt = 0 (LEFT "
+    "join + coalesce, not an inner join that would hide them) and "
+    "parentless lineitems as the l_cnt = -1 row (anti-join count, "
+    "emitted only when non-zero so a clean pair has a clean "
+    "report). Both probes shuffle once on the same join key; the "
+    "histogram is count-grain. The fixture pair is intentionally "
+    "dirty (~250 childless orders at sf0.01), so the gate is "
+    "non-vacuous by construction.",
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cnts = li.groupBy(F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_order = (
+        orders.select("o_orderkey")
+        .join(cnts, orders.o_orderkey == cnts.l_orderkey, "left")
+        .select(F.coalesce(F.col("c"), F.lit(0)).alias("l_cnt"))
+    )
+    hist = per_order.groupBy("l_cnt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(-1).cast("long").alias("l_cnt"), "n")
+        .filter(F.col("n") > 0)
+    )
+    return (
+        hist.unionByName(orphans)
+        .select(
+            F.col("l_cnt").cast("bigint").alias("l_cnt"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("l_cnt")
+    )
