@@ -3069,3 +3069,344 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_cnt")
     )
+
+
+# --------------------------------------------------------------------
+# Experiment-analysis + marketing-attribution layer (round 6,
+# batch 7): the pairwise Welch test an A/B platform runs over a CDC
+# replica, score-decile lift for a quality classifier, last-touch
+# revenue attribution over the event stream, and Q-Q quantile pairs
+# for distribution comparison.
+# --------------------------------------------------------------------
+
+#: Welch t-test arithmetic, shared verbatim by the Spark projection
+#: and the DuckDB oracle so both engines evaluate the IDENTICAL IEEE
+#: scalar expression over identical exact integer moments (n, sum,
+#: sumsq) — same ops in the same order => bit-identical doubles =>
+#: floor-scaled outputs hash-match. Variance is the textbook
+#: (sumsq - sum^2/n) / (n-1) on doubles derived from exact BIGINT /
+#: DECIMAL(38,0) sums (n_chars is integer, so the moments are exact).
+_WELCH_EXPRS = {
+    "mean_a_e3": "CAST(FLOOR(sum_a / n_a * 1000) AS BIGINT)",
+    "mean_b_e3": "CAST(FLOOR(sum_b / n_b * 1000) AS BIGINT)",
+    "t_e6": (
+        "CAST(FLOOR((sum_a / n_a - sum_b / n_b) / "
+        "sqrt(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a + "
+        "((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b) "
+        "* 1000000) AS BIGINT)"
+    ),
+    "df_e3": (
+        "CAST(FLOOR("
+        "power(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a + "
+        "((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b, 2) / "
+        "(power(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a, 2)"
+        " / (n_a - 1) + "
+        "power(((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b, 2)"
+        " / (n_b - 1)) * 1000) AS BIGINT)"
+    ),
+}
+
+
+@register(
+    "q221_welch_ttest",
+    oracle=f"""
+        WITH m AS (
+            SELECT source,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(n_chars) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                            * n_chars) AS DOUBLE) AS sq
+            FROM documents GROUP BY source
+        ),
+        p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   a.n AS n_a, a.s AS sum_a, a.sq AS sumsq_a,
+                   b.n AS n_b, b.s AS sum_b, b.sq AS sumsq_b
+            FROM m a JOIN m b ON a.source < b.source
+        )
+        SELECT source_a, source_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               {_WELCH_EXPRS['mean_a_e3']} AS mean_a_e3,
+               {_WELCH_EXPRS['mean_b_e3']} AS mean_b_e3,
+               {_WELCH_EXPRS['t_e6']} AS t_e6,
+               {_WELCH_EXPRS['df_e3']} AS df_e3
+        FROM p ORDER BY source_a, source_b
+    """,
+    doc="Pairwise Welch t-test matrix: every source pair's unequal-"
+    "variance t statistic and Welch-Satterthwaite df over document "
+    "length — the test an experimentation platform runs when 'did "
+    "source X start shipping longer documents than Y'. Engine "
+    "stability: the group moments (n, sum, sum-of-squares) are EXACT "
+    "integers (DECIMAL(38,0) for the squares), and the t/df "
+    "arithmetic is one shared scalar-expression string evaluated by "
+    "both engines over those identical doubles — floor-scaled e6/e3 "
+    "outputs. Shape: one source-grain agg (20 rows) then a tiny "
+    "driver-size pair self-join; at 100 TB the agg is the only scan "
+    "and the K^2 pair frame stays broadcast-trivial for any "
+    "realistic source count.",
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    m = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("n_chars").cast("double").alias("s"),
+            F.expr(
+                "CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) "
+                "AS DOUBLE)"
+            ).alias("sq"),
+        )
+    )
+    a = m.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("sum_a"),
+        F.col("sq").alias("sumsq_a"),
+    )
+    b = m.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("sum_b"),
+        F.col("sq").alias("sumsq_b"),
+    )
+    p = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    return p.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(_WELCH_EXPRS["mean_a_e3"]).alias("mean_a_e3"),
+        F.expr(_WELCH_EXPRS["mean_b_e3"]).alias("mean_b_e3"),
+        F.expr(_WELCH_EXPRS["t_e6"]).alias("t_e6"),
+        F.expr(_WELCH_EXPRS["df_e3"]).alias("df_e3"),
+    ).orderBy("source_a", "source_b")
+
+
+@register(
+    "q222_decile_lift",
+    oracle="""
+        WITH r AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS pos,
+                   NTILE(10) OVER (ORDER BY value, event_id) AS decile
+            FROM events
+        ),
+        d AS (
+            SELECT decile, COUNT(*) AS n, SUM(pos) AS n_pos
+            FROM r GROUP BY decile
+        ),
+        t AS (SELECT SUM(n) AS tn, SUM(n_pos) AS tpos FROM d)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_pos * 1000000 // greatest(n, 1) AS BIGINT)
+                   AS rate_ppm,
+               CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) * 1000000
+                    // greatest(SUM(n) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 1) AS BIGINT)
+                   AS cum_rate_top_ppm,
+               CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) * t.tn * 1000
+                    // greatest(SUM(n) OVER (ORDER BY decile DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) * t.tpos, 1) AS BIGINT)
+                   AS lift_e3
+        FROM d CROSS JOIN t
+        ORDER BY decile
+    """,
+    doc="Score-decile lift/gains table: events ranked into value "
+    "deciles, per-decile positive ('purchase') rate, plus the "
+    "cumulative capture rate and lift scanning from the TOP decile "
+    "down — the chart that decides whether a quality-classifier "
+    "score is worth filtering a corpus by. Decile assignment uses "
+    "the banded exact ntile (operators/rankband.py, one window row "
+    "per value bin — never a data-grain global sort; the oracle's "
+    "plain NTILE is the spec); the cumulative windows then run over "
+    "exactly 10 rows. Ratios are integer ppm / e3 division. At "
+    "100 TB the only data-grain work is the bin aggregate.",
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.operators.rankband import banded_ntile
+
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+    )
+    ranked = banded_ntile(
+        ev,
+        order_cols=["value", "event_id"],
+        bin_col=F.floor(F.col("value") / 10).cast("bigint"),
+        k=10,
+        out="decile",
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    t = d.agg(
+        F.sum("n").alias("tn"), F.sum("n_pos").alias("tpos")
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("cn", F.sum("n").over(w))
+        .withColumn("cp", F.sum("n_pos").over(w))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.expr("n_pos * 1000000 DIV greatest(n, 1)")
+            .cast("bigint").alias("rate_ppm"),
+            F.expr("cp * 1000000 DIV greatest(cn, 1)")
+            .cast("bigint").alias("cum_rate_top_ppm"),
+            F.expr("cp * tn * 1000 DIV greatest(cn * tpos, 1)")
+            .cast("bigint").alias("lift_e3"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q223_last_touch_attribution",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                   event_type = 'purchase' AS is_purchase,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS touch
+            FROM events
+        )
+        SELECT COALESCE(touch, 'none') AS touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS attributed_rev
+        FROM e WHERE is_purchase
+        GROUP BY COALESCE(touch, 'none') ORDER BY touch
+    """,
+    doc="Last-touch revenue attribution: each purchase's value is "
+    "credited to the user's most recent preceding non-purchase "
+    "event type ('none' when the purchase is the user's first "
+    "event) — the marketing-analytics consumer of a CDC event "
+    "replica. One user-grain running last_value(IGNORE NULLS) "
+    "window (user cardinality partitions — embarrassingly parallel "
+    "at any scale, never a global sort; ties totalized by "
+    "event_id), then a touch-grain agg. Revenue follows the money "
+    "convention: DECIMAL(28,6) accumulation, round->double on "
+    "output only.",
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ),
+            ignorenulls=True,
+        ).over(w).alias("touch"),
+    )
+    return (
+        e.filter("is_purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")), 2
+            ).cast("double").alias("attributed_rev"),
+        )
+        .orderBy("touch")
+    )
+
+
+#: Q-Q probe points: 5%..95% in 5% steps (endpoints excluded — min
+#: and max are covered by q116's stats aggregates)
+QQ_STEPS = [round(0.05 * i, 2) for i in range(1, 20)]
+
+
+@register(
+    "q224_qq_quantiles",
+    oracle=f"""
+        WITH qa AS (
+            SELECT unnest(quantile_cont(n_chars,
+                       {QQ_STEPS})) AS qv,
+                   generate_subscripts(quantile_cont(n_chars,
+                       {QQ_STEPS}), 1) AS i
+            FROM documents WHERE lang = 'en'
+        ),
+        qb AS (
+            SELECT unnest(quantile_cont(n_chars,
+                       {QQ_STEPS})) AS qv,
+                   generate_subscripts(quantile_cont(n_chars,
+                       {QQ_STEPS}), 1) AS i
+            FROM documents WHERE lang <> 'en'
+        )
+        SELECT CAST(ROUND(0.05 * qa.i, 2) AS DOUBLE) AS p,
+               CAST(FLOOR(qa.qv * 10000) AS BIGINT) AS q_en_e4,
+               CAST(FLOOR(qb.qv * 10000) AS BIGINT) AS q_rest_e4,
+               CAST(FLOOR((qa.qv - qb.qv) * 10000) AS BIGINT)
+                   AS gap_e4
+        FROM qa JOIN qb ON qa.i = qb.i
+        ORDER BY p
+    """,
+    doc="Q-Q quantile pairs: exact interpolated quantiles of document "
+    "length for lang='en' vs the rest, side by side at 19 probe "
+    "points — the distribution-shift diagnostic behind a Q-Q plot "
+    "(q210's KS statistic says IF the distributions differ; this "
+    "says WHERE). Spark percentile(col, array) == DuckDB "
+    "quantile_cont(col, list), both linear interpolation (the q63 "
+    "precedent), emitted floor-e4 per the stability convention. "
+    "Shape: two single-group percentile aggs (exact buffers — the "
+    "oracle form; approx_percentile is the same call shape at "
+    "corpus scale) + a 19-row zip.",
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    steps = ", ".join(str(s) for s in QQ_STEPS)
+    qa = (
+        docs.filter(F.col("lang") == "en")
+        .agg(F.expr(f"percentile(n_chars, array({steps}))").alias("q"))
+        .select(F.posexplode("q").alias("i0", "qa"))
+    )
+    qb = (
+        docs.filter(F.col("lang") != "en")
+        .agg(F.expr(f"percentile(n_chars, array({steps}))").alias("q"))
+        .select(F.posexplode("q").alias("i0", "qb"))
+    )
+    return (
+        qa.join(qb, "i0")
+        .select(
+            F.round((F.col("i0") + 1) * 0.05, 2)
+            .cast("double").alias("p"),
+            F.floor(F.col("qa") * 10000).cast("bigint")
+            .alias("q_en_e4"),
+            F.floor(F.col("qb") * 10000).cast("bigint")
+            .alias("q_rest_e4"),
+            F.floor((F.col("qa") - F.col("qb")) * 10000)
+            .cast("bigint").alias("gap_e4"),
+        )
+        .orderBy("p")
+    )

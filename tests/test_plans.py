@@ -830,3 +830,58 @@ def test_q202_hard_negatives_windows_per_anchor(q):
     for ln in win_lines:
         assert "aid" in ln.split("windowspecdefinition")[1], ln
     assert not has_python_eval(df)
+
+
+def test_q221_welch_single_agg_broadcast_pairs(q):
+    # pairwise Welch: one source-grain aggregate, pairs form via a
+    # broadcast theta self-join of the tiny moment frame; no window,
+    # all arithmetic JVM-side
+    df = q("q221_welch_ttest")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "BroadcastNestedLoop" in p or broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_q222_lift_windows_bin_or_decile_grain_only(q):
+    # decile lift: the banded ntile's unpartitioned window runs over
+    # the bin aggregate (__bcnt) and the cumulative-capture window
+    # over the 10-row decile aggregate — never over event grain
+    df = q("q222_decile_lift")
+    p = plan_string(df)
+    import re
+
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected banded + decile windows"
+    for ln in win_lines:
+        spec_head = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert spec_head, ln
+        if " ASC" in spec_head.group(1) or " DESC" in spec_head.group(1):
+            # unpartitioned: must be the bin aggregate or the 10-row
+            # decile aggregate, never event grain
+            assert "bcnt" in ln or "decile" in ln, (
+                f"data-grain global window: {ln.strip()}"
+            )
+    assert not has_python_eval(df)
+
+
+def test_q223_attribution_window_partitioned_by_user(q):
+    # last-touch: the running last_value window must be PARTITIONED
+    # by user_id (embarrassingly parallel), never single-partition
+    df = q("q223_last_touch_attribution")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the per-user running window"
+    for ln in win_lines:
+        assert "user_id" in ln.split("windowspecdefinition")[1], ln
+    assert "SinglePartition" not in p
+    assert not has_python_eval(df)
+
+
+def test_q224_qq_no_window_no_python(q):
+    # Q-Q pairs: two percentile aggregates + a 19-row zip join — no
+    # window at all, no range shuffle of the documents scan
+    df = q("q224_qq_quantiles")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
