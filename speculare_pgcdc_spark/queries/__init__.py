@@ -51,8 +51,9 @@ SWEEP_FIRST = [
     # (3) the round-4 slice the driver has NEVER sampled (no
     # CORRECTNESS row in r1/r2/r3/r5; r5 verdict items 2 and 6):
     # CDC apply/IVM + LLM-pipeline flagships first, then the TPC-H
-    # family, then the remainder — 43 names, so together with (1)+(2)
-    # the whole block fits the driver's ~50-query budget
+    # family, then the remainder — 41 names here (q130/q137 sit in
+    # section (2) above), so sections (1)+(2)+(3) total 48 and fit
+    # the driver's ~50-query budget with ~2 slots to spare
     "q96_cdc_apply",
     "q97_cdc_incremental_matview",
     "q100_heavy_hitters",
@@ -134,6 +135,9 @@ SWEEP_FIRST = [
     "q222_decile_lift",
     "q223_last_touch_attribution",
     "q224_qq_quantiles",
+    "q225_lww_replica_merge",
+    "q226_neyman_allocation",
+    "q227_mutual_information",
 ]
 
 

@@ -2004,31 +2004,22 @@ REP_FLAG_PPM = 60000
     "a token-level filter can have.",
 )
 def q209(spark: SparkSession, sf: str) -> DataFrame:
-    a = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
-        lambda x: x != "",
+    from speculare_pgcdc_spark.operators.textstats import (
+        repetition_counts,
     )
-    docs = table(spark, sf, "documents").select(
-        "source", a.alias("a")
-    )
-    bg = F.when(
-        F.size("a") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("a") - 1),
-            lambda i: F.concat(
-                F.element_at("a", i),
-                F.lit(" "),
-                F.element_at("a", i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    r = docs.select(
-        "source", bg.alias("bg")
+
+    # the property-tested Gopher primitive: BIGINT-cast counts, so the
+    # *1e6 scaling below cannot overflow 32-bit on a highly repetitive
+    # long doc (size() alone is INT — the trap this helper exists for)
+    counts = repetition_counts(F.col("text"), n=2)
+    r = table(spark, sf, "documents").select(
+        "source",
+        counts["n_gram"].alias("ng"),
+        counts["n_gram_distinct"].alias("ngd"),
     ).select(
         "source",
         F.expr(
-            "(size(bg) - size(array_distinct(bg))) * 1000000 "
-            "DIV greatest(size(bg), 1)"
+            "(ng - ngd) * 1000000 DIV greatest(ng, 1)"
         ).alias("rep_ppm"),
     )
     return (
@@ -2183,8 +2174,8 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
                     * (COUNT(DISTINCT source) - 1) AS BIGINT)
                    AS dof,
                CAST(ROUND(CAST(SUM(CAST(
-                   CAST((obs * n - r * c) * (obs * n - r * c)
-                        AS DOUBLE)
+                   CAST(obs * n - r * c AS DOUBLE)
+                   * CAST(obs * n - r * c AS DOUBLE)
                    / CAST(n * r * c AS DOUBLE)
                    AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
                    AS chi2
@@ -2194,11 +2185,13 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
     "contingency table — 'does language mix depend on source?', the "
     "stratification check run before pooling sources into one "
     "training blend. Each cell's (O - E)^2 / E is algebraically "
-    "rescaled to (O*n - r*c)^2 / (n*r*c) so numerator and "
-    "denominator are EXACT BIGINTs (zero cells included via the "
-    "row x column grid — they contribute r*c/n); only then does "
-    "each term go to DOUBLE (identical operands -> identical IEEE "
-    "quotient), accumulating in DECIMAL(28,12) with the final "
+    "rescaled to (O*n - r*c)^2 / (n*r*c): the difference O*n - r*c "
+    "is EXACT integer arithmetic — DECIMAL(38,0) here, HUGEINT in "
+    "the oracle, since LONG products overflow at ~1e9-row marginals "
+    "— rounded ONCE to double, then squared and divided in IEEE "
+    "doubles both engines evaluate identically (zero cells included "
+    "via the row x column grid — they contribute r*c/n), "
+    "accumulating in DECIMAL(28,12) with the final "
     "round->double output (the q144 contract). Shape: one hash agg "
     "to cell grain, marginals re-aggregated from the cells (the "
     "corpus is scanned once), and the grid is category-sized.",
@@ -2219,12 +2212,14 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(o), ["lang", "source"], "left")
         .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
     )
-    term = (
-        ((F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
-         * (F.col("obs") * F.col("n") - F.col("r") * F.col("c")))
-        .cast("double")
-        / (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    ).cast("decimal(28,12)")
+    # exact integer difference in DECIMAL(38,0) (HUGEINT in the
+    # oracle — LONG products overflow at ~1e9-row marginals), ONE
+    # rounding to double, then square/divide in IEEE doubles both
+    # engines evaluate identically
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    d = (dec("obs") * dec("n") - dec("r") * dec("c")).cast("double")
+    nrc = (dec("n") * dec("r") * dec("c")).cast("double")
+    term = (d * d / nrc).cast("decimal(28,12)")
     return grid.agg(
         F.max("n").cast("bigint").alias("n"),
         (
@@ -2781,13 +2776,20 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("ws_toks").cast("bigint").alias("ws_tokens"),
             F.sum("sub_toks").cast("bigint")
             .alias("subword_tokens"),
+            # DECIMAL + pmod-identity exact quotient (q198 pattern):
+            # SUM(n_chars)*1e6 overflows LONG at ~9 TB of text per
+            # language; the oracle's HUGEINT // is already exact
             F.expr(
-                "CAST(SUM(n_chars) * 1000000 "
-                "DIV greatest(SUM(sub_toks), 1) AS BIGINT)"
+                "CAST((CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000"
+                " - pmod(CAST(SUM(n_chars) AS DECIMAL(38,0)) *"
+                " 1000000, greatest(SUM(sub_toks), 1)))"
+                " / greatest(SUM(sub_toks), 1) AS BIGINT)"
             ).alias("chars_per_subword_ppm"),
             F.expr(
-                "CAST(SUM(sub_toks) * 1000000 "
-                "DIV greatest(SUM(ws_toks), 1) AS BIGINT)"
+                "CAST((CAST(SUM(sub_toks) AS DECIMAL(38,0)) * 1000000"
+                " - pmod(CAST(SUM(sub_toks) AS DECIMAL(38,0)) *"
+                " 1000000, greatest(SUM(ws_toks), 1)))"
+                " / greatest(SUM(ws_toks), 1) AS BIGINT)"
             ).alias("fertility_ppm"),
         )
         .orderBy("lang")
@@ -3086,23 +3088,27 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
 #: floor-scaled outputs hash-match. Variance is the textbook
 #: (sumsq - sum^2/n) / (n-1) on doubles derived from exact BIGINT /
 #: DECIMAL(38,0) sums (n_chars is integer, so the moments are exact).
+#: per-side "variance / n" building block (clamped at 0 so FP
+#: cancellation can't go negative; the n-1 divisor is why the query
+#: filters pairs to n >= 2 — see the degenerate-input guard below)
+_W_VA = "(greatest(sumsq_a - sum_a * sum_a / n_a, 0) / (n_a - 1)) / n_a"
+_W_VB = "(greatest(sumsq_b - sum_b * sum_b / n_b, 0) / (n_b - 1)) / n_b"
+
 _WELCH_EXPRS = {
     "mean_a_e3": "CAST(FLOOR(sum_a / n_a * 1000) AS BIGINT)",
     "mean_b_e3": "CAST(FLOOR(sum_b / n_b * 1000) AS BIGINT)",
+    # zero pooled variance (both sides constant) => t/df defined as 0
+    # rather than a NaN/Inf that neither engine can cast to BIGINT
     "t_e6": (
-        "CAST(FLOOR((sum_a / n_a - sum_b / n_b) / "
-        "sqrt(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a + "
-        "((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b) "
-        "* 1000000) AS BIGINT)"
+        f"CAST(CASE WHEN {_W_VA} + {_W_VB} = 0 THEN 0 ELSE "
+        f"FLOOR((sum_a / n_a - sum_b / n_b) / "
+        f"sqrt({_W_VA} + {_W_VB}) * 1000000) END AS BIGINT)"
     ),
     "df_e3": (
-        "CAST(FLOOR("
-        "power(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a + "
-        "((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b, 2) / "
-        "(power(((sumsq_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a, 2)"
-        " / (n_a - 1) + "
-        "power(((sumsq_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b, 2)"
-        " / (n_b - 1)) * 1000) AS BIGINT)"
+        f"CAST(CASE WHEN {_W_VA} + {_W_VB} = 0 THEN 0 ELSE "
+        f"FLOOR(power({_W_VA} + {_W_VB}, 2) / "
+        f"(power({_W_VA}, 2) / (n_a - 1) + "
+        f"power({_W_VB}, 2) / (n_b - 1)) * 1000) END AS BIGINT)"
     ),
 }
 
@@ -3123,6 +3129,7 @@ _WELCH_EXPRS = {
                    a.n AS n_a, a.s AS sum_a, a.sq AS sumsq_a,
                    b.n AS n_b, b.s AS sum_b, b.sq AS sumsq_b
             FROM m a JOIN m b ON a.source < b.source
+            WHERE a.n >= 2 AND b.n >= 2
         )
         SELECT source_a, source_b,
                CAST(n_a AS BIGINT) AS n_a,
@@ -3171,7 +3178,9 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s").alias("sum_b"),
         F.col("sq").alias("sumsq_b"),
     )
-    p = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    p = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     return p.select(
         "source_a",
         "source_b",
@@ -3269,8 +3278,16 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint").alias("rate_ppm"),
             F.expr("cp * 1000000 DIV greatest(cn, 1)")
             .cast("bigint").alias("cum_rate_top_ppm"),
-            F.expr("cp * tn * 1000 DIV greatest(cn * tpos, 1)")
-            .cast("bigint").alias("lift_e3"),
+            # DECIMAL + pmod-identity exact quotient: the triple
+            # product cp*tn*1000 overflows LONG at ~3e8 events (the
+            # oracle's window SUMs are HUGEINT, already exact)
+            F.expr(
+                "CAST((CAST(cp AS DECIMAL(38,0)) * tn * 1000"
+                " - pmod(CAST(cp AS DECIMAL(38,0)) * tn * 1000,"
+                " greatest(CAST(cn AS DECIMAL(38,0)) * tpos, 1)))"
+                " / greatest(CAST(cn AS DECIMAL(38,0)) * tpos, 1)"
+                " AS BIGINT)"
+            ).alias("lift_e3"),
         )
         .orderBy("decile")
     )
@@ -3409,4 +3426,256 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint").alias("gap_e4"),
         )
         .orderBy("p")
+    )
+
+
+# --------------------------------------------------------------------
+# Replica-merge + sampling-design + feature-analysis layer (round 6,
+# batch 8): last-writer-wins conflict resolution between CDC
+# replicas, Neyman sampling allocation, and mutual information.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q225_lww_replica_merge",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, ts, event_id, event_type, value
+            FROM events WHERE event_id % 3 <> 0
+        ),
+        b AS (
+            SELECT user_id, ts, event_id, event_type, value
+            FROM events WHERE event_id % 3 <> 1
+        ),
+        u AS (
+            SELECT * FROM a UNION ALL SELECT * FROM b
+        ),
+        w AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM u
+        )
+        SELECT user_id, ts AS won_ts,
+               CAST(event_id AS BIGINT) AS won_event_id,
+               event_type AS won_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS won_value_e2
+        FROM w WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Last-writer-wins replica merge: two overlapping CDC replicas "
+    "of the same key space (simulated by event_id mod slices — each "
+    "drops a third, they share a third) are unioned and resolved to "
+    "one winning row per key by (ts, event_id) — the conflict rule a "
+    "multi-master CDC deployment applies when the same key was "
+    "written on both sides (reference analog: the single-master slot "
+    "at src/cdc/replication.rs makes this moot upstream; a consumer "
+    "merging two slots needs exactly this). Spark resolves via ONE "
+    "hash agg of max(struct(ts, event_id, ...)) — lexicographic "
+    "struct comparison with a unique tiebreak column, so no window, "
+    "no duplicate-row ambiguity; the oracle states the spec as the "
+    "classic ROW_NUMBER()=1 form. A duplicate row appearing in both "
+    "replicas is idempotent under max — at-least-once delivery "
+    "across replicas cannot corrupt the merge. Per-key agg "
+    "partitions by user_id: embarrassingly parallel at any scale.",
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    a = ev.filter(F.col("event_id") % 3 != 0)
+    b = ev.filter(F.col("event_id") % 3 != 1)
+    u = a.unionByName(b)
+    won = u.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("w")
+    )
+    return won.select(
+        "user_id",
+        F.col("w.ts").alias("won_ts"),
+        F.col("w.event_id").cast("bigint").alias("won_event_id"),
+        F.col("w.event_type").alias("won_type"),
+        F.floor(F.col("w.value") * 100).cast("bigint")
+        .alias("won_value_e2"),
+    ).orderBy("user_id")
+
+
+#: total sample budget the Neyman allocation distributes
+NEYMAN_K = 1000
+
+#: shared Neyman arithmetic: stddev from exact integer moments
+#: (n, sum, sumsq as doubles derived from BIGINT/DECIMAL(38,0) sums),
+#: one expression string evaluated by both engines. Guards: a
+#: singleton stratum has no sample variance (S_h := 0, not a 0/0
+#: NaN -> DECIMAL-cast error), and the moment difference is clamped
+#: at 0 so FP cancellation can't feed sqrt a tiny negative.
+_NEYMAN_NS = (
+    "n_h * (CASE WHEN n_h > 1 THEN "
+    "sqrt(greatest(sumsq - s * s / n_h, 0) / (n_h - 1)) "
+    "ELSE 0 END)"
+)
+
+
+@register(
+    "q226_neyman_allocation",
+    oracle=f"""
+        WITH m AS (
+            SELECT source,
+                   CAST(COUNT(*) AS DOUBLE) AS n_h,
+                   CAST(SUM(n_chars) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                            * n_chars) AS DOUBLE) AS sumsq
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_h, {_NEYMAN_NS} AS ns FROM m
+        ),
+        t AS (SELECT SUM(CAST(ns AS DECIMAL(28,6))) AS tns FROM w),
+        alloc AS (
+            SELECT source, n_h,
+                   CAST(FLOOR(ns * {NEYMAN_K}
+                        / CAST(t.tns AS DOUBLE)) AS BIGINT)
+                       AS base,
+                   ns * {NEYMAN_K} / CAST(t.tns AS DOUBLE)
+                       - FLOOR(ns * {NEYMAN_K}
+                               / CAST(t.tns AS DOUBLE)) AS rem
+            FROM w CROSS JOIN t
+        ),
+        ranked AS (
+            SELECT source, n_h, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       AS rr,
+                   {NEYMAN_K} - SUM(base) OVER () AS short
+            FROM alloc
+        )
+        SELECT source, CAST(n_h AS BIGINT) AS n_h,
+               CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked ORDER BY source
+    """,
+    doc=f"Neyman sampling allocation: a {NEYMAN_K}-row audit budget "
+    "split across sources proportional to n_h * S_h (stratum size x "
+    "stddev) — the design that minimizes the variance of a "
+    "stratified estimate, used to size per-source quality-audit "
+    "samples. Stddev comes from EXACT integer moments (BIGINT / "
+    "DECIMAL(38,0) sums, the q221 contract) through one shared "
+    "expression string; fractional seats resolve by largest "
+    "remainder (floor + top-remainder bonus, source tiebreak) so "
+    "allocations are integers that sum exactly to the budget. All "
+    "windows run over the source-grain frame (tens of rows); the "
+    "corpus is touched by exactly one scan-agg.",
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_h"),
+            F.sum("n_chars").cast("double").alias("s"),
+            F.expr(
+                "CAST(SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) "
+                "AS DOUBLE)"
+            ).alias("sumsq"),
+        )
+    )
+    w = m.select("source", "n_h", F.expr(_NEYMAN_NS).alias("ns"))
+    t = w.agg(
+        F.sum(F.col("ns").cast("decimal(28,6)")).alias("tns")
+    )
+    alloc = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        F.expr(
+            f"CAST(FLOOR(ns * {NEYMAN_K} / CAST(tns AS DOUBLE)) "
+            "AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"ns * {NEYMAN_K} / CAST(tns AS DOUBLE) "
+            f"- FLOOR(ns * {NEYMAN_K} / CAST(tns AS DOUBLE))"
+        ).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = alloc.select(
+        "source",
+        "n_h",
+        "base",
+        F.row_number().over(wr).alias("rr"),
+        (F.lit(NEYMAN_K) - F.sum("base").over(wall)).alias("short"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    ).orderBy("source")
+
+
+@register(
+    "q227_mutual_information",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, COUNT(*) AS obs
+            FROM documents GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+        ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+        n AS (SELECT SUM(obs) AS n FROM o)
+        SELECT CAST(MAX(n.n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(ROUND(CAST(SUM(CAST(
+                   (o.obs * 1.0 / n.n)
+                   * ln((o.obs * 1.0 * n.n) / (rt.r * 1.0 * ct.c))
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS mi_nats
+        FROM o
+        JOIN rt ON o.lang = rt.lang
+        JOIN ct ON o.source = ct.source
+        CROSS JOIN n
+    """,
+    doc="Mutual information I(lang; source) in nats — the feature-"
+    "association strength behind q211's chi-squared verdict (chi2 "
+    "says WHETHER the blend depends on source; MI says HOW MUCH, in "
+    "information units comparable across feature pairs — the "
+    "feature-selection ranking metric). Zero cells contribute "
+    "exactly 0 and are simply absent (unlike chi-squared, MI needs "
+    "no zero-cell grid). Probabilities are exact integer ratios so "
+    "both engines compute identical term doubles, ln applies to an "
+    "exact ratio, and terms accumulate in DECIMAL(28,12) — the "
+    "q144 KL contract. One cell-grain agg; marginals re-aggregate "
+    "from the cells and broadcast back.",
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        (F.col("obs") * 1.0 / F.col("n"))
+        * F.log(
+            (F.col("obs") * 1.0 * F.col("n"))
+            / (F.col("r") * 1.0 * F.col("c"))
+        )
+    ).cast("decimal(28,12)")
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(term).cast("double"), 6).cast("double")
+        .alias("mi_nats"),
     )

@@ -885,3 +885,35 @@ def test_q224_qq_no_window_no_python(q):
     p = plan_string(df)
     assert "Window" not in p
     assert not has_python_eval(df)
+
+
+def test_q225_lww_merge_single_agg_no_window(q):
+    # LWW merge: conflict resolution must be ONE per-key hash agg
+    # (max of a struct), never a row_number window over the union
+    df = q("q225_lww_replica_merge")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "Union" in p
+    assert not has_python_eval(df)
+
+
+def test_q226_neyman_windows_stratum_grain_only(q):
+    # allocation: the corpus sees one scan-agg; every window runs
+    # over the source-grain frame (ns/base/rem columns), never docs
+    df = q("q226_neyman_allocation")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the largest-remainder windows"
+    for ln in win_lines:
+        assert "rem" in ln or "base" in ln, ln
+    assert not has_python_eval(df)
+
+
+def test_q227_mi_broadcast_marginals_no_window(q):
+    # MI: marginals re-aggregate from the cell frame and come back
+    # as broadcasts; no window, no second corpus scan
+    df = q("q227_mutual_information")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 2
+    assert not has_python_eval(df)
