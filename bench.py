@@ -55,6 +55,12 @@ TIER2 = [
     # shuffle) and the banded-rank RFM rewrite (3x banded ntile)
     "q191_split_leakage",
     "q130_rfm_segmentation",
+    # round-6 late additions: term-filtered BM25 retrieval, the
+    # token-grain negative-sampling table, and the union+struct-max
+    # replica merge — the heaviest new shapes in their families
+    "q201_bm25_topk",
+    "q214_negative_sampling",
+    "q225_lww_replica_merge",
 ]
 
 

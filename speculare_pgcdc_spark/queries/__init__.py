@@ -138,6 +138,8 @@ SWEEP_FIRST = [
     "q225_lww_replica_merge",
     "q226_neyman_allocation",
     "q227_mutual_information",
+    "q228_null_safe_join",
+    "q229_array_set_ops",
 ]
 
 

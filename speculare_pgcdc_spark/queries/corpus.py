@@ -34,7 +34,21 @@ training-data-pipeline surface the build brief names as first-class.
 - q201: BM25 top-k retrieval (term-filtered tf shuffle, broadcast
   df/N/avgdl, DECIMAL-summed scores, integer-ranked TakeOrdered);
 - q202: hard-negative / far-positive mining over a bounded anchor set
-  (contrastive-training data prep; ANN is the corpus-scale tier).
+  (contrastive-training data prep; ANN is the corpus-scale tier);
+- q203-q208: retrieval/classifier eval + trend metrics — NDCG@10, MRR,
+  threshold sweep, Cohen's kappa, autocorrelation, Theil-Sen slope;
+- q209-q213: distribution tests + repetition filter — Gopher bigram
+  repetition, KS, chi-squared, JS divergence, Kaplan-Meier;
+- q214-q217: training-prep table builders — negative-sampling
+  distribution, normalization dedup tier, inverted index, fertility;
+- q218-q220: warehouse lifecycle — cohort LTV, SCD2 state-at-purchase
+  attribution, referential-integrity audit;
+- q221-q224: experiment analysis — pairwise Welch t-test, score-decile
+  lift, last-touch attribution, Q-Q quantile pairs;
+- q225-q227: replica + design ops — LWW multi-master merge, Neyman
+  audit allocation, mutual information;
+- q228-q229: SQL-surface edges — null-safe join equality, array set
+  operations over collected sets.
 """
 
 from __future__ import annotations
@@ -3679,3 +3693,130 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(term).cast("double"), 6).cast("double")
         .alias("mi_nats"),
     )
+
+
+# --------------------------------------------------------------------
+# SQL-surface completeness (round 6, batch 9): null-safe join
+# equality and array set operations — §2B J/F-family edges users hit
+# when porting warehouse SQL.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q228_null_safe_join",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   NULLIF(c_mktsegment, 'MACHINERY') AS tier
+            FROM customer
+        )
+        SELECT a.c_nationkey AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a.tier IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null_tier_pairs
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.tier IS NOT DISTINCT FROM b.tier
+         AND a.c_custkey < b.c_custkey
+        GROUP BY a.c_nationkey ORDER BY nation
+    """,
+    doc="Null-safe join equality (Spark `<=>` == SQL IS NOT DISTINCT "
+    "FROM): customer pairs matched within a nation by a NULLABLE "
+    "tier key (NULLIF-derived), where NULL must match NULL — the "
+    "semantics `=` silently drops and every SCD/dimension merge "
+    "with optional attributes needs. EqualNullSafe is a first-class "
+    "HASH join key in Spark (nulls hash to one bucket, the plan "
+    "stays an equi shuffle/broadcast join, never a nested loop — "
+    "lint-pinned); the n_null_tier_pairs column proves the NULL "
+    "matches are present, i.e. the query is non-vacuous. Pair "
+    "dedup by key inequality keeps the output pair-set canonical.",
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr("NULLIF(c_mktsegment, 'MACHINERY')").alias("tier"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("tier").alias("tier_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("tier").alias("tier_b"),
+    )
+    pairs = a.join(
+        b,
+        on=[
+            a["nation"] == b["nation"],
+            F.col("tier_a").eqNullSafe(F.col("tier_b")),
+            F.col("k_a") < F.col("k_b"),
+        ],
+    )
+    return (
+        pairs.groupBy(a["nation"].alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.col("tier_a").isNull().cast("int")
+            ).cast("bigint").alias("n_null_tier_pairs"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q229_array_set_ops",
+    oracle="""
+        WITH s AS (
+            SELECT user_id,
+                   list_distinct(list(event_type)
+                       FILTER (WHERE event_id % 2 = 0)) AS even_t,
+                   list_distinct(list(event_type)
+                       FILTER (WHERE event_id % 2 = 1)) AS odd_t
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(len(COALESCE(even_t, [])) AS BIGINT) AS n_even,
+               CAST(len(COALESCE(odd_t, [])) AS BIGINT) AS n_odd,
+               CAST(len(list_intersect(COALESCE(even_t, []),
+                                       COALESCE(odd_t, [])))
+                    AS BIGINT) AS n_both,
+               CAST(len(list_filter(COALESCE(even_t, []),
+                        x -> NOT list_contains(COALESCE(odd_t, []),
+                                               x)))
+                    AS BIGINT) AS n_even_only
+        FROM s ORDER BY user_id
+    """,
+    doc="Array set operations (F4 completeness: array_intersect / "
+    "array_except over collected sets): per user, the event-type "
+    "vocabulary of even- vs odd-numbered events and their overlap — "
+    "the A/B-exposure-overlap shape ('which behaviors appear in "
+    "both halves of a user's traffic'). collect_set is partial-"
+    "merged and unordered, so the contract columns are SIZES of the "
+    "set operations (order-free), with the empty-set edge handled "
+    "by coalesce on both engines. One user-grain agg, then pure "
+    "map-side array expressions.",
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    s = ev.groupBy("user_id").agg(
+        F.collect_set(
+            F.when(F.col("event_id") % 2 == 0, F.col("event_type"))
+        ).alias("even_t"),
+        F.collect_set(
+            F.when(F.col("event_id") % 2 == 1, F.col("event_type"))
+        ).alias("odd_t"),
+    )
+    return s.select(
+        "user_id",
+        F.size("even_t").cast("bigint").alias("n_even"),
+        F.size("odd_t").cast("bigint").alias("n_odd"),
+        F.size(F.array_intersect("even_t", "odd_t")).cast("bigint")
+        .alias("n_both"),
+        F.size(F.array_except("even_t", "odd_t")).cast("bigint")
+        .alias("n_even_only"),
+    ).orderBy("user_id")

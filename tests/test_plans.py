@@ -917,3 +917,26 @@ def test_q227_mi_broadcast_marginals_no_window(q):
     assert "Window" not in p
     assert broadcast_hash_join_count(df) >= 2
     assert not has_python_eval(df)
+
+
+def test_q228_null_safe_is_hash_equi_join(q):
+    # EqualNullSafe must ride the HASH join (nulls bucket together),
+    # never degrade to a nested loop / cartesian pair blow-up
+    df = q("q228_null_safe_join")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or (
+        "ShuffledHashJoin" in p
+    )
+    assert not has_python_eval(df)
+
+
+def test_q229_array_ops_single_agg_no_join(q):
+    # collected-set algebra: one user-grain agg, then map-side array
+    # expressions — no join, no window
+    df = q("q229_array_set_ops")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
