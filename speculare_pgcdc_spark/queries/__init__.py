@@ -140,6 +140,9 @@ SWEEP_FIRST = [
     "q227_mutual_information",
     "q228_null_safe_join",
     "q229_array_set_ops",
+    "q230_streak_islands",
+    "q231_mode_per_group",
+    "q232_max_drawdown",
 ]
 
 

@@ -48,7 +48,9 @@ training-data-pipeline surface the build brief names as first-class.
 - q225-q227: replica + design ops — LWW multi-master merge, Neyman
   audit allocation, mutual information;
 - q228-q229: SQL-surface edges — null-safe join equality, array set
-  operations over collected sets.
+  operations over collected sets;
+- q230-q232: sequence/behavior analytics — gaps-and-islands streaks,
+  deterministic per-group mode, per-user max drawdown.
 """
 
 from __future__ import annotations
@@ -3820,3 +3822,207 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_except("even_t", "odd_t")).cast("bigint")
         .alias("n_even_only"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------
+# Sequence/behavior analytics (round 6, batch 10): gaps-and-islands
+# activity streaks, deterministic per-group mode, and per-entity
+# drawdown — the classic SQL-interview shapes users port from
+# warehouse SQL, each with the tie-break/stability contract pinned.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q230_streak_islands",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events
+        ),
+        r AS (
+            SELECT user_id, day,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS rn
+            FROM d
+        ),
+        isl AS (
+            SELECT user_id,
+                   day - CAST(rn AS INTEGER) AS grp,
+                   COUNT(*) AS len,
+                   MIN(day) AS streak_start
+            FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+        ),
+        best AS (
+            SELECT user_id, len AS best_streak,
+                   streak_start AS best_start,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY len DESC, streak_start) AS pick
+            FROM isl
+        )
+        SELECT user_id,
+               CAST(best_streak AS BIGINT) AS best_streak,
+               best_start
+        FROM best WHERE pick = 1 ORDER BY user_id
+    """,
+    doc="Gaps-and-islands: each user's LONGEST run of consecutive "
+    "active days (day minus per-user day-rank is constant within a "
+    "consecutive island — the classic rewrite that needs no "
+    "self-join), tie-broken to the earliest streak. All three "
+    "levels (distinct day grain, island agg, best-pick) stay "
+    "PARTITIONED by user_id — one shuffle key end to end, no "
+    "global window; date-minus-integer arithmetic is identical in "
+    "both engines. The product-analytics 'engagement streak' "
+    "metric a CDC event replica feeds.",
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("day")
+        ),
+    )
+    isl = (
+        r.withColumn("grp", F.expr("day - CAST(rn AS INT)"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("len"),
+            F.min("day").alias("streak_start"),
+        )
+    )
+    best = isl.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("len").desc(), "streak_start"
+            )
+        ),
+    )
+    return (
+        best.filter("pick = 1")
+        .select(
+            "user_id",
+            F.col("len").cast("bigint").alias("best_streak"),
+            F.col("streak_start").alias("best_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q231_mode_per_group",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        ),
+        p AS (
+            SELECT user_id, event_type, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rk
+            FROM c
+        )
+        SELECT user_id, event_type AS mode_type,
+               CAST(cnt AS BIGINT) AS mode_cnt
+        FROM p WHERE rk = 1 ORDER BY user_id
+    """,
+    doc="Deterministic per-group mode: each user's most frequent "
+    "event type with the tie broken ALPHABETICALLY — built-in "
+    "mode() is tie-nondeterministic in both engines (Spark docs "
+    "say so outright), which is exactly the kind of silent "
+    "instability a replicated metric cannot carry. The engine form "
+    "is min_by over the (-count, tie-key) struct on the (user, "
+    "type) aggregate: two hash aggs on the same leading key, no "
+    "window, order-proof by construction; the oracle states the "
+    "same pick as the classic ROW_NUMBER()=1 spec.",
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.expr(
+                "min_by(event_type, struct(-cnt, event_type))"
+            ).alias("mode_type"),
+            F.max("cnt").cast("bigint").alias("mode_cnt"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q232_max_drawdown",
+    oracle="""
+        WITH eq AS (
+            SELECT user_id, ts, event_id,
+                   SUM(CAST(value AS DECIMAL(28,6)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS equity
+            FROM events
+        ),
+        dd AS (
+            SELECT user_id,
+                   MAX(CAST(equity AS DECIMAL(28,6)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - equity
+                       AS draw
+            FROM eq
+        )
+        SELECT user_id,
+               CAST(ROUND(MAX(draw), 2) AS DOUBLE) AS max_drawdown
+        FROM dd GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user maximum drawdown: running DECIMAL equity curve "
+    "(cumulative value), its running peak, and the largest "
+    "peak-to-trough gap — the risk metric shape (and the general "
+    "'how far below its high-water mark did this series fall' "
+    "monitor). Both windows are ROWS frames PARTITIONED by "
+    "user_id over a total (ts, event_id) order; sums accumulate "
+    "in DECIMAL(28,6) (order-proof — a double cumsum would be "
+    "tie-unstable) with round->double only at output. One "
+    "user-keyed shuffle feeds both windows and the final agg.",
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w)
+        .alias("equity"),
+    )
+    dd = eq.select(
+        "user_id",
+        (
+            F.max(F.col("equity").cast("decimal(28,6)")).over(w)
+            - F.col("equity")
+        ).alias("draw"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.round(F.max("draw"), 2).cast("double")
+            .alias("max_drawdown")
+        )
+        .orderBy("user_id")
+    )

@@ -940,3 +940,35 @@ def test_q229_array_ops_single_agg_no_join(q):
     assert "Join" not in p
     assert "Window" not in p
     assert not has_python_eval(df)
+
+
+def test_q230_streaks_all_windows_user_partitioned(q):
+    # gaps-and-islands: every window (day rank, best pick) must be
+    # PARTITIONED by user_id — one shuffle key end to end
+    df = q("q230_streak_islands")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the per-user rank windows"
+    for ln in win_lines:
+        assert "user_id" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
+
+
+def test_q231_mode_two_aggs_no_window(q):
+    # deterministic mode: min_by over the pair aggregate — no window
+    # (the oracle's ROW_NUMBER is the spec, not the plan)
+    df = q("q231_mode_per_group")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q232_drawdown_windows_user_partitioned(q):
+    # drawdown: both running windows partitioned by user_id
+    df = q("q232_max_drawdown")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected the running equity/peak windows"
+    for ln in win_lines:
+        assert "user_id" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
