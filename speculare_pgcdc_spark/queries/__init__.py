@@ -143,6 +143,7 @@ SWEEP_FIRST = [
     "q230_streak_islands",
     "q231_mode_per_group",
     "q232_max_drawdown",
+    "q233_stratified_exact_sample",
 ]
 
 

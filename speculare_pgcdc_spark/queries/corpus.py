@@ -50,7 +50,9 @@ training-data-pipeline surface the build brief names as first-class.
 - q228-q229: SQL-surface edges — null-safe join equality, array set
   operations over collected sets;
 - q230-q232: sequence/behavior analytics — gaps-and-islands streaks,
-  deterministic per-group mode, per-user max drawdown.
+  deterministic per-group mode, per-user max drawdown;
+- q233: stratified exact sample — the E179 Neyman design executed by
+  per-stratum md5-rank pick.
 """
 
 from __future__ import annotations
@@ -3532,10 +3534,12 @@ _NEYMAN_NS = (
 )
 
 
-@register(
-    "q226_neyman_allocation",
-    oracle=f"""
-        WITH m AS (
+def _neyman_alloc_sql(k: int) -> str:
+    """The allocation CTE chain (DuckDB dialect) for a k-row budget,
+    ending in `afinal(source, n_h, alloc)` — shared by the q226 and
+    q233 oracles so design and execution state identical SQL."""
+    return f"""
+        m AS (
             SELECT source,
                    CAST(COUNT(*) AS DOUBLE) AS n_h,
                    CAST(SUM(n_chars) AS DOUBLE) AS s,
@@ -3549,11 +3553,11 @@ _NEYMAN_NS = (
         t AS (SELECT SUM(CAST(ns AS DECIMAL(28,6))) AS tns FROM w),
         alloc AS (
             SELECT source, n_h,
-                   CAST(FLOOR(ns * {NEYMAN_K}
+                   CAST(FLOOR(ns * {k}
                         / CAST(t.tns AS DOUBLE)) AS BIGINT)
                        AS base,
-                   ns * {NEYMAN_K} / CAST(t.tns AS DOUBLE)
-                       - FLOOR(ns * {NEYMAN_K}
+                   ns * {k} / CAST(t.tns AS DOUBLE)
+                       - FLOOR(ns * {k}
                                / CAST(t.tns AS DOUBLE)) AS rem
             FROM w CROSS JOIN t
         ),
@@ -3561,13 +3565,23 @@ _NEYMAN_NS = (
             SELECT source, n_h, base,
                    ROW_NUMBER() OVER (ORDER BY rem DESC, source)
                        AS rr,
-                   {NEYMAN_K} - SUM(base) OVER () AS short
+                   {k} - SUM(base) OVER () AS short
             FROM alloc
-        )
+        ),
+        afinal AS (
+            SELECT source, n_h,
+                   base + CASE WHEN rr <= short THEN 1 ELSE 0 END
+                       AS alloc
+            FROM ranked
+        )"""
+
+
+@register(
+    "q226_neyman_allocation",
+    oracle="WITH" + _neyman_alloc_sql(NEYMAN_K) + """
         SELECT source, CAST(n_h AS BIGINT) AS n_h,
-               CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END
-                    AS BIGINT) AS alloc
-        FROM ranked ORDER BY source
+               CAST(alloc AS BIGINT) AS alloc
+        FROM afinal ORDER BY source
     """,
     doc=f"Neyman sampling allocation: a {NEYMAN_K}-row audit budget "
     "split across sources proportional to n_h * S_h (stratum size x "
@@ -3582,6 +3596,12 @@ _NEYMAN_NS = (
     "corpus is touched by exactly one scan-agg.",
 )
 def q226(spark: SparkSession, sf: str) -> DataFrame:
+    return _neyman_alloc(spark, sf, NEYMAN_K)
+
+
+def _neyman_alloc(spark: SparkSession, sf: str, k: int) -> DataFrame:
+    """(source, n_h, alloc) Neyman allocation of a k-row budget —
+    shared by q226 (the design table) and q233 (its execution)."""
     from pyspark.sql import Window
 
     m = (
@@ -3604,12 +3624,12 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         "n_h",
         F.expr(
-            f"CAST(FLOOR(ns * {NEYMAN_K} / CAST(tns AS DOUBLE)) "
+            f"CAST(FLOOR(ns * {k} / CAST(tns AS DOUBLE)) "
             "AS BIGINT)"
         ).alias("base"),
         F.expr(
-            f"ns * {NEYMAN_K} / CAST(tns AS DOUBLE) "
-            f"- FLOOR(ns * {NEYMAN_K} / CAST(tns AS DOUBLE))"
+            f"ns * {k} / CAST(tns AS DOUBLE) "
+            f"- FLOOR(ns * {k} / CAST(tns AS DOUBLE))"
         ).alias("rem"),
     )
     wr = Window.orderBy(F.col("rem").desc(), "source")
@@ -3621,7 +3641,7 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
         "n_h",
         "base",
         F.row_number().over(wr).alias("rr"),
-        (F.lit(NEYMAN_K) - F.sum("base").over(wall)).alias("short"),
+        (F.lit(k) - F.sum("base").over(wall)).alias("short"),
     )
     return ranked.select(
         "source",
@@ -4025,4 +4045,64 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
             .alias("max_drawdown")
         )
         .orderBy("user_id")
+    )
+
+
+#: q233 audit-sample budget — smaller than the smallest fixture's
+#: document count so the per-stratum rank filter is non-vacuous (a
+#: budget >= the corpus would select everything) at every scale
+SAMPLE_K = 200
+
+
+@register(
+    "q233_stratified_exact_sample",
+    oracle="WITH" + _neyman_alloc_sql(SAMPLE_K) + """,
+        r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT r.source, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+        FROM r JOIN afinal a
+          ON r.source = a.source AND r.rk <= a.alloc
+        ORDER BY r.source, r.rk
+    """,
+    doc=f"Executes the q226 Neyman design: draw EXACTLY alloc_h "
+    f"documents per source (budget {SAMPLE_K}) by ranking each "
+    "stratum on md5(doc_id) — the q89 content-deterministic uniform "
+    "stand-in, so the sample is reproducible across engines, "
+    "restarts, and partitionings (rand() is none of those). The "
+    "allocation CTE is the SAME SQL builder q226's oracle uses "
+    "(design and execution can't drift); Spark reuses "
+    "_neyman_alloc and broadcast-joins the tiny per-source quota "
+    "onto a rank window PARTITIONED by source. At corpus scale the "
+    "md5 rank is per-stratum work and the quota frame is "
+    "stratum-count-sized — no global window anywhere.",
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    alloc = _neyman_alloc(spark, sf, SAMPLE_K).select(
+        "source", "alloc"
+    )
+    r = table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ).alias("rk"),
+    )
+    return (
+        r.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+        )
+        .orderBy("source", "rk")
     )

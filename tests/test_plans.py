@@ -972,3 +972,27 @@ def test_q232_drawdown_windows_user_partitioned(q):
     for ln in win_lines:
         assert "user_id" in ln.split("windowspecdefinition")[1], ln
     assert not has_python_eval(df)
+
+
+def test_q233_sample_rank_stratum_partitioned_broadcast_quota(q):
+    # executing the Neyman design: the md5 rank window must be
+    # PARTITIONED by source and the per-source quota broadcast back
+    df = q("q233_stratified_exact_sample")
+    p = plan_string(df)
+    win_lines = [
+        ln for ln in p.splitlines()
+        if "Window [" in ln and "row_number" in ln
+    ]
+    assert win_lines, "expected rank windows in the q233 plan"
+    saw_stratum_rank = False
+    for ln in win_lines:
+        spec = ln.split("windowspecdefinition")[1]
+        if "source" in spec:
+            saw_stratum_rank = True  # the document-grain md5 rank
+        else:
+            # only the stratum-count-sized allocation pick (ordered
+            # by the largest-remainder column) may be unpartitioned
+            assert "rem" in spec, f"data-grain global rank: {ln.strip()}"
+    assert saw_stratum_rank, "expected the source-partitioned rank"
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
