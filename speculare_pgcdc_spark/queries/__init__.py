@@ -144,6 +144,8 @@ SWEEP_FIRST = [
     "q231_mode_per_group",
     "q232_max_drawdown",
     "q233_stratified_exact_sample",
+    "q234_holt_forecast",
+    "q235_lag_cross_correlation",
 ]
 
 

@@ -52,7 +52,9 @@ training-data-pipeline surface the build brief names as first-class.
 - q230-q232: sequence/behavior analytics — gaps-and-islands streaks,
   deterministic per-group mode, per-user max drawdown;
 - q233: stratified exact sample — the E179 Neyman design executed by
-  per-stratum md5-rank pick.
+  per-stratum md5-rank pick;
+- q234-q235: forecasting — Holt linear-trend smoothing + h-step
+  forecast, lead/lag cross-correlation between event series.
 """
 
 from __future__ import annotations
@@ -4106,3 +4108,222 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------
+# Forecasting layer (round 6, batch 12): Holt double-exponential
+# smoothing with a linear-trend forecast, and lead/lag
+# cross-correlation between event series.
+# --------------------------------------------------------------------
+
+#: Holt smoothing constants (level, trend) — written as the exact
+#: decimal literals both engines parse to the same doubles
+HOLT_ALPHA = "0.3"
+HOLT_GAMMA = "0.1"
+
+#: forecast horizon (days ahead)
+HOLT_H = 7
+
+
+@register(
+    "q234_holt_forecast",
+    oracle=f"""
+        WITH RECURSIVE d AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        AS DOUBLE) AS y
+            FROM orders GROUP BY day
+        ),
+        s AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM d
+        ),
+        n AS (SELECT COUNT(*) AS n_days FROM s),
+        r AS (
+            SELECT i, l, b FROM (
+                SELECT i, y AS l, CAST(0 AS DOUBLE) AS b
+                FROM s WHERE i = 1)
+            UNION ALL
+            SELECT s.i,
+                   {HOLT_ALPHA} * s.y
+                   + (1 - {HOLT_ALPHA}) * (r.l + r.b) AS l,
+                   {HOLT_GAMMA} * ({HOLT_ALPHA} * (s.y - r.l)
+                       + (1 - {HOLT_ALPHA}) * r.b)
+                   + (1 - {HOLT_GAMMA}) * r.b AS b
+            FROM r JOIN s ON s.i = r.i + 1
+        ),
+        fin AS (
+            SELECT l, b FROM r CROSS JOIN n WHERE i = n_days
+        )
+        SELECT CAST(h AS BIGINT) AS h,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(FLOOR(l * 10000) AS BIGINT) AS level_e4,
+               CAST(FLOOR(b * 10000) AS BIGINT) AS trend_e4,
+               CAST(FLOOR((l + h * b) * 10000) AS BIGINT)
+                   AS forecast_e4
+        FROM fin CROSS JOIN n CROSS JOIN
+             (SELECT unnest(generate_series(1, {HOLT_H})) AS h)
+        ORDER BY h
+    """,
+    doc="Holt double-exponential smoothing over the daily revenue "
+    "series with a linear-trend h-step forecast (q114's EWMA tracks "
+    "level only; Holt adds the trend state, the standard next tier "
+    "before full seasonal Holt-Winters). Recursion contract: "
+    "l_1 = y_1, b_1 = 0; l_t = a*y_t + (1-a)*(l+b); b_t = "
+    "g*(a*(y_t - l) + (1-a)*b) + (1-g)*b — the expanded trend form "
+    "whose operands are all PRE-update state, because DuckDB's "
+    "list_reduce mutates struct accumulator fields sequentially "
+    "(field exprs see partially-updated acc — unusable for coupled "
+    "recursions), so the oracle states the recursion as a standard "
+    "RECURSIVE CTE over the row-numbered series while Spark folds "
+    "with aggregate(): identical IEEE ops over identical "
+    "DECIMAL-exact daily sums in identical order => identical "
+    "doubles either way. Floor-e4 outputs. The day-grain series "
+    "stays thousands of rows at any corpus size (the corpus-sized "
+    "work is the one day agg).",
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double").alias("y")
+        )
+    )
+    arr = d.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(day, y))), "
+            "CAST(NULL AS STRUCT<l: DOUBLE, b: DOUBLE>), "
+            "(acc, x) -> CASE WHEN acc IS NULL THEN "
+            "named_struct('l', x.y, 'b', CAST(0 AS DOUBLE)) "
+            "ELSE named_struct("
+            f"'l', {HOLT_ALPHA} * x.y "
+            f"+ (1 - {HOLT_ALPHA}) * (acc.l + acc.b), "
+            f"'b', {HOLT_GAMMA} * ({HOLT_ALPHA} * (x.y - acc.l) "
+            f"+ (1 - {HOLT_ALPHA}) * acc.b) "
+            f"+ (1 - {HOLT_GAMMA}) * acc.b) END)"
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        arr.crossJoin(
+            F.broadcast(
+                arr.sparkSession.range(1, HOLT_H + 1)
+                .select(F.col("id").alias("h"))
+            )
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.floor(F.col("s.l") * 10000).cast("bigint")
+            .alias("level_e4"),
+            F.floor(F.col("s.b") * 10000).cast("bigint")
+            .alias("trend_e4"),
+            F.floor((F.col("s.l") + F.col("h") * F.col("s.b"))
+                    * 10000).cast("bigint").alias("forecast_e4"),
+        )
+        .orderBy("h")
+    )
+
+
+#: cross-correlation shared arithmetic: Pearson r from exact integer
+#: moments, one expression string for both engines; zero-variance
+#: sides yield r := 0 rather than a NaN
+_XCORR_R = (
+    "CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) <= 0 "
+    "THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(FLOOR((n * sxy - sx * sy) / "
+    "(sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) "
+    "* 1000000) AS BIGINT) END"
+)
+
+
+@register(
+    "q235_lag_cross_correlation",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CASE WHEN event_type = 'error'
+                       THEN 1 ELSE 0 END) AS ec,
+                   SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS pc
+            FROM events GROUP BY day
+        ),
+        lags AS (
+            SELECT unnest(generate_series(-3, 3)) AS lag
+        ),
+        j AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(a.ec) AS DOUBLE) AS sx,
+                   CAST(SUM(b.pc) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.ec AS DECIMAL(38,0)) * b.pc)
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.ec AS DECIMAL(38,0)) * a.ec)
+                        AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(b.pc AS DECIMAL(38,0)) * b.pc)
+                        AS DOUBLE) AS sy2
+            FROM lags l
+            JOIN d a ON TRUE
+            JOIN d b ON b.day = a.day + CAST(l.lag AS INTEGER)
+            GROUP BY l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               {_XCORR_R} AS r_e6
+        FROM j ORDER BY lag
+    """,
+    doc="Lead/lag cross-correlation: Pearson r between the daily "
+    "'error' count and the daily 'purchase' count shifted by "
+    "-3..+3 days — the lead-indicator detector (q207's ACF "
+    "correlates a series with ITSELF; this correlates two metrics "
+    "to ask 'do errors precede purchase dips'). Moments are EXACT "
+    "(DECIMAL(38,0) products — counts overflow LONG products at "
+    "~1e9/day); r comes from one shared expression string over "
+    "identical doubles, floor-e6, with degenerate (zero-variance) "
+    "windows pinned to 0. Shape: one day-grain agg, a 7-row lag "
+    "frame, and a self-join keyed on the shifted day — day-grain "
+    "work no matter the corpus size.",
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "error").cast("int"))
+            .alias("ec"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .alias("pc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = d.sparkSession.range(-3, 4).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = d.select("day", "ec")
+    b = d.select(F.col("day").alias("bday"), "pc")
+    j = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("bday") == F.expr("day + lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("ec").cast("double").alias("sx"),
+            F.sum("pc").cast("double").alias("sy"),
+            F.expr(
+                "CAST(SUM(CAST(ec AS DECIMAL(38,0)) * pc) AS DOUBLE)"
+            ).alias("sxy"),
+            F.expr(
+                "CAST(SUM(CAST(ec AS DECIMAL(38,0)) * ec) AS DOUBLE)"
+            ).alias("sx2"),
+            F.expr(
+                "CAST(SUM(CAST(pc AS DECIMAL(38,0)) * pc) AS DOUBLE)"
+            ).alias("sy2"),
+        )
+    )
+    return j.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(_XCORR_R).alias("r_e6"),
+    ).orderBy("lag")

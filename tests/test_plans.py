@@ -996,3 +996,25 @@ def test_q233_sample_rank_stratum_partitioned_broadcast_quota(q):
     assert saw_stratum_rank, "expected the source-partitioned rank"
     assert broadcast_hash_join_count(df) >= 1
     assert not has_python_eval(df)
+
+
+def test_q234_holt_one_day_agg_then_fold(q):
+    # Holt: the corpus-sized work is ONE day-grain hash agg; the fold
+    # runs inside aggregate() over the collected series (no window,
+    # no Python)
+    df = q("q234_holt_forecast")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q235_xcorr_day_grain_broadcast_lags(q):
+    # cross-correlation: day-grain self-join with the 7-row lag frame
+    # broadcast; no window, all moments JVM-side
+    df = q("q235_lag_cross_correlation")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 1 or (
+        "BroadcastNestedLoop" in p
+    )
+    assert not has_python_eval(df)
