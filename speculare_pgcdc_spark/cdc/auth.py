@@ -74,10 +74,14 @@ class SubscriptionAuthorizer:
         self.allow_in_lists = allow_in_lists
         self.max_entries = max_entries
         self._cache: dict[tuple, tuple[float, bool]] = {}
+        self._next_sweep = self._SWEEP_EVERY
 
-    #: eviction sweep cadence: every N inserts, drop expired entries —
-    #: the moka analog EVICTS on TTL; a grow-only dict would accumulate
-    #: one entry per distinct (attacker-chosen) probe value forever
+    #: eviction sweep cadence: once the cache grows past the next
+    #: threshold, drop expired entries — the moka analog EVICTS on
+    #: TTL; a grow-only dict would accumulate one entry per distinct
+    #: (attacker-chosen) probe value forever. A size THRESHOLD, not a
+    #: size modulo: hit/expire churn can make len() skip over an exact
+    #: multiple forever, letting the cache overshoot unswept.
     _SWEEP_EVERY = 256
 
     def _exists(self, col: str, customer_id: str, value: str) -> bool:
@@ -95,7 +99,7 @@ class SubscriptionAuthorizer:
             .count()
         )
         self._cache[key] = (now, ok)
-        if len(self._cache) % self._SWEEP_EVERY == 0:
+        if len(self._cache) >= self._next_sweep:
             expired = [
                 k for k, (t, _) in self._cache.items()
                 if now - t >= self.ttl
@@ -103,12 +107,18 @@ class SubscriptionAuthorizer:
             for k in expired:
                 del self._cache[k]
             # hard cap (moka max_capacity analog): expiry alone can't
-            # bound a probe flood faster than the TTL — drop oldest
+            # bound a probe flood faster than the TTL — drop oldest via
+            # a heap selection (O(n log k)), not a full O(n log n) sort
+            # inside the request path
             if len(self._cache) > self.max_entries:
-                for k, _ in sorted(
-                    self._cache.items(), key=lambda kv: kv[1][0]
-                )[: len(self._cache) - self.max_entries]:
+                import heapq
+
+                drop = len(self._cache) - self.max_entries
+                for k, _ in heapq.nsmallest(
+                    drop, self._cache.items(), key=lambda kv: kv[1][0]
+                ):
                     del self._cache[k]
+            self._next_sweep = len(self._cache) + self._SWEEP_EVERY
         return ok
 
     def restrict(self, auth: AuthInfo, watch: WatchFor) -> WatchFor:

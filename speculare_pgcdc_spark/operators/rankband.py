@@ -62,7 +62,7 @@ def banded_row_number(
     its two consumers (bin aggregate + in-bin window) share one
     computation.
     """
-    _check_reserved(df)
+    _check_reserved(df, out)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)
@@ -75,12 +75,19 @@ def banded_row_number(
 _RESERVED = ("__b", "__bcnt", "__below_bins", "__below_in", "__rn", "__n")
 
 
-def _check_reserved(df: DataFrame) -> None:
+def _check_reserved(df: DataFrame, out: str) -> None:
     clash = [c for c in df.columns if c in _RESERVED]
     if clash:
         raise ValueError(
             f"rankband reserves column names {list(_RESERVED)}; "
             f"rename {clash} before calling"
+        )
+    if out in df.columns:
+        # withColumn(out, ...) would silently REPLACE the caller's
+        # existing column — refuse instead
+        raise ValueError(
+            f"output column {out!r} already exists on the input frame; "
+            "pass a different `out` name"
         )
 
 
@@ -135,7 +142,7 @@ def banded_ntile(
     """
     if k < 1:
         raise ValueError(f"banded_ntile needs k >= 1, got {k}")
-    _check_reserved(df)
+    _check_reserved(df, out)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)

@@ -36,82 +36,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # (1) round-5 driver hash-fails — output projections conformed to
-    # the round->double / ppm stability convention this round; these
-    # MUST re-attest green (r5 verdict item 1)
-    "q151_dominant_supplier",
-    "q176_weighted_median",
-    "q184_lorenz_deciles",
-    # (2) plans/projections changed this round (banded-rank rewrites,
-    # floor-scaled e4 cost) — must re-attest (r5 verdict items 1,4,5)
-    "q150_min_cost_supplier",
-    "q130_rfm_segmentation",
-    "q187_zipf_regression",
-    "q137_gini_coefficient",
-    # (3) the round-4 slice the driver has NEVER sampled (no
-    # CORRECTNESS row in r1/r2/r3/r5; r5 verdict items 2 and 6):
-    # CDC apply/IVM + LLM-pipeline flagships first, then the TPC-H
-    # family, then the remainder — 41 names here (q130/q137 sit in
-    # section (2) above), so sections (1)+(2)+(3) total 48 and fit
-    # the driver's ~50-query budget with ~2 slots to spare
-    "q96_cdc_apply",
-    "q97_cdc_incremental_matview",
-    "q100_heavy_hitters",
-    "q122_tfidf",
-    "q123_bigram_lm_score",
-    "q104_tpch_q8_market_share",
-    "q105_tpch_q9_product_profit",
-    "q106_tpch_q13_custdist",
-    "q107_tpch_q14_promo_revenue",
-    "q108_tpch_q15_top_supplier",
-    "q109_tpch_q16_supplier_variety",
-    "q110_tpch_q17_small_qty_revenue",
-    "q111_tpch_q19_disjunctive_pred",
-    "q112_tpch_q21_waiting_suppliers",
-    "q98_funnel",
-    "q99_retention_cohorts",
-    "q114_ewma",
-    "q115_fuzzy_match",
-    "q116_stats_aggregates",
-    "q117_unpivot",
-    "q118_distribution_windows",
-    "q119_sequence_transitions",
-    "q120_histogram",
-    "q121_pagerank",
-    "q124_market_basket",
-    "q125_session_assignment",
-    "q126_pq_ann",
-    "q127_time_weighted_avg",
-    "q128_ohlc_bars",
-    "q129_grouping_sets",
-    "q131_ratio_to_report",
-    "q132_mad_robust_stats",
-    "q133_topn_per_group",
-    "q134_percent_change",
-    "q135_benford_digits",
-    "q136_entropy",
-    "q138_containment",
-    "q139_charset_stats",
-    "q140_winsorized_mean",
-    "q141_ngram_novelty",
-    "q142_effective_sources",
-    # (4) round-6 additions — sweep- and pytest-attested this round
-    # (SWEEP_r06.json three-scale matrix); they take whatever driver
-    # budget remains and front-load the r7 rotation
-    "q188_train_split",
-    "q189_skew_profile",
+    # (1) round-7 priority: the 46 round-6 additions that have never
+    # had a driver CORRECTNESS row (sweep- and pytest-green only;
+    # r6 verdict item 1). Highest user-frequency first per the
+    # verdict: exact median, table checksum, ingest dedup, BM25.
+    # q192/q200 will report rows-only by declared contract.
+    "q194_exact_global_median",
+    "q196_table_checksum",
+    "q197_incremental_ingest",
+    "q201_bm25_topk",
     "q190_embedding_dim_profile",
     "q191_split_leakage",
     "q192_compaction_plan",
     "q193_join_size_estimate",
-    "q194_exact_global_median",
     "q195_weighted_topk_sample",
-    "q196_table_checksum",
-    "q197_incremental_ingest",
     "q198_rank_auc",
     "q199_calibration_bins",
     "q200_hll_user_sketch",
-    "q201_bm25_topk",
     "q202_hard_negatives",
     "q203_ndcg_at_k",
     "q204_mrr",
@@ -146,6 +87,11 @@ SWEEP_FIRST = [
     "q233_stratified_exact_sample",
     "q234_holt_forecast",
     "q235_lag_cross_correlation",
+    # (2) plan/oracle changes this round — re-attest after change:
+    # q126 gains a staged deterministic oracle (r6 verdict item 2),
+    # q208 is rewritten through rankband (r6 verdict item 5; also
+    # listed above in its never-checked slot).
+    "q126_pq_ann",
 ]
 
 

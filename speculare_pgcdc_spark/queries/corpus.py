@@ -1916,9 +1916,13 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
     "matching quantile-interpolation conventions — and the result "
     "is floored to ppm (floor toward -inf: negative trends stay "
     "stable). Shape: one corpus-sized agg to day grain; the "
-    "O(days^2) pair join and its sort are day-grain (3.65k days = "
-    "6.6M pairs at a decade of data — executor-trivial). Slope "
-    "units: events/day.",
+    "O(days^2) pair join is day-grain (3.65k days = 6.6M pairs at a "
+    "decade of data). Median selection rides the q194 banded "
+    "order-statistics path — distinct-slope grain with counts, "
+    "millislope-bin cumsum for the global rank interval, in-bin "
+    "window partitioned by bin — so NO data-grain single-partition "
+    "sort remains even as the pair count grows quadratically in "
+    "days. Slope units: events/day.",
 )
 def q208(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1944,16 +1948,64 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("slope")
         )
     )
-    w = Window.orderBy("slope")
-    ranked = pairs.select(
-        "slope", F.row_number().over(w).alias("rn")
-    ).crossJoin(
-        F.broadcast(pairs.agg(F.count(F.lit(1)).alias("np")))
+    # q194-style banded order statistics over the slope multiset:
+    # collapse to distinct-slope grain (ties carry counts), bin by
+    # millislope; rank interval [lo, hi] per distinct value, median
+    # positions select at most two values — both engines average the
+    # same IEEE doubles the oracle's ROW_NUMBER form picks.
+    g = (
+        pairs.groupBy("slope")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "b", F.floor(F.col("slope") * 1000).cast("bigint")
+        )
+        .localCheckpoint(eager=True)
     )
-    sel = ranked.filter(
-        (F.col("rn") == F.expr("(np + 1) DIV 2"))
-        | (F.col("rn") == F.expr("(np + 2) DIV 2"))
-    ).agg(F.avg("slope").alias("med"), F.max("np").alias("np"))
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = (
+        g.groupBy("b")
+        .agg(F.sum("cnt").alias("bcnt"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0)).alias(
+                "below_bins"
+            ),
+        )
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = g.agg(F.sum("cnt").alias("np"))
+    spans = (
+        g.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bins), "b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lo", F.col("below_bins") + F.col("below_in") + 1)
+        .withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+    )
+    p1 = F.expr("(np + 1) DIV 2")
+    p2 = F.expr("(np + 2) DIV 2")
+    in1 = (F.col("lo") <= p1) & (p1 <= F.col("hi"))
+    in2 = (F.col("lo") <= p2) & (p2 <= F.col("hi"))
+    weight = F.when(in1, 1).otherwise(0) + F.when(in2, 1).otherwise(0)
+    sel = (
+        spans.filter(in1 | in2)
+        .select(
+            F.col("np"),
+            (F.col("slope") * weight).alias("vw"),
+            weight.alias("w"),
+        )
+        .agg(
+            (F.sum("vw") / F.sum("w")).alias("med"),
+            F.max("np").alias("np"),
+        )
+    )
     n_days = days.agg(F.count(F.lit(1)).alias("n_days"))
     return (
         sel.crossJoin(F.broadcast(n_days))

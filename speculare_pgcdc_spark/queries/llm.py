@@ -17,7 +17,7 @@ from speculare_pgcdc_spark.operators import dedup as dd
 from speculare_pgcdc_spark.operators import multimodal as mm
 from speculare_pgcdc_spark.operators import similarity as sim
 from speculare_pgcdc_spark.operators import textstats as ts
-from speculare_pgcdc_spark.queries import _kmeans_sql, register
+from speculare_pgcdc_spark.queries import _kmeans_sql, _pq_sql, register
 
 
 def _docs_subset(spark, sf, limit_id=200):
@@ -1689,9 +1689,15 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q126_pq_ann",
-    oracle=None,  # sketch family (E14 contract): PQ candidate ranking
-    # is approximate; recall vs brute force + compression invariants
-    # are pinned in tests/test_llm.py
+    # staged deterministic oracle (the q85/q91 _kmeans_sql precedent):
+    # the full train -> encode -> ADC -> exact-rerank pipeline unrolled
+    # as CTEs — every arithmetic step mirrors the Spark fold order, so
+    # the trained codebooks (and hence the candidate pool and final
+    # top-k) hash-match. Recall vs brute force + compression invariants
+    # remain pinned in tests/test_llm.py.
+    oracle=_pq_sql.pq_ann_sql(
+        m=4, k=8, iters=1, topk=5, candidate_factor=8, dim=64
+    ),
     doc="Product-quantization ANN (m=8 subspaces x 16 codewords over "
     "the 64-dim embeddings): per-subspace k-means codebooks "
     "(deterministic trainer), m-byte codes assigned by a narrow "

@@ -1018,3 +1018,13 @@ def test_q235_xcorr_day_grain_broadcast_lags(q):
         "BroadcastNestedLoop" in p
     )
     assert not has_python_eval(df)
+
+
+def test_q208_theil_sen_banded_no_data_grain_window(q):
+    # Theil-Sen slope median rides the q194 banded order-statistics
+    # path: no row_number, unpartitioned windows only over the
+    # millislope-bin aggregate — the pair multiset (quadratic in
+    # days) never crosses one task (r6 advice item)
+    p = plan_string(q("q208_theil_sen_trend"))
+    assert "row_number" not in p
+    assert_banded_windows_only(p)
