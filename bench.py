@@ -265,6 +265,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings.get(n) for n in tier1},
+                # medians ride the compact line too so a truncated
+                # artifact still supports the min+median regression
+                # test BASELINE.md prescribes (r6 verdict item 7)
+                "queries_median": {n: medians.get(n) for n in tier1},
+                "value_median": (
+                    None
+                    if any(medians[n] is None for n in tier1)
+                    else round(sum(medians[n] for n in tier1), 3)
+                ),
                 "tier2_total": tier2_total,
                 "cdc_events_per_s": cdc_events_per_s,
                 "cdc_q35_events_per_s": cdc_q35_events_per_s,

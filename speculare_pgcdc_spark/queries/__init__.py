@@ -92,6 +92,8 @@ SWEEP_FIRST = [
     # q208 is rewritten through rankband (r6 verdict item 5; also
     # listed above in its never-checked slot).
     "q126_pq_ann",
+    # (3) new this round (r6 verdict item 6)
+    "q236_holt_winters_seasonal",
 ]
 
 

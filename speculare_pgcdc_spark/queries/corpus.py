@@ -4379,3 +4379,186 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(_XCORR_R).alias("r_e6"),
     ).orderBy("lag")
+
+
+#: Holt-Winters additive seasonal constants (level, trend, season) —
+#: exact decimal literals both engines parse to the same doubles
+HW_ALPHA = "0.3"
+HW_BETA = "0.1"
+HW_GAMMA = "0.2"
+
+#: season length: day-of-week
+HW_PERIOD = 7
+
+
+def _hw_step(
+    y: str, acc_l: str, acc_b: str, acc_s1: str
+) -> tuple[str, str, str]:
+    """The three HW update expressions with every operand PRE-update
+    state (the q234 expanded-form contract: no engine may reference a
+    just-computed field, so l' is textually duplicated inside b' and
+    s'). Shared between the Spark fold and the DuckDB recursion so the
+    IEEE op sequence is identical."""
+    lnew = (
+        f"{HW_ALPHA} * ({y} - {acc_s1}) "
+        f"+ (1 - {HW_ALPHA}) * ({acc_l} + {acc_b})"
+    )
+    bnew = (
+        f"{HW_BETA} * (({lnew}) - {acc_l}) + (1 - {HW_BETA}) * {acc_b}"
+    )
+    snew = (
+        f"{HW_GAMMA} * ({y} - ({lnew})) + (1 - {HW_GAMMA}) * {acc_s1}"
+    )
+    return lnew, bnew, snew
+
+
+_HW_L, _HW_B, _HW_S = _hw_step("s.y", "r.l", "r.b", "r.sa[1]")
+_HW_L_SP, _HW_B_SP, _HW_S_SP = _hw_step(
+    "x", "acc.l", "acc.b", "element_at(acc.sa, 1)"
+)
+
+
+@register(
+    "q236_holt_winters_seasonal",
+    oracle=f"""
+        WITH RECURSIVE d AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS yd
+            FROM orders GROUP BY day
+        ),
+        s AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   CAST(yd AS DOUBLE) AS y, yd
+            FROM d
+        ),
+        n AS (SELECT COUNT(*) AS n_days FROM s),
+        m AS (
+            SELECT CAST((SELECT SUM(yd) FROM s WHERE i <= {HW_PERIOD})
+                        AS DOUBLE) / {HW_PERIOD} AS m1,
+                   CAST((SELECT SUM(yd) FROM s
+                         WHERE i BETWEEN {HW_PERIOD} + 1
+                                     AND 2 * {HW_PERIOD})
+                        AS DOUBLE) / {HW_PERIOD} AS m2
+        ),
+        r AS (
+            SELECT {HW_PERIOD} AS i, m1 AS l,
+                   (m2 - m1) / {HW_PERIOD} AS b,
+                   (SELECT list(s.y - m.m1 ORDER BY s.i) FROM s
+                    WHERE s.i <= {HW_PERIOD}) AS sa
+            FROM m
+            UNION ALL
+            SELECT s.i,
+                   {_HW_L} AS l,
+                   {_HW_B} AS b,
+                   list_concat(r.sa[2:{HW_PERIOD}], [{_HW_S}]) AS sa
+            FROM r JOIN s ON s.i = r.i + 1
+        ),
+        fin AS (
+            SELECT l, b, sa FROM r CROSS JOIN n WHERE i = n_days
+        )
+        SELECT CAST(h AS BIGINT) AS h,
+               CAST(n_days AS BIGINT) AS n_days,
+               CAST(FLOOR(l * 10000) AS BIGINT) AS level_e4,
+               CAST(FLOOR(b * 10000) AS BIGINT) AS trend_e4,
+               CAST(FLOOR(sa[h] * 10000) AS BIGINT) AS season_e4,
+               CAST(FLOOR((l + h * b + sa[h]) * 10000) AS BIGINT)
+                   AS forecast_e4
+        FROM fin CROSS JOIN n CROSS JOIN
+             (SELECT unnest(generate_series(1, {HW_PERIOD})) AS h)
+        ORDER BY h
+    """,
+    doc="Additive seasonal Holt-Winters over the daily revenue series "
+    "— the full level+trend+season tier above q234's Holt (its "
+    "docstring names this as the standard next step). Classic "
+    "two-period init: l_P = mean(week 1), b_P = (mean(week 2) - "
+    "mean(week 1)) / P, s_i = y_i - mean(week 1); both init means "
+    "are DECIMAL-exact sums (order-free) cast to double once, so "
+    "neither engine's aggregation order matters. Recursion from day "
+    "P+1 carries (l, b, season ring-buffer): the season array is "
+    "kept ROTATED so sa[1] is always the factor applying to the "
+    "current step, making the update a slice+append instead of an "
+    "indexed write; every update operand is pre-update state with "
+    "l' textually duplicated inside b' and s' (the q234 expanded-"
+    "form contract — identical IEEE op sequence in the Spark "
+    "aggregate() fold and the DuckDB RECURSIVE CTE). h-step "
+    "forecast: l + h*b + sa[h]; floor-e4 outputs. Contract: needs "
+    ">= 2P+1 observed days. The day-grain series stays thousands of "
+    "rows at any corpus size — the corpus-sized work is the one "
+    "day agg.",
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    p = HW_PERIOD
+    row = (
+        table(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .alias("yd")
+        )
+        .agg(
+            F.expr("array_sort(collect_list(struct(day, yd)))")
+            .alias("arr"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .withColumn(
+            "ys", F.expr("transform(arr, x -> CAST(x.yd AS DOUBLE))")
+        )
+        .withColumn(
+            "m1",
+            F.expr(
+                f"CAST(aggregate(slice(arr, 1, {p}), "
+                "CAST(0 AS DECIMAL(38,6)), "
+                "(a, x) -> CAST(a + x.yd AS DECIMAL(38,6))) "
+                f"AS DOUBLE) / {p}"
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.expr(
+                f"CAST(aggregate(slice(arr, {p} + 1, {p}), "
+                "CAST(0 AS DECIMAL(38,6)), "
+                "(a, x) -> CAST(a + x.yd AS DECIMAL(38,6))) "
+                f"AS DOUBLE) / {p}"
+            ),
+        )
+    )
+    st = row.withColumn(
+        "st",
+        F.expr(
+            f"aggregate(slice(ys, {p} + 1, size(ys) - {p}), "
+            f"named_struct('l', m1, 'b', (m2 - m1) / {p}, "
+            f"'sa', transform(slice(ys, 1, {p}), v -> v - m1)), "
+            f"(acc, x) -> named_struct("
+            f"'l', {_HW_L_SP}, "
+            f"'b', {_HW_B_SP}, "
+            f"'sa', concat(slice(acc.sa, 2, {p} - 1), "
+            f"array({_HW_S_SP}))))"
+        ),
+    )
+    return (
+        st.crossJoin(
+            F.broadcast(
+                st.sparkSession.range(1, p + 1)
+                .select(F.col("id").alias("h"))
+            )
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.floor(F.col("st.l") * 10000).cast("bigint")
+            .alias("level_e4"),
+            F.floor(F.col("st.b") * 10000).cast("bigint")
+            .alias("trend_e4"),
+            F.floor(
+                F.expr("element_at(st.sa, CAST(h AS INT))") * 10000
+            ).cast("bigint").alias("season_e4"),
+            F.floor(
+                (
+                    F.col("st.l")
+                    + F.col("h") * F.col("st.b")
+                    + F.expr("element_at(st.sa, CAST(h AS INT))")
+                ) * 10000
+            ).cast("bigint").alias("forecast_e4"),
+        )
+        .orderBy("h")
+    )

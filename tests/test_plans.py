@@ -1028,3 +1028,14 @@ def test_q208_theil_sen_banded_no_data_grain_window(q):
     p = plan_string(q("q208_theil_sen_trend"))
     assert "row_number" not in p
     assert_banded_windows_only(p)
+
+
+def test_q236_hw_one_day_agg_then_fold(q):
+    # seasonal Holt-Winters: like q234, the corpus-sized work is ONE
+    # day-grain hash agg; init means + the (l, b, season-ring) fold
+    # all run inside aggregate() over the collected day series — no
+    # window, no Python
+    df = q("q236_holt_winters_seasonal")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)

@@ -1884,3 +1884,70 @@ def test_streaming_ewma_multi_chunk_batch_folds_in_order(
         e = v if n == 0 else 0.5 * v + 0.5 * e
         n += 1
     assert got == {1: (round(e, 10), n)}
+
+
+def test_fanout_auto_flips_driver_to_executor_mid_stream(
+    spark, tmp_path, monkeypatch
+):
+    """Chaos: auto mode re-decides the delivery path PER BATCH, so one
+    running query can cross the AUTO_DRIVER_MAX_ROWS threshold
+    mid-stream (small batch -> driver collect; burst batch ->
+    executor-side foreachPartition) with no restart, no loss and no
+    duplicate. The threshold is pinned tiny so the flip happens at
+    test scale; path selection is attested by wrapping both delivery
+    functions (driver-side, inside foreachBatch)."""
+    from speculare_pgcdc_spark.streaming import fanout as fo
+    from speculare_pgcdc_spark.streaming.fanout import (
+        idempotent_outbox_deliver,
+        read_outbox,
+        start_fanout_query,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    paths: list[str] = []
+    real_batch, real_parts = fo.fanout_batch, fo.fanout_partitions
+    monkeypatch.setattr(
+        fo, "fanout_batch",
+        lambda *a, **k: (paths.append("driver"), real_batch(*a, **k)),
+    )
+    monkeypatch.setattr(
+        fo, "fanout_partitions",
+        lambda *a, **k: (
+            paths.append("executor"), real_parts(*a, **k)),
+    )
+    monkeypatch.setattr(fo, "AUTO_DRIVER_MAX_ROWS", 3)
+
+    def payload_file(name, ids):
+        _write_jsonl(
+            os.path.join(feed_dir, name),
+            [
+                _wal2json_line("insert", "events_a", ["id"], [i])
+                for i in ids
+            ],
+        )
+
+    subs = subscriptions_df(spark, [(1, "*:events_a")], FEED_TABLES)
+    stream = normalize_hypertables(
+        parse_wal2json(file_change_feed(spark, feed_dir)),
+        lookup_df(spark),
+    )
+    payload_file("f1.json", [1, 2])  # 2 routed rows <= 3: driver path
+    q = start_fanout_query(
+        stream, subs, idempotent_outbox_deliver(out_dir), ckpt
+    )
+    try:
+        q.processAllAvailable()
+        # burst: 8 routed rows > 3 -> executor path, same query
+        payload_file("f2.json", [3, 4, 5, 6, 7, 8, 9, 10])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert paths == ["driver", "executor"]
+    lines = read_outbox(out_dir, 1)
+    ids = sorted(json.loads(ln)["columnvalues"][0] for ln in lines)
+    assert ids == list(range(1, 11))  # no loss, no duplicates
