@@ -1,0 +1,140 @@
+"""Empirical scale probe (r6 verdict item 3): run the banded-rank
+rewrites + the bench tier-1 suite against a 10x (sf1-shaped) fixture
+(scripts/make_scale_fixture.py) and record TASK-LEVEL balance stats —
+the plan lints prove the shuffle/window SHAPE; this run proves no
+hidden driver-side or single-task blowup actually materializes.
+
+Per query: wall seconds, then for every stage the run executed (read
+from the Spark status REST API, quantiles endpoint): task count, task
+duration median/max, and shuffle-read max. The headline check is
+max-task <= 2x median-task on every stage with enough tasks for the
+ratio to mean anything (small stages: a 3-task stage's max is
+trivially its median's neighbor).
+
+Usage: python scripts/scale_probe.py [fixture_dir] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from speculare_pgcdc_spark.queries import load_all  # noqa: E402
+from speculare_pgcdc_spark.session import get_spark  # noqa: E402
+
+#: the round-5/6 scale-killer rewrites (banded order statistics) plus
+#: the q208 slope median that joined them this round
+BANDED = [
+    "q130_rfm_segmentation",
+    "q184_lorenz_deciles",
+    "q187_zipf_regression",
+    "q194_exact_global_median",
+    "q208_theil_sen_trend",
+]
+
+#: stages below this task count are excluded from the balance ratio
+MIN_TASKS = 8
+
+
+def _api(base: str, path: str):
+    with urllib.request.urlopen(f"{base}{path}", timeout=30) as r:
+        return json.load(r)
+
+
+def probe(fixture: str, out_path: str | None) -> None:
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    api = f"{base}/api/v1/applications/{app_id}"
+
+    registry = load_all()
+    tier1 = sorted(n for n, s in registry.items() if s.bench)
+    names = BANDED + [n for n in tier1 if n not in BANDED]
+
+    results: dict[str, dict] = {}
+    seen_stages: set[int] = set()
+    for s in _api(api, "/stages"):
+        seen_stages.add(s["stageId"])
+
+    for name in names:
+        spec = registry[name]
+        try:
+            t0 = time.perf_counter()
+            spec.fn(spark, fixture).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.perf_counter() - t0, 2)
+        except Exception as ex:  # noqa: BLE001 - probe must finish
+            results[name] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+            continue
+        stages = []
+        worst = 0.0
+        for s in _api(api, "/stages?status=complete"):
+            sid = s["stageId"]
+            if sid in seen_stages:
+                continue
+            seen_stages.add(sid)
+            ntasks = s.get("numCompleteTasks", 0)
+            if ntasks == 0:
+                continue
+            try:
+                qs = _api(
+                    api,
+                    f"/stages/{sid}/0/taskSummary"
+                    "?quantiles=0.5,1.0",
+                )
+                med_ms, max_ms = qs["executorRunTime"]
+                sh_max = qs.get("shuffleReadMetrics", {}).get(
+                    "readBytes", [0, 0]
+                )[-1]
+            except Exception:  # noqa: BLE001 - tiny stages 404 summary
+                continue
+            ratio = (
+                round(max_ms / med_ms, 2) if med_ms > 0 else None
+            )
+            if ntasks >= MIN_TASKS and ratio is not None:
+                worst = max(worst, ratio)
+            stages.append(
+                {
+                    "stage": sid,
+                    "tasks": ntasks,
+                    "task_med_ms": round(med_ms),
+                    "task_max_ms": round(max_ms),
+                    "ratio": ratio,
+                    "shuffle_read_max_b": int(sh_max),
+                }
+            )
+        results[name] = {
+            "wall_sec": wall,
+            "worst_ratio": worst or None,
+            "stages": stages,
+        }
+        big = [st for st in stages if st["tasks"] >= MIN_TASKS]
+        print(
+            f"{name:36s} {wall:7.2f}s  stages={len(stages):2d}  "
+            f"worst max/med={worst or float('nan'):.2f} "
+            f"(over {len(big)} stages with >= {MIN_TASKS} tasks)",
+            flush=True,
+        )
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    fixture = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    out = None
+    if "--json" in sys.argv:
+        out = sys.argv[sys.argv.index("--json") + 1]
+    probe(fixture, out)

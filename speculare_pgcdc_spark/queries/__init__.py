@@ -92,8 +92,12 @@ SWEEP_FIRST = [
     # q208 is rewritten through rankband (r6 verdict item 5; also
     # listed above in its never-checked slot).
     "q126_pq_ann",
-    # (3) new this round (r6 verdict item 6)
+    # (3) new this round (r6 verdict item 6 + round-7 additions)
     "q236_holt_winters_seasonal",
+    "q237_blocklist_scrub",
+    "q238_snapshot_diff",
+    "q239_correlation_matrix",
+    "q240_temperature_mix",
 ]
 
 

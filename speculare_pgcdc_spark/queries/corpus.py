@@ -4562,3 +4562,434 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# --------------------------------------------------------------------
+# Round 7: corpus hygiene + replica tooling + mixing design —
+# blocklist scrub (the C4-style term filter), row-level snapshot diff
+# (q196 checksum's "which rows" companion), the event-type correlation
+# matrix (q235 generalized all-pairs), and temperature-scaled source
+# mixing weights (the multilingual-LM sampling design).
+# --------------------------------------------------------------------
+
+#: blocklist terms for the scrub demo — drawn from the fixture vocab
+#: so the gate is NON-VACUOUS at every scale (a PII-shaped regex would
+#: match zero rows of the synthetic corpus and prove nothing); the
+#: pattern shape (word-boundary alternation) is exactly a production
+#: blocklist's. Both engines' regex dialects (Java util.regex, RE2)
+#: agree on \b and alternation.
+BLOCKLIST_PATTERN = r"\b(slow|big)\b"
+
+#: redaction token replacing each blocklist hit
+REDACT_TOKEN = "[REDACTED]"
+
+
+@register(
+    "q237_blocklist_scrub",
+    oracle=f"""
+        WITH scrubbed AS (
+            SELECT source,
+                   len(regexp_extract_all(COALESCE(text, ''),
+                       '{BLOCKLIST_PATTERN}', 0)) AS hits,
+                   regexp_replace(COALESCE(text, ''),
+                       '{BLOCKLIST_PATTERN}', '{REDACT_TOKEN}', 'g')
+                       AS clean
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_flagged,
+               CAST(SUM(hits) AS BIGINT) AS total_hits,
+               CAST(SUM(CAST(CAST(concat('0x',
+                        substr(md5(clean), 1, 12)) AS BIGINT)
+                        AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+                   AS clean_checksum
+        FROM scrubbed GROUP BY source ORDER BY source
+    """,
+    doc="Blocklist scrub — the C4-style bad-term filter every corpus "
+    "pipeline runs before training: count word-boundary blocklist "
+    "hits per document, redact them, and report per source (docs "
+    "flagged, total hits, and a 48-bit-md5 checksum of the REDACTED "
+    "text summed mod 1e18 — the q196 order-free convention — so the "
+    "oracle pins the transform output itself, not just the counts). "
+    "Shape: one narrow regex map over the scan + one source-grain "
+    "agg; no join, no window — embarrassingly parallel at 100 TB. "
+    "The blocklist rides as a literal pattern; a big lexicon would "
+    "compile to an Aho-Corasick UDF or a broadcast join on tokens "
+    "(the q44 explode path).",
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    hits = F.size(
+        F.regexp_extract_all(txt, F.lit(BLOCKLIST_PATTERN), F.lit(0))
+    )
+    clean = F.regexp_replace(txt, BLOCKLIST_PATTERN, REDACT_TOKEN)
+    digest = F.conv(
+        F.substring(F.md5(clean), 1, 12), 16, 10
+    ).cast("bigint")
+    return (
+        table(spark, sf, "documents")
+        .select("source", hits.alias("hits"), digest.alias("d"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("bigint")
+            .alias("docs_flagged"),
+            F.sum("hits").cast("bigint").alias("total_hits"),
+            (
+                F.sum(F.col("d").cast("decimal(38,0)"))
+                % F.lit(10 ** 18).cast("decimal(38,0)")
+            ).cast("bigint").alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+#: snapshot-diff perturbation mods (deterministic replica drift: keys
+#: divisible by these are dropped / value-drifted / late-inserted)
+DIFF_DROP_MOD = 101
+DIFF_DRIFT_MOD = 97
+DIFF_INSERT_MOD = 103
+
+#: key offset for the simulated late-arriving inserts
+DIFF_INSERT_OFFSET = 100_000_000
+
+
+def _diff_rowhash_sql(price_expr: str) -> str:
+    """48-bit md5 digest of a float-free row rendering (the q196
+    contract: doubles enter as floor-scaled cents, dates as ISO
+    strings — both render identically in Spark and DuckDB)."""
+    return f"""CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+        CAST(o_orderkey AS VARCHAR),
+        CAST(o_custkey AS VARCHAR),
+        o_orderstatus,
+        CAST(CAST(FLOOR(({price_expr}) * 100) AS BIGINT) AS VARCHAR),
+        CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        o_orderpriority)), 1, 12)) AS BIGINT) AS BIGINT)"""
+
+
+@register(
+    "q238_snapshot_diff",
+    oracle=f"""
+        WITH old AS (
+            SELECT o_orderkey AS k,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders
+        ),
+        new AS (
+            SELECT o_orderkey AS k,
+                   {_diff_rowhash_sql(
+                       'o_totalprice + CASE WHEN o_orderkey % '
+                       + str(DIFF_DRIFT_MOD)
+                       + ' = 0 THEN 1.5 ELSE 0 END')} AS h
+            FROM orders WHERE o_orderkey % {DIFF_DROP_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey + {DIFF_INSERT_OFFSET} AS k,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders WHERE o_orderkey % {DIFF_INSERT_MOD} = 0
+        ),
+        d AS (
+            SELECT COALESCE(o.k, n.k) AS k,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS change_type
+            FROM old o FULL OUTER JOIN new n ON o.k = n.k
+        )
+        SELECT change_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(k AS HUGEINT))
+                    % 1000000000000000000 AS BIGINT) AS key_checksum
+        FROM d GROUP BY change_type ORDER BY change_type
+    """,
+    doc="Row-level snapshot diff between a table and a drifted "
+    "replica — q196's bucketed checksum answers 'do the replicas "
+    "differ'; this answers 'WHICH rows, and how': full outer join "
+    "on the key, rows classified added / removed / changed / "
+    "unchanged by comparing the q196-convention float-free row "
+    "digest, per-class counts plus an order-free key checksum "
+    "pinning the membership of each class. The replica is a "
+    "deterministic in-query perturbation (drop keys % "
+    f"{DIFF_DROP_MOD}, drift price on % {DIFF_DRIFT_MOD}, "
+    f"late-insert copies of % {DIFF_INSERT_MOD} at a key offset) — "
+    "in production the two sides are source and applied replica "
+    "(cdc/apply.py). Shape: ONE key-partitioned full-outer "
+    "self-join (both sides shuffle on k once) + a 4-group agg; at "
+    "100 TB this is the standard keyed reconciliation pass, and "
+    "combining it with q196's buckets confines the row-level join "
+    "to divergent buckets only.",
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    def rowhash(price: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.floor(price * 100).cast("bigint")
+                        .cast("string"),
+                        F.col("o_orderdate").cast("date")
+                        .cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    orders = table(spark, sf, "orders")
+    old = orders.select(
+        F.col("o_orderkey").alias("k"),
+        rowhash(F.col("o_totalprice")).alias("h"),
+    )
+    drift = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % DIFF_DRIFT_MOD == 0, F.lit(1.5)
+    ).otherwise(F.lit(0.0))
+    new = (
+        orders.filter(F.col("o_orderkey") % DIFF_DROP_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            rowhash(drift).alias("h"),
+        )
+        .unionAll(
+            orders.filter(
+                F.col("o_orderkey") % DIFF_INSERT_MOD == 0
+            ).select(
+                (F.col("o_orderkey") + DIFF_INSERT_OFFSET).alias("k"),
+                rowhash(F.col("o_totalprice")).alias("h"),
+            )
+        )
+    )
+    d = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.col("k").cast("decimal(38,0)"))
+                % F.lit(10 ** 18).cast("decimal(38,0)")
+            ).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+#: the fixture's event types — stated as a FIXED list so the day grid
+#: zero-fills days where a type is absent (a dynamic pivot would drop
+#: them and bias the correlation)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q239_correlation_matrix",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {", ".join(
+                       f"SUM(CASE WHEN event_type = '{t}' "
+                       f"THEN 1 ELSE 0 END) AS c_{t}"
+                       for t in EVENT_TYPES)}
+            FROM events GROUP BY day
+        ),
+        u AS (
+            {" UNION ALL ".join(
+                f"SELECT day, '{t}' AS typ, c_{t} AS cnt FROM d"
+                for t in EVENT_TYPES)}
+        ),
+        j AS (
+            SELECT a.typ AS type_a, b.typ AS type_b,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(a.cnt) AS DOUBLE) AS sx,
+                   CAST(SUM(b.cnt) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.cnt AS DECIMAL(38,0)) * b.cnt)
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.cnt AS DECIMAL(38,0)) * a.cnt)
+                        AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(b.cnt AS DECIMAL(38,0)) * b.cnt)
+                        AS DOUBLE) AS sy2
+            FROM u a JOIN u b ON a.day = b.day AND a.typ < b.typ
+            GROUP BY a.typ, b.typ
+        )
+        SELECT type_a, type_b,
+               CAST(n AS BIGINT) AS n_days,
+               {_XCORR_R} AS r_e6
+        FROM j ORDER BY type_a, type_b
+    """,
+    doc="Same-day correlation matrix across all event-type pairs — "
+    "q235 correlates two chosen series at shifted lags; this is the "
+    "all-pairs lag-0 screen you run FIRST to find which metric "
+    "pairs co-move at all (then q235 resolves lead/lag for the "
+    "interesting ones). The per-day type counts come from one "
+    "conditional-sum day agg over a FIXED type list (zero-filled "
+    "grid — a dynamic pivot would silently drop absent types and "
+    "bias r); the unpivoted day×type frame self-joins on day with "
+    "typ_a < typ_b giving each unordered pair once; moments are "
+    "DECIMAL(38,0)-exact and r comes from the shared q235 "
+    "expression (floor-e6, zero-variance pinned to 0). Shape: one "
+    "corpus-sized day agg; everything after is day-grain × a "
+    "constant type count.",
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            *[
+                F.sum((F.col("event_type") == t).cast("int"))
+                .alias(f"c_{t}")
+                for t in EVENT_TYPES
+            ]
+        )
+    )
+    stack = ", ".join(f"'{t}', c_{t}" for t in EVENT_TYPES)
+    u = d.select(
+        "day",
+        F.expr(
+            f"stack({len(EVENT_TYPES)}, {stack}) AS (typ, cnt)"
+        ),
+    ).localCheckpoint(eager=True)
+    a = u.select("day", F.col("typ").alias("type_a"),
+                 F.col("cnt").alias("ca"))
+    b = u.select(F.col("day").alias("day_b"),
+                 F.col("typ").alias("type_b"),
+                 F.col("cnt").alias("cb"))
+    j = (
+        a.join(
+            b,
+            (F.col("day") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("ca").cast("double").alias("sx"),
+            F.sum("cb").cast("double").alias("sy"),
+            F.expr(
+                "CAST(SUM(CAST(ca AS DECIMAL(38,0)) * cb) AS DOUBLE)"
+            ).alias("sxy"),
+            F.expr(
+                "CAST(SUM(CAST(ca AS DECIMAL(38,0)) * ca) AS DOUBLE)"
+            ).alias("sx2"),
+            F.expr(
+                "CAST(SUM(CAST(cb AS DECIMAL(38,0)) * cb) AS DOUBLE)"
+            ).alias("sy2"),
+        )
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(_XCORR_R).alias("r_e6"),
+    ).orderBy("type_a", "type_b")
+
+
+#: temperature-mix ppm budget (weights sum EXACTLY to this)
+MIX_PPM = 1_000_000
+
+
+@register(
+    "q240_temperature_mix",
+    oracle=f"""
+        WITH m AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS ns FROM m
+        ),
+        t AS (SELECT SUM(CAST(ns AS DECIMAL(28,6))) AS tns FROM w),
+        alloc AS (
+            SELECT source, n,
+                   CAST(FLOOR(ns * {MIX_PPM}
+                        / CAST(t.tns AS DOUBLE)) AS BIGINT) AS base,
+                   ns * {MIX_PPM} / CAST(t.tns AS DOUBLE)
+                       - FLOOR(ns * {MIX_PPM}
+                               / CAST(t.tns AS DOUBLE)) AS rem
+            FROM w CROSS JOIN t
+        ),
+        ranked AS (
+            SELECT source, n, base,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       AS rr,
+                   {MIX_PPM} - SUM(base) OVER () AS short
+            FROM alloc
+        )
+        SELECT source, n AS n_docs,
+               CAST(base + CASE WHEN rr <= short THEN 1 ELSE 0 END
+                    AS BIGINT) AS weight_ppm
+        FROM ranked ORDER BY source
+    """,
+    doc="Temperature-scaled source-mixing weights (the multilingual-"
+    "LM sampling design: w_s ∝ p_s^(1/T), here T=2 so the exponent "
+    "is 0.5): sqrt damps the big sources and boosts the small ones "
+    "before drawing a training mixture. Exponent 0.5 is computed "
+    "via sqrt — IEEE-correctly-rounded in every engine — because "
+    "general pow(x, α) is NOT correctly rounded cross-libm and "
+    "could flip a largest-remainder tie; a production α ≠ 0.5 "
+    "would floor-scale exp(α·ln p) and accept the documented ulp "
+    "risk. Normalization uses the q226 largest-remainder contract "
+    "(floor + top-remainder bonus, source tiebreak), so the ppm "
+    "weights are integers summing EXACTLY to 1e6 — hash-stable and "
+    "directly usable as sampling thresholds by the q90/q188 "
+    "md5-threshold assigners. Shape: one corpus-sized source agg; "
+    "the allocation windows run at source grain (constant).",
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("ns", F.sqrt(F.col("n").cast("double")))
+    )
+    t = m.agg(
+        F.sum(F.col("ns").cast("decimal(28,6)")).alias("tns")
+    )
+    alloc = m.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.floor(
+            F.col("ns") * MIX_PPM / F.col("tns").cast("double")
+        ).cast("bigint").alias("base"),
+        (
+            F.col("ns") * MIX_PPM / F.col("tns").cast("double")
+            - F.floor(
+                F.col("ns") * MIX_PPM / F.col("tns").cast("double")
+            )
+        ).alias("rem"),
+    )
+    w_r = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    ranked = alloc.select(
+        "source",
+        "n",
+        "base",
+        F.row_number().over(w_r).alias("rr"),
+        (F.lit(MIX_PPM) - F.sum("base").over(
+            Window.partitionBy()
+        )).alias("short"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        ).cast("bigint").alias("weight_ppm"),
+    ).orderBy("source")

@@ -1039,3 +1039,39 @@ def test_q236_hw_one_day_agg_then_fold(q):
     p = plan_string(df)
     assert "Window" not in p
     assert not has_python_eval(df)
+
+
+def test_q237_scrub_no_join_no_window(q):
+    # blocklist scrub: narrow regex map + one source-grain agg;
+    # regex runs JVM-side (regexp_extract_all/replace), never Python
+    df = q("q237_blocklist_scrub")
+    p = plan_string(df)
+    assert "Join" not in p and "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q238_diff_single_key_shuffle_join(q):
+    # snapshot diff: ONE key-partitioned full-outer join (SortMergeJoin
+    # on k), digesting is scan-side; no window, no Python
+    df = q("q238_snapshot_diff")
+    p = plan_string(df)
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q239_corrmatrix_day_grain_join(q):
+    # correlation matrix: the corpus-sized work is one day agg; the
+    # unpivoted self-join and moment aggs run at day x type grain
+    df = q("q239_correlation_matrix")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q240_mix_windows_source_grain_only(q):
+    # temperature mix: allocation windows run over the source-grain
+    # aggregate (tens of rows) — the single-partition window is the
+    # CONSTANT-size allocation frame, the q226 contract
+    df = q("q240_temperature_mix")
+    assert not has_python_eval(df)
