@@ -42,7 +42,11 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     copies = spark.range(factor).select(F.col("id").alias("__c"))
 
     def fanout(df):
-        return df.crossJoin(F.broadcast(copies))
+        # repartition so the written table is many splittable parts
+        # (a single-part write lands ONE giant row group, which no
+        # reader can parallelize — the probe would then measure the
+        # writer's layout, not the query plans)
+        return df.crossJoin(F.broadcast(copies)).repartition(32)
 
     os.makedirs(dst, exist_ok=True)
     for t in DIMS:
@@ -97,7 +101,15 @@ if __name__ == "__main__":
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    spark = get_spark(app_name="scale-fixture")
+    # µs output keeps the written tables on the same read path as the
+    # driver fixtures (Spark's INT96 default sniffs as timestamp[ns]
+    # in pyarrow)
+    spark = get_spark(
+        app_name="scale-fixture",
+        extra_conf={
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS"
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     scale(spark, src, dst, factor)
     for t in DIMS + ["orders", "lineitem", "events", "documents",

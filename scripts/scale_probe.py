@@ -47,9 +47,24 @@ def _api(base: str, path: str):
 
 
 def probe(fixture: str, out_path: str | None) -> None:
+    # task granularity emulates a real cluster: at 100 TB a task gets a
+    # bounded slice (~128 MB) of a huge table, so the probe shrinks the
+    # slice instead of inflating the data 1000x — what matters for the
+    # balance check is the max/median DISTRIBUTION across many tasks,
+    # which local AQE would otherwise coalesce back to 1-2 tasks at
+    # this fixture size and hide any skew
     spark = get_spark(
         app_name="scale-probe",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+                2 * 1024 * 1024
+            ),
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
+                256 * 1024
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.sparkContext.uiWebUrl
@@ -68,6 +83,15 @@ def probe(fixture: str, out_path: str | None) -> None:
     for name in names:
         spec = registry[name]
         try:
+            # one untimed warm run (footer decode, page cache, codegen
+            # JIT — the bench methodology), then measure the second
+            # run's stages only: first-touch scan stragglers are
+            # local-mode artifacts, not plan skew
+            spec.fn(spark, fixture).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            for s in _api(api, "/stages"):
+                seen_stages.add(s["stageId"])
             t0 = time.perf_counter()
             spec.fn(spark, fixture).write.format("noop").mode(
                 "overwrite"

@@ -44,7 +44,24 @@ def _nanos_ts_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
+    # a table may be one flat file (the driver fixtures) or a
+    # directory of part files (how warehouse writers — including
+    # scripts/make_scale_fixture.py and any Spark job — lay tables
+    # out); parquet schemas are uniform within a table, so sniff the
+    # first part
+    schema_path = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"no parquet part files under table directory {path}"
+            )
+        schema_path = os.path.join(path, parts[0])
+    schema = pq.read_schema(schema_path)
     cols = [
         f.name
         for f in schema
@@ -63,8 +80,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     declarative so they reach the scan."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # only when Spark actually surfaced the ns column as a raw
+        # long (the nanosAsLong read path). INT96-written files also
+        # sniff as timestamp[ns] in pyarrow but Spark reads them as
+        # proper timestamps — converting those would be a type error.
+        if fields.get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
 
 

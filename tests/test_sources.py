@@ -381,3 +381,20 @@ def test_zorder_write_skips_more_files_than_single_sort(spark, tmp_path):
     # every file whose x range intersects the box is hit (~10% of 64);
     # the z-curve confines the box to the cells it actually crosses
     assert z_hit < s_hit, (z_hit, s_hit)
+
+
+def test_catalog_table_reads_directory_layout(spark, sf_dir, tmp_path):
+    # warehouse writers land tables as DIRECTORIES of part files (and
+    # Spark's INT96 default makes pyarrow sniff their timestamps as
+    # ns); catalog.table must read that layout identically to the
+    # driver's flat single-file fixtures, without misapplying the
+    # nanosAsLong long->timestamp conversion to INT96 columns
+    src = table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "orders.parquet")
+    src.repartition(4).write.parquet(dst)
+    got = table(spark, str(tmp_path), "orders")
+    assert dict(got.dtypes) == dict(src.dtypes)
+    assert got.count() == src.count()
+    a = src.agg(F.sum(F.unix_timestamp("o_orderdate"))).first()[0]
+    b = got.agg(F.sum(F.unix_timestamp("o_orderdate"))).first()[0]
+    assert a == b
