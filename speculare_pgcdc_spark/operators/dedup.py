@@ -464,3 +464,88 @@ def contaminated_docs(
             .alias("n_hit"),
         )
     )
+
+
+def prefix_filter_pairs(
+    tok: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard >= tau_num/tau_den pairs via PREFIX FILTERING (the
+    PPJoin/AllPairs family) — lossless, unlike the probabilistic LSH
+    paths: order every doc's tokens by global rarity (df asc, tok asc
+    — a TOTAL order), keep only the first ``n - ceil(tau*n) + 1``
+    tokens as the doc's prefix, and generate candidates from prefix
+    tokens alone. The lemma: order tokens globally and let t be the
+    smallest common token of a qualifying pair; if t were outside A's
+    prefix, the whole intersection would fit in A's suffix of size
+    ceil(tau*|A|) - 1 < tau*|A| <= |A ∩ B| — contradiction; so every
+    qualifying pair shares a token in BOTH prefixes and survives the
+    prefix self-join. Rare-first ordering then makes those prefix
+    tokens the LOW-df ones, so candidate fan-out is bounded by rare-df
+    squared instead of stopword-df squared — the property that lets an
+    EXACT similarity join run at corpus scale.
+
+    Thresholds are integer-exact end to end: prefix length uses
+    ``ceil(tau*n) = (tau_num*n + tau_den - 1) DIV tau_den`` and the
+    final test is ``(tau_den + tau_num) * i >= tau_num * (na + nb)``
+    (both sides BIGINT), so no float tau can flip a boundary pair
+    between engines.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < tau_num <= tau_den):
+        raise ValueError(f"need 0 < tau_num <= tau_den, got "
+                         f"{tau_num}/{tau_den}")
+    tok = tok.localCheckpoint(eager=True)
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy("df", "tok")
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"({tau_num} * n + {tau_den} - 1) DIV {tau_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("rn") <= plen).select(id_col, "tok")
+    cands = (
+        prefix.select(F.col(id_col).alias("da"), "tok")
+        .join(
+            prefix.select(F.col(id_col).alias("db"), "tok"), ["tok"]
+        )
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ta = tok.select(F.col(id_col).alias("da"), "tok")
+    tb = tok.select(F.col(id_col).alias("db"), "tok")
+    inter = (
+        cands.join(ta, "da")
+        .join(tb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("n").alias("nb"))
+    keep = (
+        F.lit(tau_den + tau_num) * F.col("i")
+        >= F.lit(tau_num) * (F.col("na") + F.col("nb"))
+    )
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(keep)
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")),
+                4,
+            ).alias("j"),
+        )
+    )

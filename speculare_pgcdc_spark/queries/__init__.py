@@ -98,6 +98,10 @@ SWEEP_FIRST = [
     "q238_snapshot_diff",
     "q239_correlation_matrix",
     "q240_temperature_mix",
+    "q241_prefix_filter_join",
+    "q242_seasonal_anomaly",
+    "q243_embedding_drift",
+    "q244_concurrency_sweepline",
 ]
 
 

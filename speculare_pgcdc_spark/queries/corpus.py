@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.operators import dedup as dd
 from speculare_pgcdc_spark.queries import register
 from speculare_pgcdc_spark.queries.history import _scratch
 
@@ -4993,3 +4994,401 @@ def q240(spark: SparkSession, sf: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
         ).cast("bigint").alias("weight_ppm"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------
+# Round 7, batch 2: lossless similarity join, seasonal anomaly flags,
+# embedding drift, and the sweep-line concurrency curve.
+# --------------------------------------------------------------------
+
+#: q241 similarity threshold as an exact rational (tau = 1/2): float
+#: tau would make ceil(tau*n) and the final test engine-dependent at
+#: boundaries; integer arithmetic cannot disagree
+PF_TAU_NUM, PF_TAU_DEN = 1, 2
+
+#: q241 oracle-twin subset bound (the q42/q138 convention: the oracle
+#: states the quadratic SPEC, so it runs on a capped doc set; the
+#: prefix-filter ALGORITHM is subset-free and is the scale path)
+PF_DOC_LIMIT = 300
+
+
+@register(
+    "q241_prefix_filter_join",
+    oracle=f"""
+        WITH docs AS (SELECT * FROM documents
+                      WHERE doc_id < {PF_DOC_LIMIT}),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n
+                  FROM tokens GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db,
+               ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE ({PF_TAU_DEN} + {PF_TAU_NUM}) * i
+              >= {PF_TAU_NUM} * (sa.n + sb.n)
+        ORDER BY da, db
+    """,
+    doc="EXACT Jaccard >= 1/2 similarity join via prefix filtering "
+    "(the PPJoin/AllPairs family, operators/dedup.prefix_filter_"
+    "pairs): docs' tokens are ordered by global rarity, only the "
+    "first n - ceil(tau*n) + 1 (the prefix) generate candidates, "
+    "and the prefix lemma guarantees NO qualifying pair is lost — "
+    "the lossless alternative to MinHash-LSH (q46) when recall must "
+    "be 1.0 (legal holds, exact-dedup contracts). The oracle states "
+    "the brute-force quadratic SPEC on a capped subset; algorithm "
+    "vs spec equality is the losslessness proof, re-attested at "
+    "every scale. Thresholds are integer-exact ((den+num)*i >= "
+    "num*(na+nb)); j is presentation-rounded. Scale shape: the "
+    "candidate join fans out on RARE tokens only (df-ascending "
+    "prefix), so cost tracks rare-df^2, not stopword-df^2; all "
+    "windows are doc-grain.",
+)
+def q241(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.queries.llm import _docs_subset
+
+    tok = dd.tokens(_docs_subset(spark, sf, limit_id=PF_DOC_LIMIT))
+    return dd.prefix_filter_pairs(
+        tok, PF_TAU_NUM, PF_TAU_DEN
+    ).orderBy("da", "db")
+
+
+#: q242 anomaly threshold |z| >= Z_NUM/Z_DEN (= 1.5), tested exactly
+#: as Z_DEN^2 * (n*x - S)^2 >= Z_NUM^2 * (n*Q - S^2) in integers.
+#: NB the fixture's (type, dow) strata hold ~4-5 days and a sample
+#: z-score is bounded by sqrt(n-1) ~= 1.7-2.0, so a 2.0 threshold
+#: would be VACUOUS (flag nothing at every scale); 1.5 keeps the
+#: gate discriminating in-fixture while the integer form accepts any
+#: rational threshold in production
+Z_NUM, Z_DEN = 3, 2
+
+
+@register(
+    "q242_seasonal_anomaly",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY day, event_type
+        ),
+        g AS (
+            -- dayofweek: DuckDB is 0-based (Sun=0), Spark 1-based
+            -- (Sun=1); +1 aligns the stratum labels
+            SELECT event_type,
+                   CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+                   day, x,
+                   COUNT(*) OVER w AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) OVER w AS s,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS q
+            FROM d
+            WINDOW w AS (PARTITION BY event_type, dayofweek(day))
+        ),
+        f AS (
+            SELECT event_type, dow, day, x, n, s, q,
+                   (n * q - s * s) AS nvar,
+                   (n * CAST(x AS DECIMAL(38,0)) - s) AS dev
+            FROM g
+        )
+        SELECT event_type,
+               CAST(dow AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN nvar > 0
+                         AND {Z_DEN * Z_DEN} * dev * dev
+                             >= {Z_NUM * Z_NUM} * nvar
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(FLOOR(MAX(CASE WHEN nvar > 0 THEN
+                    abs(CAST(dev AS DOUBLE))
+                    / sqrt(CAST(nvar AS DOUBLE)) ELSE 0 END)
+                    * 10000) AS BIGINT) AS max_absz_e4
+        FROM f GROUP BY event_type, dow
+        ORDER BY event_type, dow
+    """,
+    doc="Seasonally-adjusted anomaly flags: each (event_type, "
+    "day-of-week) stratum's daily counts are z-scored against the "
+    "stratum's own mean/std (the q181 seasonal-profile insight made "
+    "operational — Monday dips are not anomalies, Monday-shaped "
+    "Fridays are). The |z| >= 3/2 flag is INTEGER-exact: z^2 >= 9/4 "
+    "rewrites to 4*(n*x - S)^2 >= 9*(n*Q - S^2) over DECIMAL(38,0) "
+    "moments, so no sqrt or division can flip a boundary day between "
+    "engines; zero-variance strata are pinned unflagged (their only "
+    "possible dev is 0, which the >= would flag vacuously). max|z| "
+    "is floor-e4 presentation from the same exact integers. Shape: "
+    "one corpus-sized (day,type) agg; stratum windows run at "
+    "day-grain x 5 types x 7 dows.",
+)
+def q242(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type", F.dayofweek("day"))
+    g = d.select(
+        "event_type",
+        F.dayofweek("day").cast("bigint").alias("dow"),
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(w).alias("s"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x")
+        ).over(w).alias("q"),
+    )
+    f = g.select(
+        "event_type",
+        "dow",
+        "x",
+        "n",
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .alias("nvar"),
+        (F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s"))
+        .alias("dev"),
+    )
+    flagged = F.when(
+        (F.col("nvar") > 0)
+        & (
+            F.lit(Z_DEN * Z_DEN) * F.col("dev") * F.col("dev")
+            >= F.lit(Z_NUM * Z_NUM) * F.col("nvar")
+        ),
+        1,
+    ).otherwise(0)
+    absz = F.when(
+        F.col("nvar") > 0,
+        F.abs(F.col("dev").cast("double"))
+        / F.sqrt(F.col("nvar").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        f.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(flagged).cast("bigint").alias("n_anomalies"),
+            F.floor(F.max(absz) * 10000).cast("bigint")
+            .alias("max_absz_e4"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+#: q243: a dimension counts as drifted when the 6-decimal means of
+#: the two halves differ by >= this many e-6 units (exact integers)
+DRIFT_E6_THRESH = 1000
+
+
+@register(
+    "q243_embedding_drift",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id % 2 AS half,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <> 0
+        ),
+        m AS (
+            SELECT half, pos, round(avg(v[pos]), 6) AS m
+            FROM e, UNNEST(generate_series(1, 64)) AS u(pos)
+            GROUP BY half, pos
+        ),
+        p AS (
+            SELECT a.pos,
+                   CAST(a.m AS DECIMAL(19,6)) AS mo,
+                   CAST(b.m AS DECIMAL(19,6)) AS mn
+            FROM m a JOIN m b ON a.pos = b.pos
+            WHERE a.half = 0 AND b.half = 1
+        ),
+        s AS (
+            SELECT SUM(CAST(mo * mn AS DECIMAL(38,12))) AS dot,
+                   SUM(CAST(mo * mo AS DECIMAL(38,12))) AS no,
+                   SUM(CAST(mn * mn AS DECIMAL(38,12))) AS nn,
+                   MAX(abs(CAST((mo - mn) * 1000000 AS BIGINT)))
+                       AS max_shift_e6,
+                   SUM(CASE WHEN abs(CAST((mo - mn) * 1000000
+                            AS BIGINT)) >= {DRIFT_E6_THRESH}
+                       THEN 1 ELSE 0 END) AS n_dims_drifted
+            FROM p
+        ),
+        c AS (
+            SELECT CAST(FLOOR(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(no AS DOUBLE))
+                      * sqrt(CAST(nn AS DOUBLE))) * 1000000)
+                   AS BIGINT) AS centroid_cos_e6,
+                   max_shift_e6, n_dims_drifted
+            FROM s
+        )
+        SELECT (SELECT COUNT(*) FROM e WHERE half = 0) AS n_old,
+               (SELECT COUNT(*) FROM e WHERE half = 1) AS n_new,
+               centroid_cos_e6,
+               CAST(max_shift_e6 AS BIGINT) AS max_shift_e6,
+               CAST(n_dims_drifted AS BIGINT) AS n_dims_drifted
+        FROM c
+    """,
+    doc="Embedding drift between two corpus halves (vec_id parity "
+    "stands in for before/after — in production the split is a "
+    "snapshot date): per-dimension 6-decimal-rounded means (the q85 "
+    "determinism contract) are compared as DECIMAL(19,6) — diffs, "
+    "the e-6 shift integers, and all three centroid moments "
+    "(dot/norms as DECIMAL(38,12) sums of exact 12-decimal "
+    "products) are ORDER-FREE EXACT, so the drifted-dimension count "
+    "and max shift cannot waver with aggregation order; only the "
+    "final cosine division is floating (identical doubles both "
+    "sides, floor-e6). The monitoring primitive behind 'did the "
+    "embedding model or the corpus move under us' — run per "
+    "ingestion batch, alert on centroid_cos or n_dims_drifted. "
+    "Shape: one posexplode agg to (2 x 64) grain; everything after "
+    "is constant-size.",
+)
+def q243(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("pos0", "val"),
+        )
+    )
+    m = (
+        e.groupBy("half", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("m")
+        )
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "pos", F.col("m").cast("decimal(19,6)").alias("mo")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        F.col("pos").alias("pos_b"),
+        F.col("m").cast("decimal(19,6)").alias("mn"),
+    )
+    p = a.join(b, F.col("pos") == F.col("pos_b"))
+    shift = F.abs(
+        ((F.col("mo") - F.col("mn")) * 1000000).cast("bigint")
+    )
+    s = p.agg(
+        F.sum(
+            (F.col("mo") * F.col("mn")).cast("decimal(38,12)")
+        ).alias("dot"),
+        F.sum(
+            (F.col("mo") * F.col("mo")).cast("decimal(38,12)")
+        ).alias("no"),
+        F.sum(
+            (F.col("mn") * F.col("mn")).cast("decimal(38,12)")
+        ).alias("nn"),
+        F.max(shift).alias("max_shift_e6"),
+        F.sum(
+            (shift >= DRIFT_E6_THRESH).cast("int")
+        ).alias("n_dims_drifted"),
+    )
+    counts = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .agg(
+            F.sum((F.col("vec_id") % 2 == 0).cast("int"))
+            .cast("bigint").alias("n_old"),
+            F.sum((F.col("vec_id") % 2 == 1).cast("int"))
+            .cast("bigint").alias("n_new"),
+        )
+    )
+    cos = F.floor(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("no").cast("double"))
+            * F.sqrt(F.col("nn").cast("double"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return (
+        s.crossJoin(F.broadcast(counts))
+        .select(
+            "n_old",
+            "n_new",
+            cos.alias("centroid_cos_e6"),
+            F.col("max_shift_e6").cast("bigint").alias("max_shift_e6"),
+            F.col("n_dims_drifted").cast("bigint")
+            .alias("n_dims_drifted"),
+        )
+    )
+
+
+#: q244 synthetic interval duration: 1 + key % this many days (the
+#: fixtures carry no close date; the SWEEP-LINE is the operator under
+#: test, the duration rule just has to be deterministic)
+CONC_DUR_MOD = 28
+
+
+@register(
+    "q244_concurrency_sweepline",
+    oracle=f"""
+        WITH iv AS (
+            SELECT CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE)
+                       + CAST(1 + o_orderkey % {CONC_DUR_MOD}
+                              AS INTEGER) AS e
+            FROM orders
+        ),
+        deltas AS (
+            SELECT s AS day, 1 AS d FROM iv
+            UNION ALL
+            SELECT e AS day, -1 AS d FROM iv
+        ),
+        byday AS (
+            SELECT day, CAST(SUM(d) AS BIGINT) AS delta
+            FROM deltas GROUP BY day
+        )
+        SELECT day,
+               delta,
+               CAST(SUM(delta) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS open_count
+        FROM byday ORDER BY day
+    """,
+    doc="Interval concurrency curve by sweep line: how many orders "
+    "are OPEN on each day (open interval [start, start + 1 + "
+    f"key % {CONC_DUR_MOD} days) — a deterministic synthetic close "
+    "date; production supplies a real one). The naive form is an "
+    "interval self-overlap join (quadratic in busy windows; q14's "
+    "shape); the sweep line is the linear rewrite: every interval "
+    "becomes a +1 at its start day and a -1 at its end day, one "
+    "day-grain agg collapses the corpus, and a running sum over the "
+    "day axis reconstructs the exact concurrency at every day. The "
+    "one unpartitioned window is DAY-grain (thousands of rows at "
+    "any corpus size — the q234/history.py sanctioned exception), "
+    "never data-grain. This is the occupancy/backlog primitive "
+    "behind connection-pool sizing, WIP limits, and hotel-calendar "
+    "questions.",
+)
+def q244(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    iv = table(spark, sf, "orders").select(
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (1 + F.col("o_orderkey") % CONC_DUR_MOD).cast("int"),
+        ).alias("e"),
+    )
+    deltas = iv.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e").alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = deltas.groupBy("day").agg(
+        F.sum("d").cast("bigint").alias("delta")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return byday.select(
+        "day",
+        "delta",
+        F.sum("delta").over(w).cast("bigint").alias("open_count"),
+    ).orderBy("day")

@@ -1075,3 +1075,40 @@ def test_q240_mix_windows_source_grain_only(q):
     # CONSTANT-size allocation frame, the q226 contract
     df = q("q240_temperature_mix")
     assert not has_python_eval(df)
+
+
+def test_q241_prefix_join_windows_doc_grain(q):
+    # prefix-filter join: the rarity ranking window is PARTITIONED by
+    # doc_id (per-doc work); no data-grain single-partition stage
+    df = q("q241_prefix_filter_join")
+    p = plan_string(df)
+    assert "Window" in p and "SinglePartition" not in p
+    assert not has_python_eval(df)
+
+
+def test_q242_anomaly_windows_stratum_grain(q):
+    # seasonal anomaly: moment windows are PARTITIONED by
+    # (event_type, dow) strata over the day-grain aggregate
+    df = q("q242_seasonal_anomaly")
+    p = plan_string(df)
+    assert "Window" in p and "SinglePartition" not in p
+    assert not has_python_eval(df)
+
+
+def test_q243_drift_constant_grain_no_window(q):
+    # embedding drift: one posexplode agg to (2 x dim) grain, then
+    # constant-size joins/aggs; no window, no Python
+    df = q("q243_embedding_drift")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q244_sweepline_day_grain_window_only(q):
+    # sweep line: the running sum is the DAY-grain sanctioned
+    # unpartitioned window (the q234/history.py exception) over the
+    # day aggregate — corpus-size-independent; no Python
+    df = q("q244_concurrency_sweepline")
+    p = plan_string(df)
+    assert "Window" in p
+    assert not has_python_eval(df)
