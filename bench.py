@@ -61,6 +61,11 @@ TIER2 = [
     "q201_bm25_topk",
     "q214_negative_sampling",
     "q225_lww_replica_merge",
+    # round-7 additions: the keyed full-outer reconciliation join and
+    # the prefix-filtered exact similarity join — the widest new
+    # shuffles this round
+    "q238_snapshot_diff",
+    "q241_prefix_filter_join",
 ]
 
 

@@ -102,6 +102,9 @@ SWEEP_FIRST = [
     "q242_seasonal_anomaly",
     "q243_embedding_drift",
     "q244_concurrency_sweepline",
+    "q245_group_quantile_bands",
+    "q246_hhi_concentration",
+    "q247_stratified_kfold",
 ]
 
 

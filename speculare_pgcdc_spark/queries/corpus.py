@@ -5392,3 +5392,193 @@ def q244(spark: SparkSession, sf: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w).cast("bigint").alias("open_count"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------
+# Round 7, batch 3: per-group exact quantile bands, daily concentration
+# (HHI), and balanced stratified k-fold assignment.
+# --------------------------------------------------------------------
+
+#: q245 quantile points (percent, type-1 / lower order statistic at
+#: position ceil(p*n/100) — integer-exact, no interpolation convention
+#: to disagree on)
+QBAND_PTS = [25, 50, 75, 95]
+
+
+@register(
+    "q245_group_quantile_bands",
+    oracle=f"""
+        WITH r AS (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               {", ".join(
+                   f"CAST(MAX(CASE WHEN rn = ({p} * n + 99) // 100 "
+                   f"THEN n_chars END) AS BIGINT) AS p{p}"
+                   for p in QBAND_PTS)}
+        FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Exact per-group quantile bands (P25/P50/P75/P95 of document "
+    "length per source) as type-1 order statistics: position "
+    "ceil(p*n/100) computed in integers ((p*n + 99) DIV 100), the "
+    "value at that rank selected by conditional aggregation — no "
+    "quantile-interpolation convention exists to diverge on, unlike "
+    "percentile_cont/approx_percentile (q77 is the sketch tier; "
+    "this is the exact tier for the per-source length profile a "
+    "curriculum/packing design needs). Ranking windows are "
+    "PARTITIONED by source, so per-group work is group-sized; ties "
+    "in n_chars are totalized by doc_id but the value at any rank "
+    "is tie-invariant. One shuffle on source.",
+)
+def q245(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    r = table(spark, sf, "documents").select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_docs")]
+    for p in QBAND_PTS:
+        pos = F.expr(f"({p} * n + 99) DIV 100")
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == pos, F.col("n_chars"))
+            ).cast("bigint").alias(f"p{p}")
+        )
+    return (
+        r.groupBy("source").agg(*aggs).orderBy("source")
+    )
+
+
+@register(
+    "q246_hhi_concentration",
+    oracle="""
+        WITH u AS (
+            SELECT CAST(ts AS DATE) AS day, user_id,
+                   CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+            FROM events GROUP BY day, user_id
+        ),
+        d AS (
+            SELECT day,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   SUM(c) AS total,
+                   SUM(c * c) AS sq,
+                   MAX(c) AS cmax
+            FROM u GROUP BY day
+        )
+        SELECT day,
+               n_users,
+               CAST(total AS BIGINT) AS n_events,
+               -- HUGEINT // HUGEINT: true integer division. DECIMAL //
+               -- in DuckDB rounds the decimal quotient BEFORE flooring
+               -- (off-by-one vs Spark's truncating DIV near .999 edges)
+               CAST(CAST(1000000 * sq AS HUGEINT)
+                    // CAST(total * total AS HUGEINT) AS BIGINT)
+                   AS hhi_ppm,
+               CAST(CAST(1000000 * cmax AS HUGEINT)
+                    // CAST(total AS HUGEINT) AS BIGINT)
+                   AS top_user_share_ppm
+        FROM d ORDER BY day
+    """,
+    doc="Daily traffic concentration: the Herfindahl-Hirschman index "
+    "of per-user event shares, HHI = sum_u (c_u/C)^2 — the bot/"
+    "crawler-domination monitor (a day where one scraper is 40% of "
+    "traffic jumps out as hhi_ppm even when total volume looks "
+    "normal; 1/n_users <= HHI <= 1). Computed INTEGER-exact: "
+    "(1e6 * sum c^2) DIV C^2 over DECIMAL(38,0) sums — no float "
+    "shares to round differently. Shape: one (day, user) agg (the "
+    "corpus-sized shuffle), then a day-grain agg; both map-side "
+    "combinable, no window, no join.",
+)
+def q246(spark: SparkSession, sf: str) -> DataFrame:
+    u = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"), "user_id")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    d = u.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.max("c").alias("cmax"),
+    )
+    return d.select(
+        "day",
+        "n_users",
+        F.col("total").cast("bigint").alias("n_events"),
+        F.expr("CAST((1000000 * sq) DIV (total * total) AS BIGINT)")
+        .alias("hhi_ppm"),
+        F.expr("CAST((1000000 * cmax) DIV total AS BIGINT)")
+        .alias("top_user_share_ppm"),
+    ).orderBy("day")
+
+
+#: q247 fold count
+KFOLD_K = 5
+
+
+@register(
+    "q247_stratified_kfold",
+    oracle=f"""
+        WITH r AS (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST((rn - 1) % {KFOLD_K} AS BIGINT) AS fold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(doc_id AS HUGEINT))
+                    % 1000000000000000000 AS BIGINT) AS id_checksum
+        FROM r GROUP BY source, fold ORDER BY source, fold
+    """,
+    doc=f"Balanced stratified {KFOLD_K}-fold cross-validation "
+    "assignment: within each source stratum, docs are md5-rank "
+    "shuffled (deterministic, the q90/q188 assignment convention) "
+    "and dealt round-robin — fold sizes within a stratum differ by "
+    "at most 1 BY CONSTRUCTION (a pure hash-mod fold, by contrast, "
+    "is only balanced in expectation and wobbles per stratum). "
+    "Output pins membership, not just counts: the per-(source, "
+    "fold) id checksum is the q196 order-free digest, so a changed "
+    "assignment cannot hash-match. q188 is the one-shot "
+    "train/val/test splitter; this is its K-fold companion for "
+    "eval protocols. Ranking windows are source-partitioned; one "
+    "shuffle.",
+)
+def q247(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = table(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        r.select(
+            "source",
+            ((F.col("rn") - 1) % KFOLD_K).cast("bigint").alias("fold"),
+            "doc_id",
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("doc_id").cast("decimal(38,0)"))
+                % F.lit(10 ** 18).cast("decimal(38,0)")
+            ).cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source", "fold")
+    )

@@ -1112,3 +1112,29 @@ def test_q244_sweepline_day_grain_window_only(q):
     p = plan_string(df)
     assert "Window" in p
     assert not has_python_eval(df)
+
+
+def test_q245_quantile_bands_source_partitioned(q):
+    # per-group exact quantiles: ranking windows PARTITIONED by
+    # source; no data-grain single-partition stage, no Python
+    df = q("q245_group_quantile_bands")
+    p = plan_string(df)
+    assert "Window" in p and "SinglePartition" not in p
+    assert not has_python_eval(df)
+
+
+def test_q246_hhi_two_aggs_no_window_no_join(q):
+    # HHI: (day,user) agg then day agg — both map-side combinable;
+    # no window, no join, no Python
+    df = q("q246_hhi_concentration")
+    p = plan_string(df)
+    assert "Window" not in p and "Join" not in p
+    assert not has_python_eval(df)
+
+
+def test_q247_kfold_source_partitioned_rank(q):
+    # k-fold dealing: the md5-rank window is PARTITIONED by source
+    df = q("q247_stratified_kfold")
+    p = plan_string(df)
+    assert "Window" in p and "SinglePartition" not in p
+    assert not has_python_eval(df)
