@@ -105,6 +105,8 @@ SWEEP_FIRST = [
     "q245_group_quantile_bands",
     "q246_hhi_concentration",
     "q247_stratified_kfold",
+    "q248_langid_confusion",
+    "q249_bucket_reconcile",
 ]
 
 

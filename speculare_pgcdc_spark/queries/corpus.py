@@ -5582,3 +5582,286 @@ def q247(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "fold")
     )
+
+
+# --------------------------------------------------------------------
+# Round 7, batch 4: classifier-vs-label confusion matrix and the
+# two-tier (checksum -> row diff) replica reconciliation composite.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q248_langid_confusion",
+    oracle="""
+        WITH p AS (
+            SELECT lang,
+                   CASE WHEN contains(' ' || text || ' ', ' the ')
+                            THEN 'en'
+                        WHEN contains(' ' || text || ' ', ' der ')
+                            THEN 'de'
+                        WHEN contains(' ' || text || ' ', ' el ')
+                            THEN 'es'
+                        WHEN contains(' ' || text || ' ', ' le ')
+                            THEN 'fr'
+                        ELSE 'unk' END AS guess
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, guess
+        ),
+        t AS (
+            SELECT lang, SUM(n) AS total FROM c GROUP BY lang
+        )
+        SELECT c.lang, c.guess, c.n,
+               CAST(CAST(1000000 * c.n AS HUGEINT)
+                    // CAST(t.total AS HUGEINT) AS BIGINT)
+                   AS row_share_ppm
+        FROM c JOIN t USING (lang)
+        ORDER BY lang, guess
+    """,
+    doc="Language-ID confusion matrix: the q49 marker-token classifier "
+    "evaluated against the fixture's ground-truth lang column — per "
+    "(true, predicted) cell count plus its integer-exact share of "
+    "the true-label row ((1e6*n) DIV total; the diagonal shares ARE "
+    "per-class recall in ppm). The eval loop every corpus classifier "
+    "needs before its labels gate anything (q50 quality, q90 "
+    "sampling): a heuristic upgrade lands with a before/after "
+    "confusion diff. Shape: one narrow classify map over the scan + "
+    "a (langs x guesses)-grain agg + a broadcast-size totals join; "
+    "no window.",
+)
+def q248(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators import textstats as ts
+
+    c = (
+        table(spark, sf, "documents")
+        .select("lang", ts.lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    t = c.groupBy("lang").agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            "guess",
+            "n",
+            F.expr(
+                "CAST((1000000 * n) DIV total AS BIGINT)"
+            ).alias("row_share_ppm"),
+        )
+        .orderBy("lang", "guess")
+    )
+
+
+#: q249 perturbed key range (contiguous, so RANGE-banded buckets show
+#: real confinement: only the bands containing the range — plus the
+#: late-insert band — diverge, at every fixture scale)
+RECON_LO, RECON_HI = 1000, 1200
+
+#: q249 key-band width (bucket = key DIV width; q196 uses % for its
+#: id-band demo, but reconciliation wants RANGE bands so contiguous
+#: damage stays in few buckets)
+RECON_BAND = 256
+
+
+@register(
+    "q249_bucket_reconcile",
+    oracle=f"""
+        WITH old AS (
+            SELECT o_orderkey AS k,
+                   o_orderkey // {RECON_BAND} AS b,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders
+        ),
+        new AS (
+            SELECT o_orderkey AS k,
+                   o_orderkey // {RECON_BAND} AS b,
+                   {_diff_rowhash_sql(
+                       'o_totalprice + CASE WHEN o_orderkey >= '
+                       + str(RECON_LO) + ' AND o_orderkey < '
+                       + str(RECON_HI)
+                       + ' AND o_orderkey % 3 = 1 THEN 1.5 ELSE 0 '
+                       + 'END')} AS h
+            FROM orders
+            WHERE NOT (o_orderkey >= {RECON_LO}
+                       AND o_orderkey < {RECON_HI}
+                       AND o_orderkey % 3 = 0)
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS k,
+                   (o_orderkey + 100000000) // {RECON_BAND} AS b,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders
+            WHERE o_orderkey >= {RECON_LO}
+              AND o_orderkey < {RECON_HI}
+              AND o_orderkey % 3 = 2
+        ),
+        co AS (
+            SELECT b, COUNT(*) AS n,
+                   SUM(CAST(h AS HUGEINT))
+                       % 1000000000000000000 AS cs
+            FROM old GROUP BY b
+        ),
+        cn AS (
+            SELECT b, COUNT(*) AS n,
+                   SUM(CAST(h AS HUGEINT))
+                       % 1000000000000000000 AS cs
+            FROM new GROUP BY b
+        ),
+        div AS (
+            SELECT COALESCE(co.b, cn.b) AS b
+            FROM co FULL OUTER JOIN cn ON co.b = cn.b
+            WHERE co.b IS NULL OR cn.b IS NULL
+               OR co.n <> cn.n OR co.cs <> cn.cs
+        ),
+        d AS (
+            SELECT CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS ct
+            FROM (SELECT * FROM old WHERE b IN (SELECT b FROM div)) o
+            FULL OUTER JOIN
+                 (SELECT * FROM new WHERE b IN (SELECT b FROM div)) n
+              ON o.k = n.k
+        )
+        SELECT (SELECT COUNT(*) FROM co) AS n_buckets,
+               (SELECT COUNT(*) FROM div) AS n_divergent,
+               CAST(SUM(CASE WHEN ct = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN ct = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN ct = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(COUNT(*) AS BIGINT) AS rows_compared
+        FROM d
+    """,
+    doc="Two-tier replica reconciliation — the composition q196 and "
+    "q238 document separately, executed as one plan: tier 1 "
+    "checksums RANGE-banded key buckets on both sides (two linear "
+    "scans, band-grain compare), tier 2 runs the row-level keyed "
+    "diff ONLY inside divergent bands. The replica here carries a "
+    f"deterministic contiguous damage window (keys {RECON_LO}.."
+    f"{RECON_HI}: every 3rd removed / drifted / late-inserted at a "
+    "key offset), so at every fixture scale most bands compare "
+    "clean and rows_compared stays a small fraction of the table — "
+    "the confinement that makes 100 TB replica verification "
+    "affordable (without it the keyed full-outer join touches "
+    "every row; with it, only damaged bands shuffle). All digests "
+    "and checksums are the q196 float-free order-free convention.",
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    def rowhash(price: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.floor(price * 100).cast("bigint")
+                        .cast("string"),
+                        F.col("o_orderdate").cast("date")
+                        .cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    orders = table(spark, sf, "orders")
+    in_rng = (F.col("o_orderkey") >= RECON_LO) & (
+        F.col("o_orderkey") < RECON_HI
+    )
+    old = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(f"o_orderkey DIV {RECON_BAND}").alias("b"),
+        rowhash(F.col("o_totalprice")).alias("h"),
+    ).localCheckpoint(eager=True)
+    drift = F.col("o_totalprice") + F.when(
+        in_rng & (F.col("o_orderkey") % 3 == 1), F.lit(1.5)
+    ).otherwise(F.lit(0.0))
+    new = (
+        orders.filter(~(in_rng & (F.col("o_orderkey") % 3 == 0)))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr(f"o_orderkey DIV {RECON_BAND}").alias("b"),
+            rowhash(drift).alias("h"),
+        )
+        .unionAll(
+            orders.filter(in_rng & (F.col("o_orderkey") % 3 == 2))
+            .select(
+                (F.col("o_orderkey") + 100000000).alias("k"),
+                F.expr(
+                    f"(o_orderkey + 100000000) DIV {RECON_BAND}"
+                ).alias("b"),
+                rowhash(F.col("o_totalprice")).alias("h"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def bucket_sums(df):
+        return df.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(10 ** 18).cast("decimal(38,0)")
+            ).alias("cs"),
+        )
+
+    co = bucket_sums(old)
+    cn = bucket_sums(new)
+    div = (
+        co.alias("o")
+        .join(cn.alias("n"), F.col("o.b") == F.col("n.b"), "full_outer")
+        .filter(
+            F.col("o.b").isNull()
+            | F.col("n.b").isNull()
+            | (F.col("o.n") != F.col("n.n"))
+            | (F.col("o.cs") != F.col("n.cs"))
+        )
+        .select(F.coalesce(F.col("o.b"), F.col("n.b")).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    od = old.join(F.broadcast(div), "b", "left_semi")
+    nd = new.join(F.broadcast(div), "b", "left_semi")
+    d = od.alias("o").join(
+        nd.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    ).select(
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("ct")
+    )
+    counts = d.agg(
+        F.sum((F.col("ct") == "added").cast("int")).cast("bigint")
+        .alias("n_added"),
+        F.sum((F.col("ct") == "removed").cast("int")).cast("bigint")
+        .alias("n_removed"),
+        F.sum((F.col("ct") == "changed").cast("int")).cast("bigint")
+        .alias("n_changed"),
+        F.count(F.lit(1)).cast("bigint").alias("rows_compared"),
+    )
+    scalars = co.agg(F.count(F.lit(1)).alias("n_buckets")).crossJoin(
+        F.broadcast(div.agg(F.count(F.lit(1)).alias("n_divergent")))
+    )
+    return (
+        F.broadcast(scalars)
+        .crossJoin(counts)
+        .select(
+            "n_buckets",
+            "n_divergent",
+            "n_added",
+            "n_removed",
+            "n_changed",
+            "rows_compared",
+        )
+    )

@@ -1138,3 +1138,25 @@ def test_q247_kfold_source_partitioned_rank(q):
     p = plan_string(df)
     assert "Window" in p and "SinglePartition" not in p
     assert not has_python_eval(df)
+
+
+def test_q248_confusion_no_window_broadcast_totals(q):
+    # langid confusion: narrow classify map + cell-grain agg; the
+    # per-label totals join is broadcast
+    df = q("q248_langid_confusion")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_q249_reconcile_rowdiff_semi_joined_to_divergent(q):
+    # two-tier reconcile: the row-level full-outer join runs AFTER a
+    # broadcast semi-join on the divergent band list — confinement is
+    # in the plan, not just the doc
+    df = q("q249_bucket_reconcile")
+    p = plan_string(df)
+    assert "LeftSemi" in p
+    assert "FullOuter" in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
