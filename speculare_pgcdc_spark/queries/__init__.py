@@ -107,6 +107,7 @@ SWEEP_FIRST = [
     "q247_stratified_kfold",
     "q248_langid_confusion",
     "q249_bucket_reconcile",
+    "q250_minhash_quality",
 ]
 
 

@@ -5865,3 +5865,215 @@ def q249(spark: SparkSession, sf: str) -> DataFrame:
             "rows_compared",
         )
     )
+
+
+# --------------------------------------------------------------------
+# Round 7, batch 5: the LSH quality audit made hash-checkable — an
+# md5-based MinHash whose ENTIRE pipeline (signatures, banding,
+# candidate join, exact verify, recall/precision) mirrors into SQL,
+# so the sketch-quality contract itself gets a driver-green row
+# instead of a rows-only declaration.
+# --------------------------------------------------------------------
+
+#: q250 MinHash geometry: 16 md5-derived hashes in 4 bands x 4 rows
+#: (s-curve threshold (1/4)^(1/4) ~= 0.71 — deliberately ABOVE the
+#: tau=3/5 target so recall is a real <1 measurement, not vacuously 1)
+MHQ_HASHES, MHQ_BANDS = 16, 4
+MHQ_ROWS = MHQ_HASHES // MHQ_BANDS
+
+#: q250 similarity threshold (exact rational, the q241 convention)
+MHQ_NUM, MHQ_DEN = 3, 5
+
+#: q250 audit subset bound (quality is estimated on a capped sample;
+#: the production pipeline is q46's xxhash64 fast path, whose recall
+#: this audit certifies)
+MHQ_DOC_LIMIT = 1000
+
+
+@register(
+    "q250_minhash_quality",
+    oracle=f"""
+        WITH docs AS (SELECT * FROM documents
+                      WHERE doc_id < {MHQ_DOC_LIMIT}),
+        tokens AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs) WHERE tok <> ''),
+        sizes AS (SELECT doc_id, COUNT(*) AS n
+                  FROM tokens GROUP BY doc_id),
+        hashes AS (
+            SELECT doc_id, i,
+                   CAST(concat('0x', substr(md5(
+                       CAST(i AS VARCHAR) || ':' || tok), 1, 12))
+                       AS BIGINT) AS h
+            FROM tokens,
+                 UNNEST(generate_series(0, {MHQ_HASHES - 1})) AS u(i)),
+        sig AS (
+            SELECT doc_id, i, MIN(h) AS m
+            FROM hashes GROUP BY doc_id, i),
+        bandkeys AS (
+            SELECT doc_id, i // {MHQ_ROWS} AS band,
+                   string_agg(m::VARCHAR, '|' ORDER BY i) AS bk
+            FROM sig GROUP BY doc_id, i // {MHQ_ROWS}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bandkeys a JOIN bandkeys b
+              ON a.band = b.band AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        scored AS (
+            SELECT i.da, i.db,
+                   ({MHQ_DEN} + {MHQ_NUM}) * i.i
+                       >= {MHQ_NUM} * (sa.n + sb.n) AS is_dup
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.da
+            JOIN sizes sb ON sb.doc_id = i.db),
+        stats AS (
+            SELECT
+                (SELECT COUNT(*) FROM sizes) AS n_docs,
+                (SELECT COUNT(*) FROM scored WHERE is_dup)
+                    AS n_exact,
+                (SELECT COUNT(*) FROM cands) AS n_candidates,
+                (SELECT COUNT(*) FROM cands c JOIN scored s
+                    ON c.da = s.da AND c.db = s.db WHERE s.is_dup)
+                    AS n_verified)
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_verified AS BIGINT) AS n_verified,
+               CAST(CAST(1000000 * n_verified AS HUGEINT)
+                    // CAST(greatest(n_exact, 1) AS HUGEINT)
+                    AS BIGINT) AS recall_ppm,
+               CAST(CAST(1000000 * n_verified AS HUGEINT)
+                    // CAST(greatest(n_candidates, 1) AS HUGEINT)
+                    AS BIGINT) AS cand_precision_ppm
+        FROM stats
+    """,
+    doc="MinHash-LSH quality audit, HASH-CHECKED end to end: an "
+    f"md5-derived MinHash ({MHQ_HASHES} hashes, {MHQ_BANDS} bands x "
+    f"{MHQ_ROWS} rows) is deterministic AND SQL-expressible, so the "
+    "whole sketch pipeline — signatures, band keys, candidate "
+    "self-join, exact verify — mirrors into the DuckDB oracle, and "
+    "the recall/candidate-precision ppm of LSH against brute-force "
+    "Jaccard >= 3/5 gets a driver-attestable row. This certifies "
+    "the CONTRACT the rows-only q46 xxhash64 fast path rides on "
+    "(same banding geometry reasoning; xxhash64 is JVM-only, which "
+    "is why q46 itself is rows-only). The band s-curve threshold "
+    "(1/4)^(1/4) ~= 0.71 sits above tau = 0.6, so measured recall "
+    "is a real sub-1 number, not a vacuous 1.0. All ratios are "
+    "integer-exact ppm (HUGEINT // in the oracle). Shape: one "
+    "tokenize pass, one signature agg, a banded self-join bounded "
+    "by bucket occupancy, candidate-only verify — the audit runs on "
+    f"a doc_id < {MHQ_DOC_LIMIT} sample; at 100 TB you audit a "
+    "sample, never the corpus.",
+)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.queries.llm import _docs_subset
+
+    tok = dd.tokens(
+        _docs_subset(spark, sf, limit_id=MHQ_DOC_LIMIT)
+    ).localCheckpoint(eager=True)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mins = [
+        F.min(h(i)).alias(f"m{i}") for i in range(MHQ_HASHES)
+    ]
+    sig = tok.groupBy("doc_id").agg(*mins)
+    bandcols = []
+    for b in range(MHQ_BANDS):
+        key = F.concat_ws(
+            "|",
+            *[
+                F.col(f"m{i}").cast("string")
+                for i in range(b * MHQ_ROWS, (b + 1) * MHQ_ROWS)
+            ],
+        )
+        bandcols.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bk"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*bandcols)).alias("s")
+    ).select("doc_id", "s.band", "s.bk")
+    cands = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = tok.select(F.col("doc_id").alias("da"), "tok")
+    b = tok.select(F.col("doc_id").alias("db"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.lit(MHQ_DEN + MHQ_NUM) * F.col("i")
+                >= F.lit(MHQ_NUM) * (F.col("na") + F.col("nb"))
+            ).alias("is_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = sizes.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = scored.filter("is_dup").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = (
+        cands.join(scored, ["da", "db"])
+        .filter("is_dup")
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint")
+            .alias("n_candidates"),
+            F.col("n_verified").cast("bigint").alias("n_verified"),
+            F.expr(
+                "CAST((1000000 * n_verified) DIV greatest(n_exact, 1)"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST((1000000 * n_verified) DIV "
+                "greatest(n_candidates, 1) AS BIGINT)"
+            ).alias("cand_precision_ppm"),
+        )
+    )

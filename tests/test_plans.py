@@ -1160,3 +1160,13 @@ def test_q249_reconcile_rowdiff_semi_joined_to_divergent(q):
     assert "FullOuter" in p
     assert "Window" not in p
     assert not has_python_eval(df)
+
+
+def test_q250_minhash_quality_no_python_banded_join(q):
+    # md5-MinHash quality audit: signatures + banding + verify are
+    # all JVM-side; the candidate join is keyed on (band, key) —
+    # bounded by bucket occupancy, never all-pairs
+    df = q("q250_minhash_quality")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    assert "Window" not in p
