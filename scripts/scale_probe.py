@@ -72,8 +72,12 @@ def probe(fixture: str, out_path: str | None) -> None:
     api = f"{base}/api/v1/applications/{app_id}"
 
     registry = load_all()
-    tier1 = sorted(n for n, s in registry.items() if s.bench)
-    names = BANDED + [n for n in tier1 if n not in BANDED]
+    extra = [a for a in sys.argv[2:] if a.startswith("q")]
+    if extra:
+        names = extra
+    else:
+        tier1 = sorted(n for n, s in registry.items() if s.bench)
+        names = BANDED + [n for n in tier1 if n not in BANDED]
 
     results: dict[str, dict] = {}
     seen_stages: set[int] = set()
