@@ -108,6 +108,8 @@ SWEEP_FIRST = [
     "q248_langid_confusion",
     "q249_bucket_reconcile",
     "q250_minhash_quality",
+    "q251_macro_f1",
+    "q252_source_overlap_matrix",
 ]
 
 

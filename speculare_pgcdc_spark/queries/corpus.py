@@ -6077,3 +6077,241 @@ def q250(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cand_precision_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Round 7, batch 6: macro-F1 over the classifier confusion matrix and
+# the cross-source duplicate-overlap matrix.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q251_macro_f1",
+    oracle="""
+        WITH p AS (
+            SELECT lang,
+                   CASE WHEN contains(' ' || text || ' ', ' the ')
+                            THEN 'en'
+                        WHEN contains(' ' || text || ' ', ' der ')
+                            THEN 'de'
+                        WHEN contains(' ' || text || ' ', ' el ')
+                            THEN 'es'
+                        WHEN contains(' ' || text || ' ', ' le ')
+                            THEN 'fr'
+                        ELSE 'unk' END AS guess
+            FROM documents
+        ),
+        cls AS (
+            SELECT lang AS c FROM p GROUP BY lang
+        ),
+        m AS (
+            SELECT c.c,
+                   (SELECT COUNT(*) FROM p
+                    WHERE p.lang = c.c AND p.guess = c.c) AS tp,
+                   (SELECT COUNT(*) FROM p
+                    WHERE p.guess = c.c AND p.lang <> c.c) AS fp,
+                   (SELECT COUNT(*) FROM p
+                    WHERE p.lang = c.c AND p.guess <> c.c) AS fn
+            FROM cls c
+        ),
+        f AS (
+            SELECT c, tp, fp, fn,
+                   CAST(CAST(1000000 * tp AS HUGEINT)
+                        // CAST(greatest(tp + fp, 1) AS HUGEINT)
+                        AS BIGINT) AS precision_ppm,
+                   CAST(CAST(1000000 * tp AS HUGEINT)
+                        // CAST(greatest(tp + fn, 1) AS HUGEINT)
+                        AS BIGINT) AS recall_ppm,
+                   CAST(CAST(1000000 * 2 * tp AS HUGEINT)
+                        // CAST(greatest(2 * tp + fp + fn, 1)
+                                AS HUGEINT) AS BIGINT) AS f1_ppm
+            FROM m
+        )
+        SELECT c AS lang,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               precision_ppm, recall_ppm, f1_ppm,
+               CAST(CAST((SELECT SUM(f1_ppm) FROM f) AS HUGEINT)
+                    // CAST((SELECT COUNT(*) FROM f) AS HUGEINT)
+                    AS BIGINT) AS macro_f1_ppm
+        FROM f ORDER BY lang
+    """,
+    doc="Per-class precision / recall / F1 and the macro-F1 for the "
+    "q49 language classifier against ground truth — completing the "
+    "eval family (q198 AUC, q203 NDCG, q206 kappa, q248 confusion "
+    "counts) with the metric multi-class work actually reports. "
+    "EVERYTHING is integer-exact ppm: F1's 2PR/(P+R) simplifies to "
+    "2tp/(2tp+fp+fn) — a ratio of integers, no float P and R to "
+    "round first — and macro-F1 is the integer mean of per-class "
+    "ppms (classes = DISTINCT TRUE labels; a predicted-only class "
+    "like 'unk' counts inside fp/fn totals but not as a row — the "
+    "standard macro-over-gold convention, stated so both engines "
+    "agree). Shape: one classify map + one (lang, guess) cell agg; "
+    "per-class totals derive from broadcast-size cells.",
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators import textstats as ts
+
+    cells = (
+        table(spark, sf, "documents")
+        .select("lang", ts.lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tp = (
+        cells.filter(F.col("lang") == F.col("guess"))
+        .select(F.col("lang").alias("c"), F.col("n").alias("tp"))
+    )
+    truth = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    pred = cells.groupBy("guess").agg(F.sum("n").alias("n_pred"))
+    m = (
+        truth.select(F.col("lang").alias("c"), "n_true")
+        .join(tp, "c", "left")
+        .join(
+            pred.select(F.col("guess").alias("c"), "n_pred"),
+            "c",
+            "left",
+        )
+        .select(
+            "c",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("n_pred"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fp"),
+            (F.col("n_true") - F.coalesce(F.col("tp"), F.lit(0)))
+            .alias("fn"),
+        )
+    )
+    f = m.select(
+        "c",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST((1000000 * tp) DIV greatest(tp + fp, 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST((1000000 * tp) DIV greatest(tp + fn, 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST((1000000 * 2 * tp) DIV "
+            "greatest(2 * tp + fp + fn, 1) AS BIGINT)"
+        ).alias("f1_ppm"),
+    ).localCheckpoint(eager=True)
+    macro = f.agg(
+        F.expr(
+            "CAST(SUM(f1_ppm) DIV COUNT(*) AS BIGINT)"
+        ).alias("macro_f1_ppm")
+    )
+    return (
+        f.crossJoin(F.broadcast(macro))
+        .select(
+            F.col("c").alias("lang"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            "precision_ppm",
+            "recall_ppm",
+            "f1_ppm",
+            "macro_f1_ppm",
+        )
+        .orderBy("lang")
+    )
+
+
+#: q252 fingerprint grain: the first N normalized tokens (the q197
+#: ingest-fingerprint convention). Whole-text md5 would be VACUOUS
+#: below sf0.1 — the fixture has no full-text duplicates across
+#: sources at small scales — while prefix collisions exist at every
+#: scale; production picks the grain per contamination policy.
+OVERLAP_PREFIX_TOKENS = 8
+
+
+@register(
+    "q252_source_overlap_matrix",
+    oracle=f"""
+        WITH fp AS (
+            SELECT DISTINCT source,
+                   md5(array_to_string(list_slice(list_filter(
+                       string_split(lower(trim(text)), ' '),
+                       x -> x <> ''), 1, {OVERLAP_PREFIX_TOKENS}),
+                       ' ')) AS f
+            FROM documents
+        ),
+        sz AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY source),
+        ov AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   COUNT(*) AS shared
+            FROM fp a JOIN fp b
+              ON a.f = b.f AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT src_a, src_b,
+               CAST(shared AS BIGINT) AS shared,
+               CAST(CAST(1000000 * shared AS HUGEINT)
+                    // CAST(least(sa.n, sb.n) AS HUGEINT) AS BIGINT)
+                   AS containment_ppm
+        FROM ov
+        JOIN sz sa ON sa.source = src_a
+        JOIN sz sb ON sb.source = src_b
+        ORDER BY src_a, src_b
+    """,
+    doc="Cross-source duplicate-overlap matrix: for every source pair, "
+    "how many duplicate fingerprints (md5 of the first "
+    f"{OVERLAP_PREFIX_TOKENS} normalized tokens — the q197 ingest-"
+    "fingerprint grain) they share, and that count as a ppm of the "
+    "SMALLER side's distinct corpus — the mirror detector ('is src17 "
+    "a re-crawl of src3?') that decides which source to drop before "
+    "mixing weights (q240) are even computed. Containment uses "
+    "min(|A|,|B|) so a small source fully contained in a big one "
+    "reads 1e6 regardless of the big side's size. Shape: one "
+    "fingerprint agg, one fp-keyed equi-join whose fan-out is "
+    "bounded by per-fingerprint source multiplicity (<= sources, "
+    "never corpus-sized), source-pair-grain output. Only pairs "
+    "sharing at least one fingerprint appear.",
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    prefix = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), " "),
+                lambda x: x != "",
+            ),
+            1,
+            OVERLAP_PREFIX_TOKENS,
+        ),
+        " ",
+    )
+    fp = (
+        table(spark, sf, "documents")
+        .select("source", F.md5(prefix).alias("f"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    ov = (
+        a.join(b, ["f"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr(
+                "CAST((1000000 * shared) DIV least(na, nb) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1170,3 +1170,22 @@ def test_q250_minhash_quality_no_python_banded_join(q):
     p = plan_string(df)
     assert not has_python_eval(df)
     assert "Window" not in p
+
+
+def test_q251_macro_f1_cell_grain_no_window(q):
+    # macro-F1: one classify map + cell agg; class totals derive from
+    # broadcast-size cells; no window, no Python
+    df = q("q251_macro_f1")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q252_overlap_fp_keyed_join_broadcast_sizes(q):
+    # source overlap: fingerprint-keyed equi-join (fan-out bounded by
+    # per-fp source multiplicity), size lookups broadcast
+    df = q("q252_source_overlap_matrix")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert broadcast_hash_join_count(df) >= 2
+    assert not has_python_eval(df)
