@@ -12,6 +12,7 @@ ratio to mean anything (small stages: a 3-task stage's max is
 trivially its median's neighbor).
 
 Usage: python scripts/scale_probe.py [fixture_dir] [--json out.json]
+       [query_name ...]
 """
 
 from __future__ import annotations
@@ -46,7 +47,11 @@ def _api(base: str, path: str):
         return json.load(r)
 
 
-def probe(fixture: str, out_path: str | None) -> None:
+def probe(
+    fixture: str,
+    out_path: str | None,
+    query_names: list[str] | None = None,
+) -> None:
     # task granularity emulates a real cluster: at 100 TB a task gets a
     # bounded slice (~128 MB) of a huge table, so the probe shrinks the
     # slice instead of inflating the data 1000x — what matters for the
@@ -72,9 +77,15 @@ def probe(fixture: str, out_path: str | None) -> None:
     api = f"{base}/api/v1/applications/{app_id}"
 
     registry = load_all()
-    extra = [a for a in sys.argv[2:] if a.startswith("q")]
-    if extra:
-        names = extra
+    if query_names:
+        unknown = [n for n in query_names if n not in registry]
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s): {unknown}; "
+                f"usage: scale_probe.py [fixture_dir] [--json out.json] "
+                f"[query ...]"
+            )
+        names = query_names
     else:
         tier1 = sorted(n for n, s in registry.items() if s.bench)
         names = BANDED + [n for n in tier1 if n not in BANDED]
@@ -161,8 +172,15 @@ def probe(fixture: str, out_path: str | None) -> None:
 
 
 if __name__ == "__main__":
-    fixture = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    # strip the --json PAIR first so its value (which may well start
+    # with 'q') can never be mistaken for a query name
+    argv = sys.argv[1:]
     out = None
-    if "--json" in sys.argv:
-        out = sys.argv[sys.argv.index("--json") + 1]
-    probe(fixture, out)
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output path")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    fixture = argv[0] if argv else "/tmp/scale10"
+    probe(fixture, out, argv[1:] or None)

@@ -471,6 +471,7 @@ def prefix_filter_pairs(
     tau_num: int,
     tau_den: int,
     id_col: str = "doc_id",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= tau_num/tau_den pairs via PREFIX FILTERING (the
     PPJoin/AllPairs family) — lossless, unlike the probabilistic LSH
@@ -492,12 +493,20 @@ def prefix_filter_pairs(
     final test is ``(tau_den + tau_num) * i >= tau_num * (na + nb)``
     (both sides BIGINT), so no float tau can flip a boundary pair
     between engines.
+
+    The math requires DISTINCT (id, tok) pairs — duplicate tokens
+    inflate both df and per-doc sizes and void the prefix lemma. The
+    operator enforces that with a ``.distinct()`` by default; callers
+    whose input is already set-shaped (e.g. ``dedup.tokens``) pass
+    ``assume_distinct=True`` to skip the redundant shuffle.
     """
     from pyspark.sql import Window
 
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"need 0 < tau_num <= tau_den, got "
                          f"{tau_num}/{tau_den}")
+    if not assume_distinct:
+        tok = tok.select(id_col, "tok").distinct()
     tok = tok.localCheckpoint(eager=True)
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))

@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -700,7 +702,10 @@ def pq_topk(
     returned scores carry no quantization error; only recall is
     approximate (pinned vs brute force in tests/test_llm.py)."""
     qvec = [float(x) for x in query.first()[0]]
-    qn = sum(x * x for x in qvec) ** 0.5 or 1.0
+    # math.sqrt, not `** 0.5`: sqrt is IEEE-correctly rounded on every
+    # libm while pow is not, and a last-ulp qnorm difference shifts
+    # every ADC table entry (the oracle pins sqrt semantics)
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
     qvec = [x / qn for x in qvec]
     sub = len(codebooks[0][0])
     table = [
@@ -732,3 +737,95 @@ def pq_topk(
         .select(id_col, vec_col)
     )
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    cands: DataFrame,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative / far-positive mining for contrastive training
+    (the q202 operator): per anchor, the most-similar OTHER-label
+    candidate (hard negative) and the least-similar SAME-label
+    candidate (far positive).
+
+    ``anchors`` carries (aid, albl, av, an); ``cands`` carries
+    (cid, clbl, cv, cn) — vectors plus precomputed norms.
+
+    ``candidates`` is the ANN hook: an optional (aid, cid) pair frame
+    from the candidate-generation tier — same-IVF-cell pairs (q53's
+    assign_probe_cells), a PQ shortlist (q126), or any blocking
+    scheme. When given, scoring runs ONLY over those pairs: the
+    anchors join is a broadcast (the probe set is small by contract)
+    and the cid join is one hash join against the big table — the
+    corpus-scale shape. When None, the exact anchors x corpus cross
+    join runs — the verification-sized twin whose output upper-bounds
+    any candidate-generated run (subset argmax <= global argmax).
+    Duplicate (aid, cid) entries from multi-probe cells are collapsed
+    so multiplicity can never affect ranking.
+
+    Similarity is floor-scaled to integer ppm BEFORE ranking (ties
+    then break on cid) so the argmax/argmin never order on a raw
+    double — engine-stable. LEFT joins keep anchors whose label class
+    is a singleton within the scored pairs.
+    """
+    from pyspark.sql import Window as W
+
+    sim_ppm = F.floor(
+        _dot(F.col("av"), F.col("cv"))
+        / (F.col("an") * F.col("cn"))
+        * 1000000
+    ).cast("bigint")
+    if candidates is None:
+        pairs = anchors.crossJoin(cands)
+    else:
+        pairs = (
+            candidates.select("aid", "cid")
+            .distinct()
+            .join(F.broadcast(anchors), "aid")
+            .join(cands, "cid")
+        )
+    pairs = (
+        pairs.filter(F.col("cid") != F.col("aid"))
+        .withColumn("sim_ppm", sim_ppm)
+        .select("aid", "albl", "cid", "clbl", "sim_ppm")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    neg_rk = W.partitionBy("aid").orderBy(
+        F.col("sim_ppm").desc(), "cid"
+    )
+    neg = (
+        pairs.filter(F.col("clbl") != F.col("albl"))
+        .withColumn("rk", F.row_number().over(neg_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("hard_neg_id"),
+            F.col("sim_ppm").alias("hard_neg_sim_ppm"),
+        )
+    )
+    pos_rk = W.partitionBy("aid").orderBy("sim_ppm", "cid")
+    pos = (
+        pairs.filter(F.col("clbl") == F.col("albl"))
+        .withColumn("rk", F.row_number().over(pos_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "aid",
+            F.col("cid").alias("far_pos_id"),
+            F.col("sim_ppm").alias("far_pos_sim_ppm"),
+        )
+    )
+    return (
+        anchors.select(F.col("aid"), F.col("albl").alias("label"))
+        .join(neg, "aid", "left")
+        .join(pos, "aid", "left")
+        .select(
+            F.col("aid").alias("vec_id"),
+            "label",
+            "hard_neg_id",
+            "hard_neg_sim_ppm",
+            "far_pos_id",
+            "far_pos_sim_ppm",
+        )
+        .orderBy("vec_id")
+    )

@@ -36,66 +36,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # (1) round-7 priority: the 46 round-6 additions that have never
-    # had a driver CORRECTNESS row (sweep- and pytest-green only;
-    # r6 verdict item 1). Highest user-frequency first per the
-    # verdict: exact median, table checksum, ingest dedup, BM25.
-    # q192/q200 will report rows-only by declared contract.
-    "q194_exact_global_median",
-    "q196_table_checksum",
-    "q197_incremental_ingest",
-    "q201_bm25_topk",
-    "q190_embedding_dim_profile",
-    "q191_split_leakage",
-    "q192_compaction_plan",
-    "q193_join_size_estimate",
-    "q195_weighted_topk_sample",
-    "q198_rank_auc",
-    "q199_calibration_bins",
-    "q200_hll_user_sketch",
-    "q202_hard_negatives",
-    "q203_ndcg_at_k",
-    "q204_mrr",
-    "q205_threshold_sweep",
-    "q206_cohens_kappa",
-    "q207_autocorrelation",
-    "q208_theil_sen_trend",
-    "q209_repetition_ratio",
-    "q210_ks_test",
-    "q211_chi_squared",
-    "q212_js_divergence",
-    "q213_kaplan_meier",
-    "q214_negative_sampling",
-    "q215_normalized_dedup",
-    "q216_inverted_index",
-    "q217_token_fertility",
-    "q218_cohort_ltv",
-    "q219_state_at_purchase",
-    "q220_referential_integrity",
-    "q221_welch_ttest",
-    "q222_decile_lift",
-    "q223_last_touch_attribution",
-    "q224_qq_quantiles",
-    "q225_lww_replica_merge",
-    "q226_neyman_allocation",
-    "q227_mutual_information",
-    "q228_null_safe_join",
-    "q229_array_set_ops",
-    "q230_streak_islands",
-    "q231_mode_per_group",
-    "q232_max_drawdown",
-    "q233_stratified_exact_sample",
-    "q234_holt_forecast",
-    "q235_lag_cross_correlation",
-    # (2) plan/oracle changes this round — re-attest after change:
-    # q126 gains a staged deterministic oracle (r6 verdict item 2),
-    # q208 is rewritten through rankband (r6 verdict item 5; also
-    # listed above in its never-checked slot).
-    "q126_pq_ann",
-    # (3) new this round (r6 verdict item 6 + round-7 additions)
-    "q236_holt_winters_seasonal",
-    "q237_blocklist_scrub",
-    "q238_snapshot_diff",
+    # (1) round-8 priority: the 14 round-7 additions that have never
+    # had a driver CORRECTNESS row (sweep- and pytest-green at three
+    # scales, but the r7 ~50-query budget ran out at q238; r7 verdict
+    # item 1). Attesting these closes the registry: every entry will
+    # have at least one driver row.
     "q239_correlation_matrix",
     "q240_temperature_mix",
     "q241_prefix_filter_join",
@@ -110,6 +55,68 @@ SWEEP_FIRST = [
     "q250_minhash_quality",
     "q251_macro_f1",
     "q252_source_overlap_matrix",
+    # (2) implementation changed this round — re-attest after change:
+    # q126's query-vector norm moves from `** 0.5` to math.sqrt
+    # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`
+    # hook (r7 verdict item 6).
+    "q126_pq_ann",
+    "q202_hard_negatives",
+    # (3) oldest-first re-attestation (r7 verdict item 4): the r01-
+    # attested block (7 rounds stale), then the r02 block. Budget
+    # overflow past ~50 simply falls to next round's front.
+    "q35_cdc_pipeline",
+    "q36_dsl_route",
+    "q42_jaccard_neardup",
+    "q43_cosine_topk",
+    "q44_token_topk",
+    "q45_fingerprint_dedup",
+    "q46_minhash_lsh",
+    "q47_simhash",
+    "q48_embedding_neardup",
+    "q49_lang_id",
+    "q50_quality_score",
+    "q51_token_count",
+    "q52_multimodal_meta",
+    "q53_ann_ivf",
+    "q61_pivot",
+    "q62_correlated_subqueries",
+    "q63_percentiles",
+    "q64_ordered_array_agg",
+    "q65_shingle_jaccard",
+    "q66_rolling_fingerprint",
+    "q68_salted_agg",
+    "q69_rank_family",
+    "q70_multiset_ops",
+    "q71_srp_neardup",
+    "q74_string_funcs2",
+    "q76_cube",
+    "q77_approx_percentiles",
+    "q78_stratified_sample",
+    "q79_jaccard_df_capped",
+    "q19_conditional_agg",
+    "q20_row_number",
+    "q21_lag_lead",
+    "q22_rows_frame",
+    "q23_range_frame",
+    "q24_multikey_sort",
+    "q25_topk",
+    "q26_union_all",
+    "q26_union_distinct",
+    "q27_intersect",
+    "q28_string_funcs",
+    "q29_datetime_funcs",
+    "q30_math_funcs",
+    "q31_array_funcs",
+    "q32_map_funcs",
+    "q33_json_filter",
+    "q34_case_coalesce",
+    "q39_dedup_distinct",
+    "q39_dedup_first_per_key",
+    "q40_pandas_udf",
+    "q40_python_udf",
+    "q41_grouped_agg_udaf",
+    "q41_grouped_map_zscore",
+    "q54_approx_distinct",
 ]
 
 
@@ -150,6 +157,8 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         history,
         corpus,
+        corpus_analytics,
+        corpus_audit,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -1706,8 +1706,12 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
     "row — no per-row vector math), exact cosine re-rank of the "
     "TakeOrdered candidate pool. The third ANN memory/compute "
     "trade-off next to IVF (q53, partition pruning) and SRP-LSH "
-    "(q71, banded buckets): PQ buys a 32x smaller index for "
-    "recall-not-exactness. operators/similarity.pq_*.",
+    "(q71, banded buckets): PQ trades a little recall for an index "
+    "of m small codes per vector. The registered demo (and its "
+    "hash-checked staged oracle) uses m=4 subspaces x 8 codewords, "
+    "candidate pool 8*k — fixture-sized knobs; production defaults "
+    "like m=8 x 256 give ~32x compression with the identical plan. "
+    "operators/similarity.pq_*.",
 )
 def q126(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")

@@ -1951,3 +1951,101 @@ def test_fanout_auto_flips_driver_to_executor_mid_stream(
     lines = read_outbox(out_dir, 1)
     ids = sorted(json.loads(ln)["columnvalues"][0] for ln in lines)
     assert ids == list(range(1, 11))  # no loss, no duplicates
+
+
+def test_fanout_auto_mode_flips_mid_stream(spark, tmp_path, monkeypatch):
+    """Chaos test for the one stateful mode switch in the serving path
+    (r5-r7 optional item): auto fan-out must flip driver->executor
+    BETWEEN microbatches of a LIVE query when a batch crosses
+    AUTO_DRIVER_MAX_ROWS, with identical delivery semantics on both
+    sides of the flip (exactly-once per subscriber, WAL order
+    preserved across the whole outbox).
+
+    Path detection: the delivery adapter increments a driver-local
+    counter around the shared-filesystem outbox write. fanout_batch
+    calls it on the driver (counter visible); fanout_partitions runs a
+    PICKLED COPY inside foreachPartition (counter copy mutates on the
+    executor, driver-side stays put) — so the counter moves exactly
+    for driver-path batches while the outbox receives rows from both."""
+    from speculare_pgcdc_spark.streaming import fanout as fan
+    from speculare_pgcdc_spark.streaming.fanout import (
+        outbox_deliver,
+        start_fanout_query,
+    )
+
+    monkeypatch.setattr(fan, "AUTO_DRIVER_MAX_ROWS", 10)
+
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+
+    driver_calls = []
+    base = outbox_deliver(out_dir)
+
+    def deliver(sub_id, payloads, batch_id=-1):
+        driver_calls.append((sub_id, len(payloads)))
+        base(sub_id, payloads, batch_id)
+
+    subs = subscriptions_df(spark, [(1, "insert:events_a")], FEED_TABLES)
+    stream = normalize_hypertables(
+        parse_wal2json(file_change_feed(spark, feed_dir)),
+        lookup_df(spark),
+    )
+    q = start_fanout_query(
+        stream, subs, deliver, ckpt, query_name="auto-flip", mode="auto"
+    )
+    try:
+        # batch 1: 3 routed rows <= 10 -> driver path
+        _write_jsonl(
+            f"{feed_dir}/f1.json",
+            [
+                _wal2json_line("insert", "events_a", ["id"], [i])
+                for i in range(3)
+            ],
+        )
+        q.processAllAvailable()
+        assert driver_calls == [(1, 3)], "small batch must ride the driver"
+
+        # batch 2: 30 routed rows > 10 -> executor path, same live query
+        _write_jsonl(
+            f"{feed_dir}/f2.json",
+            [
+                _wal2json_line("insert", "events_a", ["id"], [i])
+                for i in range(3, 33)
+            ],
+        )
+        q.processAllAvailable()
+        assert driver_calls == [(1, 3)], (
+            "large batch must NOT touch the driver adapter"
+        )
+
+        # batch 3: small again -> flips BACK to the driver
+        _write_jsonl(
+            f"{feed_dir}/f3.json",
+            [_wal2json_line("insert", "events_a", ["id"], [33])],
+        )
+        q.processAllAvailable()
+        assert driver_calls == [(1, 3), (1, 1)]
+    finally:
+        q.stop()
+
+    p = os.path.join(out_dir, "1", "outbox.jsonl")
+    with open(p) as f:
+        raw = [ln.rstrip("\n") for ln in f if ln.strip()]
+    ids = [
+        next(
+            v
+            for n, v in zip(c["columnnames"], c["columnvalues"])
+            if n == "id"
+        )
+        for c in map(json.loads, raw)
+    ]
+    # exactly-once across BOTH delivery paths, batches in stream order
+    assert sorted(ids) == list(range(34))
+    assert ids[:3] == [0, 1, 2] and ids[-1] == 33
+    # within the executor-path batch the documented order contract is
+    # the deterministic change_json tiebreak (the file feed carries no
+    # seq), identical to what fanout_batch's struct sort would produce
+    assert raw[3:33] == sorted(raw[3:33])
+    assert raw[:3] == sorted(raw[:3])

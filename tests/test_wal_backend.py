@@ -6,6 +6,8 @@ in tests/test_streaming.py; no Spark needed here."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from speculare_pgcdc_spark.streaming.wal_source import (
@@ -142,3 +144,101 @@ def test_backend_selection_by_option():
         {"url": "jdbc:postgresql://h/d", "wal_table": "relay"}
     )
     assert isinstance(b, PostgresWalBackend) and b.wal_table == "relay"
+
+
+# ---------------------------------------------------------------------
+# Live-PostgreSQL smoke (r7 verdict item 5). The whole protocol above
+# is stub-tested; this is the one test that speaks to a REAL server —
+# mirroring the reference's scripts/test.sh:1-17 loop (create table,
+# insert, observe the change downstream, advance). Gated on
+# SPECULARE_PG_DSN (a jdbc:postgresql://host:port/db URL; credentials
+# via SPECULARE_PG_USER / SPECULARE_PG_PASSWORD or URL params) so the
+# harness — which has no database by contract — skips cleanly.
+# ---------------------------------------------------------------------
+
+_PG_DSN = os.environ.get("SPECULARE_PG_DSN")
+
+
+def _psycopg_or_none():
+    try:
+        import psycopg  # noqa: F401 (v3)
+
+        return "psycopg"
+    except ImportError:
+        try:
+            import psycopg2  # noqa: F401
+
+            return "psycopg2"
+        except ImportError:
+            return None
+
+
+@pytest.mark.skipif(
+    not _PG_DSN,
+    reason="live-Postgres smoke: set SPECULARE_PG_DSN to a "
+    "jdbc:postgresql://host:port/db URL to enable",
+)
+@pytest.mark.skipif(
+    _PG_DSN and _psycopg_or_none() is None,
+    reason="SPECULARE_PG_DSN set but neither psycopg nor psycopg2 "
+    "is importable",
+)
+def test_live_postgres_poll_ack_roundtrip():
+    """slot-create -> insert -> poll -> ack against a live server:
+    relay tables are created fresh (the slot-create analog), three
+    changefeed payloads inserted the way scripts/test.sh drives the
+    reference, then the backend must (1) poll them in LSN order,
+    (2) replay the exact committed range via fetch_range, (3) persist
+    the ack high-water mark monotonically, and (4) poll-after-ack
+    returns only newer rows."""
+    user = os.environ.get("SPECULARE_PG_USER")
+    password = os.environ.get("SPECULARE_PG_PASSWORD")
+    suffix = f"t{os.getpid()}"
+    wal_t, ack_t = f"smoke_wal_{suffix}", f"smoke_ack_{suffix}"
+
+    be = PostgresWalBackend(
+        _PG_DSN, user=user, password=password,
+        wal_table=wal_t, ack_table=ack_t,
+    )
+    payloads = [
+        (1, '{"kind":"insert","table":"test_table0","name":"W1"}'),
+        (2, '{"kind":"update","table":"test_table0","name":"~~W1"}'),
+        (3, '{"kind":"insert","table":"test_table1","name":"W2"}'),
+    ]
+    with be._session() as con, con.cursor() as cur:
+        cur.execute(
+            f"CREATE TABLE {wal_t} (lsn bigint primary key, "
+            f"payload text)"
+        )
+        cur.execute(
+            f"CREATE TABLE {ack_t} (id int primary key, lsn bigint)"
+        )
+        for lsn, p in payloads:
+            cur.execute(
+                f"INSERT INTO {wal_t} (lsn, payload) VALUES (%s, %s)",
+                (lsn, p),
+            )
+        con.commit()
+    try:
+        got = be.poll(0, 10)
+        assert got == payloads
+
+        # batch_limit honors distinct-lsn cutoff like the sqlite twin
+        first_two = be.poll(0, 2)
+        assert first_two == payloads[:2]
+
+        # checkpoint replay: the committed range, exactly
+        assert be.fetch_range(1, 3) == payloads[1:]
+
+        be.ack(2)
+        be.ack(1)  # late ack must NOT move the HWM backwards
+        with be._session() as con, con.cursor() as cur:
+            cur.execute(f"SELECT lsn FROM {ack_t} WHERE id = 0")
+            assert cur.fetchone()[0] == 2
+
+        assert be.poll(2, 10) == payloads[2:]
+    finally:
+        with be._session() as con, con.cursor() as cur:
+            cur.execute(f"DROP TABLE IF EXISTS {wal_t}")
+            cur.execute(f"DROP TABLE IF EXISTS {ack_t}")
+            con.commit()
