@@ -208,8 +208,10 @@ def main() -> None:
     cdc_events_per_s_median = None
     cdc_q35_events_per_s = None
     cdc_q35_events_per_s_median = None
+    cdc_feed_recached = None
     try:
         from speculare_pgcdc_spark.cdc.feedgen import (
+            ensure_feed_hot,
             feed_messages,
             lookup_df,
         )
@@ -224,6 +226,17 @@ def main() -> None:
                 lookup_df(spark),
             )
 
+        # the metric is defined over a HOT in-memory feed (its
+        # construction is scaffolding — in production the feed arrives
+        # from the replication connection). The warm-up persist is 40+
+        # queries old by now and storage churn can have dropped it,
+        # silently turning this micro into a feed-CONSTRUCTION
+        # benchmark: BENCH_r07's 27.2k ev/s (vs 83.2k) reproduced
+        # exactly as the unpersisted-feed recompute (scripts/
+        # cdc_attrib.py; 4.0s vs 1.4s hot at sf0.1, DuckDB anchor
+        # flat). Re-assert the cache and RECORD when it had to be
+        # rebuilt so the artifact explains itself.
+        cdc_feed_recached = ensure_feed_hot(spark, sf_dir)
         n_changes = cdc_pipeline().count()
         materialize(cdc_pipeline())  # warm
         # per-round samples (not _best_of) so BOTH bases report
@@ -275,6 +288,7 @@ def main() -> None:
                 "cdc_events_per_s_median": cdc_events_per_s_median,
                 "cdc_q35_events_per_s": cdc_q35_events_per_s,
                 "cdc_q35_events_per_s_median": cdc_q35_events_per_s_median,
+                "cdc_feed_recached": cdc_feed_recached,
                 "errors": errors,
                 "sf": float(sf) if sf else sf_dir,
             }
@@ -301,6 +315,7 @@ def main() -> None:
                 "cdc_events_per_s_median": cdc_events_per_s_median,
                 "cdc_q35_events_per_s": cdc_q35_events_per_s,
                 "cdc_q35_events_per_s_median": cdc_q35_events_per_s_median,
+                "cdc_feed_recached": cdc_feed_recached,
                 "n_errors": len(errors),
                 "sf": float(sf) if sf else sf_dir,
             }

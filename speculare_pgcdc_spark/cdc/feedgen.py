@@ -71,6 +71,32 @@ def feed_messages_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def ensure_feed_hot(spark: SparkSession, sf_dir: str,
+                    v2: bool = False) -> bool:
+    """Re-assert the feed fixture's in-memory cache; returns True when
+    the cache had been DROPPED and was rebuilt.
+
+    The feed is input scaffolding (in production it arrives from the
+    replication connection), so consumers that benchmark the pipeline
+    over it — bench.py's cdc_events_per_s micro — are defined over a
+    HOT feed. But the persist() made at first build is not durable
+    state: a long session's storage churn (other persists, explicit or
+    cascading unpersist, clearCache) can silently drop it, after which
+    every pipeline run RECOMPUTES feed construction — measured 4.0s vs
+    1.4s hot at sf0.1, i.e. the 83k -> 27k ev/s cliff in the round-7
+    bench artifact. Calling this right before sampling makes the
+    metric independent of cache history: re-persist if dropped, then
+    one count() to pull any disk-evicted blocks back (a no-op when
+    already hot)."""
+    df = feed_messages_v2(spark, sf_dir) if v2 else feed_messages(
+        spark, sf_dir)
+    recached = not df.is_cached
+    if recached:
+        df.persist()
+    df.count()
+    return recached
+
+
 def _chunk_table_col():
     return F.concat(
         F.lit("_hyper_"),

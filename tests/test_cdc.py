@@ -529,3 +529,24 @@ def test_apply_changes_composite_identity_delete_key_by_name(spark):
     assert {r["id"]: r["name"] for r in got2.collect()} == {
         7: "bystander"
     }
+
+
+def test_ensure_feed_hot_recovers_dropped_cache(spark, sf_dir):
+    """The bench CDC micro's cache guard (BASELINE.md round-8
+    attribution): ensure_feed_hot is a no-op on a hot feed, rebuilds
+    a dropped persist, and reports which happened — so the throughput
+    metric can never silently degrade into a feed-construction
+    benchmark again."""
+    from speculare_pgcdc_spark.cdc.feedgen import (
+        ensure_feed_hot,
+        feed_messages,
+    )
+
+    feed = feed_messages(spark, sf_dir)
+    assert ensure_feed_hot(spark, sf_dir) is False  # warm path: no-op
+
+    feed.unpersist(blocking=True)
+    assert not feed.is_cached
+    assert ensure_feed_hot(spark, sf_dir) is True  # dropped: rebuilt
+    assert feed.is_cached
+    assert ensure_feed_hot(spark, sf_dir) is False
