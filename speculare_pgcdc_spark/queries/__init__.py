@@ -55,13 +55,21 @@ SWEEP_FIRST = [
     "q250_minhash_quality",
     "q251_macro_f1",
     "q252_source_overlap_matrix",
-    # (2) implementation changed this round — re-attest after change:
+    # (2) new this round (round-8 pipeline batch) — first attestation:
+    "q253_seeded_epoch_shuffle",
+    "q254_dup_cluster_stats",
+    "q255_group_mad_outliers",
+    "q256_profile_drift",
+    "q257_weighted_median",
+    "q258_quality_gate_bitmask",
+    "q259_dataset_card",
+    # (3) implementation changed this round — re-attest after change:
     # q126's query-vector norm moves from `** 0.5` to math.sqrt
     # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`
     # hook (r7 verdict item 6).
     "q126_pq_ann",
     "q202_hard_negatives",
-    # (3) oldest-first re-attestation (r7 verdict item 4): the r01-
+    # (4) oldest-first re-attestation (r7 verdict item 4): the r01-
     # attested block (7 rounds stale), then the r02 block. Budget
     # overflow past ~50 simply falls to next round's front.
     "q35_cdc_pipeline",
@@ -159,6 +167,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus,
         corpus_analytics,
         corpus_audit,
+        corpus_pipeline,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -1189,3 +1189,53 @@ def test_q252_overlap_fp_keyed_join_broadcast_sizes(q):
     assert "Window" not in p
     assert broadcast_hash_join_count(df) >= 2
     assert not has_python_eval(df)
+
+
+def test_q253_shuffle_topk_rides_window_group_limit(q):
+    # the per-epoch shuffle order emits top-k through WindowGroupLimit
+    # (pushed below the exchange too), so no epoch's full permutation
+    # is ever sorted on one task; the md5 key is pure codegen
+    df = q("q253_seeded_epoch_shuffle")
+    p = plan_string(df)
+    assert "WindowGroupLimit" in p
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    for ln in win_lines:
+        assert "epoch" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
+
+
+def test_q255_medians_run_at_value_grain(q):
+    # both MAD median passes window over the DISTINCT-(type, value)
+    # aggregate, partitioned by type — never a data-grain or
+    # single-partition window; all arithmetic JVM-side
+    df = q("q255_group_mad_outliers")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines, "expected per-type median windows"
+    for ln in win_lines:
+        assert "t#" in ln.split("windowspecdefinition")[1], ln
+    assert "partial_count" in p or "partial_sum" in p
+    assert not has_python_eval(df)
+
+
+def test_q257_weighted_median_partial_agg_then_grouped_window(q):
+    # weight aggregation is map-side combinable BEFORE the cumulative
+    # window, and the window partitions by flag (value grain)
+    df = q("q257_weighted_median")
+    p = plan_string(df)
+    assert "partial_sum" in p
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    for ln in win_lines:
+        assert "flag" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
+
+
+def test_q259_card_broadcasts_top_language(q):
+    # the 1-row top-language frame reaches the card via broadcast;
+    # the scan aggregates are partial (map-side combine)
+    df = q("q259_dataset_card")
+    assert broadcast_hash_join_count(df) >= 1 or (
+        "BroadcastNestedLoopJoin" in plan_string(df)
+    )
+    assert "partial_count" in plan_string(df)
+    assert not has_python_eval(df)
