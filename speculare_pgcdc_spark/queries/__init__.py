@@ -63,6 +63,10 @@ SWEEP_FIRST = [
     "q257_weighted_median",
     "q258_quality_gate_bitmask",
     "q259_dataset_card",
+    "q260_zorder_layout",
+    "q261_k_anonymity",
+    "q262_spearman_rank",
+    "q263_stream_stream_join",
     # (3) implementation changed this round — re-attest after change:
     # q126's query-vector norm moves from `** 0.5` to math.sqrt
     # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`

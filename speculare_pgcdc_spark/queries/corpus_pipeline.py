@@ -584,3 +584,256 @@ def q259(spark: SparkSession, sf: str) -> DataFrame:
             "top_lang_ppm"
         ),
     )
+
+
+#: q260: bits per dimension of the Morton (Z-order) key and the bucket
+#: width (z DIV 2^ZB_SHIFT) — 8+8 bits interleaved, 16-z-value tiles
+Z_BITS = 8
+ZB_SHIFT = 4
+
+
+def _morton_sql(u: str, d: str, div: str) -> str:
+    """Bit-interleave two Z_BITS-wide nonneg ints as pure arithmetic
+    ((x DIV 2^i) % 2 scaled by 4^i / 2*4^i) so the SAME formula renders
+    for Spark (div='DIV') and DuckDB (div='//') with no engine bit-op
+    differences."""
+    terms = []
+    for i in range(Z_BITS):
+        p = 1 << i
+        terms.append(f"(({u} {div} {p}) % 2) * {4 ** i}")
+        terms.append(f"(({d} {div} {p}) % 2) * {2 * (4 ** i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q260_zorder_layout",
+    oracle=f"""
+        WITH z AS (
+            SELECT ({_morton_sql(
+                "(user_id % 256)", "(dayofyear(ts) % 256)", "//"
+            )}) // {1 << ZB_SHIFT} AS zbucket,
+                   user_id, CAST(ts AS DATE) AS day
+            FROM events
+        )
+        SELECT CAST(zbucket AS BIGINT) AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+    doc="Z-order (Morton) layout key for multi-dimensional data "
+    "clustering: interleave the low 8 bits of user_id and day-of-year "
+    "so rows close in BOTH dimensions land in the same key range — "
+    "the lake-layout technique (Delta Z-ORDER, Hudi space-filling "
+    "curves) that makes (user, time-range) scans prune files in both "
+    "predicates, where a linear sort key prunes only its leading "
+    "column. The demo profiles the bucket occupancy (each 16-z tile "
+    "holds a bounded 4x4 patch of the user x day grid — n_users and "
+    "n_days per bucket stay <= 4 whatever the row count, which IS "
+    "the locality guarantee). The interleave is pure integer "
+    "arithmetic ((x DIV 2^i) % 2 scaled by powers of 4) — one "
+    "codegen'd projection, no shuffle before the bucket agg; at "
+    "scale the key feeds repartitionByRange + sortWithinPartitions "
+    "writers (the q160 bucketed-layout path).",
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    z = F.expr(
+        f"({_morton_sql('(user_id % 256)', '(dayofyear(ts) % 256)', 'DIV')})"
+        f" DIV {1 << ZB_SHIFT}"
+    )
+    return (
+        table(spark, sf, "events")
+        .select(
+            z.cast("bigint").alias("zbucket"),
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("day").cast("bigint").alias("n_days"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+#: q261: the k in k-anonymity — groups smaller than K on the
+#: quasi-identifier tuple are re-identification risks
+K_ANON = 5
+
+
+@register(
+    "q261_k_anonymity",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY lang, source
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN c < {K_ANON} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_groups,
+               CAST(SUM(CASE WHEN c < {K_ANON} THEN c ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(MIN(c) AS BIGINT) AS min_group_size,
+               CAST(SUM(CASE WHEN c < {K_ANON} THEN c ELSE 0 END)
+                    * 1000000 // GREATEST(CAST(SUM(c) AS HUGEINT), 1)
+                    AS BIGINT) AS at_risk_ppm
+        FROM g
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}) on the (lang, source) quasi-"
+    "identifier tuple: how many equivalence classes exist, how many "
+    "are smaller than k, and how many rows those classes expose — "
+    "the privacy/governance gate run before releasing a corpus "
+    "slice or joining it to anything identifying (suppression and "
+    "generalization act on exactly the groups this query lists). "
+    "One grouped count + one 5-column reduce over the group frame; "
+    "map-side combinable, no window, no join — the cheapest "
+    "full-corpus governance scan at any scale. The ppm rides the "
+    "HUGEINT // convention (DuckDB SUM(BIGINT) is DECIMAL and "
+    "DECIMAL // rounds before flooring).",
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    small = F.when(F.col("c") < K_ANON, F.col("c")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("c") < K_ANON).cast("int"))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(small).cast("bigint").alias("rows_at_risk"),
+        F.min("c").cast("bigint").alias("min_group_size"),
+        F.expr(
+            f"CAST(sum(CASE WHEN c < {K_ANON} THEN c ELSE 0 END) "
+            f"* 1000000 DIV greatest(sum(c), 1) AS BIGINT)"
+        ).alias("at_risk_ppm"),
+    )
+
+
+@register(
+    "q262_spearman_rank",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        gx AS (
+            SELECT x, COUNT(*) AS cnt,
+                   COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+            FROM u GROUP BY x
+        ),
+        gy AS (
+            SELECT y, COUNT(*) AS cnt,
+                   COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+            FROM u GROUP BY y
+        ),
+        r AS (
+            SELECT (2 * gx.below + gx.cnt + 1) AS rx2,
+                   (2 * gy.below + gy.cnt + 1) AS ry2
+            FROM u JOIN gx ON u.x = gx.x JOIN gy ON u.y = gy.y
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(rx2) AS DOUBLE) AS sx,
+                   CAST(SUM(ry2) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2)
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2)
+                        AS DOUBLE) AS sx2,
+                   CAST(SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2)
+                        AS DOUBLE) AS sy2
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) <= 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR((n * sxy - sx * sy) /
+                         (sqrt(n * sx2 - sx * sx)
+                          * sqrt(n * sy2 - sy * sy))
+                         * 1000000) AS BIGINT) END AS rho_e6
+        FROM m
+    """,
+    doc="Spearman rank correlation between per-user event count and "
+    "per-user total value — the monotone-association twin of q239's "
+    "Pearson screen, robust to the heavy-tailed spend distributions "
+    "where Pearson is dominated by whales. Tie handling is EXACT in "
+    "integers: the average rank of a tie group is (lo+hi)/2, so both "
+    "variables use DOUBLED average ranks rx2 = 2*below + cnt + 1 "
+    "(always integer; scaling both variables by 2 leaves r "
+    "unchanged), computed at the DISTINCT-VALUE grain (one grouped "
+    "count + a value-grain cumulative window — q194's banding "
+    "argument, no data-grain rank window). Moments accumulate in "
+    "DECIMAL(38,0); rho floors to e6 via the shared q235/q239 "
+    "expression (zero-variance pinned to 0).",
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    u = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    u = u.localCheckpoint(eager=True)
+
+    def ranks2(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            u.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+            .select(
+                col,
+                (2 * F.col("below") + F.col("cnt") + 1).alias(
+                    f"r2_{col}"
+                ),
+            )
+        )
+
+    r = (
+        u.join(ranks2("x"), "x")
+        .join(ranks2("y"), "y")
+        .select(
+            F.col("r2_x").cast("decimal(38,0)").alias("rx2"),
+            F.col("r2_y").cast("decimal(38,0)").alias("ry2"),
+        )
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx2").cast("double").alias("sx"),
+        F.sum("ry2").cast("double").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("double").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("double").alias("sx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("double").alias("sy2"),
+    )
+    rho = (
+        "CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) <= 0 "
+        "THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(FLOOR((n * sxy - sx * sy) / "
+        "(sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) "
+        "* 1000000) AS BIGINT) END"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.expr(rho).alias("rho_e6"),
+    )

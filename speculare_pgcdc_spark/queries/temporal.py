@@ -169,3 +169,54 @@ def q39b(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "q263_stream_stream_join",
+    oracle="""
+        SELECT l.user_id,
+               l.event_id AS l_event_id,
+               r.event_id AS r_event_id,
+               epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'error'
+         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 15 MINUTE
+        ORDER BY l.user_id, l_event_id, r_event_id
+    """,
+    doc="Stream-stream interval join, batch twin: errors within 15 "
+    "minutes AFTER a purchase by the same user — the two-live-feeds "
+    "correlation a CDC consumer builds first (fraud/incident triage). "
+    "The registered query runs streaming/joins.interval_event_join on "
+    "STATIC frames; the identical builder on two readStream feeds "
+    "adds the watermarks + time-range state-purge contract Spark "
+    "requires of stream-stream inner joins (both sides buffered in "
+    "state, rows purged once the opposing watermark passes their "
+    "match window) — cross-mode parity and late-arrival drop are "
+    "pinned in tests/test_streaming.py. Scale shape: one shuffle per "
+    "side on the join key; state is bounded by watermark x arrival "
+    "rate, not stream length. gap_us is exact integer MICROseconds "
+    "(unix_micros / epoch_us — second-grain epoch() is fractional in "
+    "one engine and floored in the other).",
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.streaming.joins import (
+        interval_event_join,
+    )
+
+    ev = table(spark, sf, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = interval_event_join(pur, err, within="15 minutes")
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("l_event_id"),
+        F.col("r_event_id").alias("r_event_id"),
+        (
+            F.unix_micros("r_ts") - F.unix_micros("l_ts")
+        ).cast("bigint").alias("gap_us"),
+    ).orderBy("user_id", "l_event_id", "r_event_id")

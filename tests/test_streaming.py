@@ -2049,3 +2049,115 @@ def test_fanout_auto_mode_flips_mid_stream(spark, tmp_path, monkeypatch):
     # seq), identical to what fanout_batch's struct sort would produce
     assert raw[3:33] == sorted(raw[3:33])
     assert raw[:3] == sorted(raw[:3])
+
+
+def _json_event_stream(spark, feed_dir):
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    return spark.readStream.schema(schema).json(feed_dir)
+
+
+def test_stream_stream_interval_join_matches_batch_twin(
+    spark, tmp_path
+):
+    """T-family stream-stream join (q263's live form): two file
+    streams joined on user within (0, 15 min] must emit exactly the
+    batch twin's pairs, and a row arriving BEHIND the watermark must
+    be dropped instead of joined (the state-purge contract that keeps
+    stream-stream state bounded)."""
+    from speculare_pgcdc_spark.streaming.joins import (
+        interval_event_join,
+    )
+
+    pur_dir = str(tmp_path / "pur")
+    err_dir = str(tmp_path / "err")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pur_dir)
+    os.makedirs(err_dir)
+
+    def ev(uid, minute, eid):
+        return {
+            "user_id": uid,
+            "ts": f"2024-01-01T10:{minute:02d}:00.000Z",
+            "event_id": eid,
+        }
+
+    # batch 1: u1 purchase at 10:00 -> errors at 10:05 (join), 10:20
+    # (outside 15 min); u2 purchase 10:30 with no error
+    _write_jsonl(f"{pur_dir}/p1.json", [ev(1, 0, 100), ev(2, 30, 101)])
+    _write_jsonl(f"{err_dir}/e1.json", [ev(1, 5, 200), ev(1, 20, 201)])
+
+    joined = interval_event_join(
+        _json_event_stream(spark, pur_dir),
+        _json_event_stream(spark, err_dir),
+        within="15 minutes",
+        watermark="10 minutes",
+    ).select("user_id", "l_event_id", "r_event_id")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+        assert got1 == {(1, 100, 200)}
+
+        # batch 2: advance both watermarks far past 10:30, then feed a
+        # LATE error (10:02, behind the watermark) plus a fresh pair
+        _write_jsonl(f"{pur_dir}/p2.json", [ev(3, 50, 102)])
+        _write_jsonl(f"{err_dir}/e2.json", [ev(3, 55, 202)])
+        q.processAllAvailable()
+        _write_jsonl(f"{err_dir}/e3.json", [ev(1, 2, 203)])
+        q.processAllAvailable()
+        got2 = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.sql("SELECT * FROM ssj").collect()
+        }
+        # the fresh pair joined; the late error did NOT resurrect the
+        # 10:00 purchase even though it is inside its 15-min window
+        assert got2 == {(1, 100, 200), (3, 102, 202)}
+    finally:
+        q.stop()
+
+    # cross-mode parity: the same builder on static frames over the
+    # SAME rows equals the stream's on-time output
+    rows_p = [ev(1, 0, 100), ev(2, 30, 101), ev(3, 50, 102)]
+    rows_e = [ev(1, 5, 200), ev(1, 20, 201), ev(3, 55, 202)]
+    _write_jsonl(f"{pur_dir}/all_p.jsonl", rows_p)
+    _write_jsonl(f"{err_dir}/all_e.jsonl", rows_e)
+    static_p = spark.read.json(
+        f"{pur_dir}/all_p.jsonl",
+        schema=_json_event_stream(spark, pur_dir).schema,
+    )
+    static_e = spark.read.json(
+        f"{err_dir}/all_e.jsonl",
+        schema=_json_event_stream(spark, err_dir).schema,
+    )
+    batch = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_event_join(
+            static_p, static_e, within="15 minutes"
+        )
+        .select("user_id", "l_event_id", "r_event_id")
+        .collect()
+    }
+    assert batch == {(1, 100, 200), (3, 102, 202)}
