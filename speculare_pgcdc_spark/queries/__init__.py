@@ -67,6 +67,9 @@ SWEEP_FIRST = [
     "q261_k_anonymity",
     "q262_spearman_rank",
     "q263_stream_stream_join",
+    "q264_funnel_conversion",
+    "q265_column_checksums",
+    "q266_session_depth",
     # (3) implementation changed this round — re-attest after change:
     # q126's query-vector norm moves from `** 0.5` to math.sqrt
     # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`

@@ -837,3 +837,289 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_users"),
         F.expr(rho).alias("rho_e6"),
     )
+
+
+#: q264: funnel stage gates — click within 24h of first view, purchase
+#: within 72h of that click (tight-enough windows to create the
+#: dropout the funnel exists to measure: 150 -> 60 -> 45 at sf0.01)
+FUNNEL_CLICK_HOURS = 24
+FUNNEL_PURCHASE_HOURS = 72
+
+
+@register(
+    "q264_funnel_conversion",
+    oracle=f"""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+              AND e.ts <= t1.t1 + INTERVAL {FUNNEL_CLICK_HOURS} HOUR
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              AND e.ts <= t2.t2 + INTERVAL {FUNNEL_PURCHASE_HOURS} HOUR
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_view,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_click,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_purchase,
+               CAST((SELECT COUNT(*) FROM t2) * 1000000
+                    // GREATEST((SELECT COUNT(*) FROM t1), 1)
+                    AS BIGINT) AS view_click_ppm,
+               CAST((SELECT COUNT(*) FROM t3) * 1000000
+                    // GREATEST((SELECT COUNT(*) FROM t2), 1)
+                    AS BIGINT) AS click_purchase_ppm
+    """,
+    doc="Ordered funnel conversion: users whose first view is followed "
+    f"by a click within {FUNNEL_CLICK_HOURS}h, then a purchase within "
+    f"{FUNNEL_PURCHASE_HOURS}h of that click — the strict-ordering "
+    "funnel (each stage anchors on the PREVIOUS stage's timestamp, "
+    "not any-time-cooccurrence, which overcounts). Three stage-"
+    "filtered min-aggregates chained by user-key joins — each stage "
+    "frame shrinks monotonically, every join is on the one user key "
+    "(broadcast once the funnel narrows), no window at all. "
+    "Stage-to-stage conversion in exact integer ppm.",
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (
+                F.col("ts")
+                <= F.col("t1")
+                + F.expr(f"INTERVAL {FUNNEL_CLICK_HOURS} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (
+                F.col("ts")
+                <= F.col("t2")
+                + F.expr(f"INTERVAL {FUNNEL_PURCHASE_HOURS} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    c2 = t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    c3 = t3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchase")
+    )
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr(
+                "n_click * 1000000 DIV greatest(n_view, 1)"
+            ).alias("view_click_ppm"),
+            F.expr(
+                "n_purchase * 1000000 DIV greatest(n_click, 1)"
+            ).alias("click_purchase_ppm"),
+        )
+    )
+
+
+#: q265: events columns profiled by the column-level checksum
+CHECKSUM_COLUMNS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+@register(
+    "q265_column_checksums",
+    oracle="""
+        WITH s AS (
+            SELECT 'event_id' AS col_name,
+                   CAST(event_id AS VARCHAR) AS v FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'event_type', event_type FROM events
+            UNION ALL
+            SELECT 'value',
+                   CAST(CAST(FLOOR(value * 1000000) AS BIGINT)
+                        AS VARCHAR) FROM events
+            UNION ALL
+            SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+        )
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(SUM(CAST(CAST(concat('0x', substr(
+                        md5(COALESCE(v, '')), 1, 12)) AS BIGINT)
+                        AS HUGEINT)) % 1000000000000000000
+                    AS BIGINT) AS checksum
+        FROM s GROUP BY col_name ORDER BY col_name
+    """,
+    doc="COLUMN-level replica checksums: per column an order-free "
+    "additive digest (sum of 48-bit md5 prefixes — commutative, so "
+    "partition order and shuffle order cannot change it), plus row/"
+    "distinct/null counts. q196 checksums ROWS (which bucket "
+    "diverged); this checksums COLUMNS (which FIELD a lossy pipeline "
+    "mangled — the typical CDC bug is one badly-cast column, not a "
+    "lost row). Values canonicalize before hashing (e6-floored "
+    "doubles, epoch-micros timestamps, everything as its exact "
+    "string) so the digest is type-representation-independent. One "
+    "unpivot (stack) + one grouped aggregate; the sum accumulates "
+    "exactly (DECIMAL(38,0) / HUGEINT — 48-bit terms overflow a "
+    "BIGINT past ~65 billion values) and the published digest is "
+    "the exact sum mod 1e18.",
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.floor(F.col("value") * 1000000)
+        .cast("bigint")
+        .cast("string")
+        .alias("value"),
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .cast("string")
+        .alias("ts"),
+    )
+    stack = ", ".join(f"'{c}', {c}" for c in CHECKSUM_COLUMNS)
+    s = ev.select(
+        F.expr(
+            f"stack({len(CHECKSUM_COLUMNS)}, {stack}) AS (col_name, v)"
+        )
+    )
+    h48 = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("v"), F.lit(""))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        s.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum(F.col("v").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.pmod(
+                F.sum(h48.cast("decimal(38,0)")),
+                F.lit(10 ** 18).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("col_name")
+    )
+
+
+#: q266: session gap (the q38 convention) and depth buckets
+SESSION_GAP_S = 1800
+
+
+@register(
+    "q266_session_depth",
+    oracle=f"""
+        WITH d AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                       > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+            FROM events),
+        s AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sess
+            FROM d),
+        g AS (
+            SELECT user_id, sess, COUNT(*) AS n
+            FROM s GROUP BY user_id, sess),
+        b AS (
+            SELECT CASE WHEN n = 1 THEN '1_bounce'
+                        WHEN n <= 3 THEN '2_shallow'
+                        WHEN n <= 10 THEN '3_engaged'
+                        ELSE '4_deep' END AS depth,
+                   n
+            FROM g),
+        tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM g)
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) * 1000000 // GREATEST(t, 1) AS BIGINT)
+                   AS share_ppm
+        FROM b, tot GROUP BY depth, t ORDER BY depth
+    """,
+    doc="Session-depth histogram over 30-min-gap sessions (the q38 "
+    "sessionization reused): bounce (1 event), shallow (2-3), "
+    "engaged (4-10), deep (>10) buckets with session/event counts "
+    "and exact-ppm shares — the engagement-shape summary product "
+    "analytics reads before any funnel. One user-partitioned "
+    "lag+cumsum pass (sessionization's one shuffle), then a "
+    "session-grain aggregate; the depth buckets keep the output "
+    "4 rows at any scale.",
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from speculare_pgcdc_spark.functions import epoch_seconds
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
+    brk = F.when(gap > SESSION_GAP_S, 1).otherwise(0)
+    g = (
+        table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", brk.alias("brk"))
+        .withColumn("sess", F.sum("brk").over(wrun))
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    depth = (
+        F.when(F.col("n") == 1, "1_bounce")
+        .when(F.col("n") <= 3, "2_shallow")
+        .when(F.col("n") <= 10, "3_engaged")
+        .otherwise("4_deep")
+    )
+    b = g.select(depth.alias("depth"), "n")
+    tot = g.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_sessions",
+            "n_events",
+            F.expr(
+                "n_sessions * 1000000 DIV greatest(t, 1)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("depth")
+    )
