@@ -1239,3 +1239,35 @@ def test_q259_card_broadcasts_top_language(q):
     )
     assert "partial_count" in plan_string(df)
     assert not has_python_eval(df)
+
+
+def test_q263_interval_join_is_equi_with_range_residual(q):
+    # the stream-stream twin's join has an equi key (user) so the
+    # plan must be hash/merge, never a nested-loop over the band
+    df = q("q263_stream_stream_join")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
+def test_q264_funnel_is_chained_key_joins_no_window(q):
+    # each funnel stage is a shrinking aggregate joined on the one
+    # user key — no window anywhere, no nested loop
+    df = q("q264_funnel_conversion")
+    p = plan_string(df)
+    assert "Window" not in p
+    # (the final 1-row x 1-row stat combines are broadcast crosses —
+    # allowed; a data-grain CartesianProduct is not)
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
+def test_q266_sessionization_windows_per_user(q):
+    df = q("q266_session_depth")
+    p = plan_string(df)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert win_lines
+    for ln in win_lines:
+        assert "user_id" in ln.split("windowspecdefinition")[1], ln
+    assert not has_python_eval(df)
