@@ -70,6 +70,9 @@ SWEEP_FIRST = [
     "q264_funnel_conversion",
     "q265_column_checksums",
     "q266_session_depth",
+    "q267_triangle_count",
+    "q268_cusum_changepoint",
+    "q269_benford_digits",
     # (3) implementation changed this round — re-attest after change:
     # q126's query-vector norm moves from `** 0.5` to math.sqrt
     # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`

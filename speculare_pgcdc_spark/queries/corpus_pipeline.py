@@ -1123,3 +1123,270 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@register(
+    "q267_triangle_count",
+    oracle="""
+        WITH p AS (
+            SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+            FROM events WHERE event_type = 'purchase'
+        ),
+        e AS (
+            SELECT DISTINCT a.u AS ua, b.u AS ub
+            FROM p a JOIN p b ON a.h = b.h AND a.u < b.u
+        ),
+        deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT ua AS u FROM e UNION ALL SELECT ub FROM e
+            ) GROUP BY u
+        ),
+        tri AS (
+            SELECT COUNT(*) AS t
+            FROM e e1 JOIN e e2 ON e2.ua = e1.ub
+                      JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+        ),
+        wedges AS (
+            SELECT CAST(SUM(d * (d - 1) / 2) AS HUGEINT) AS w FROM deg
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+               CAST((SELECT t FROM tri) * 3000000
+                    // GREATEST((SELECT w FROM wedges), 1) AS BIGINT)
+                   AS clustering_ppm
+    """,
+    doc="Triangle count + global clustering coefficient of the "
+    "co-purchase graph (users purchasing within the same hour are "
+    "adjacent): the classic distributed-graph audit behind community "
+    "and collusion detection. The Spark plan uses DEGREE ORIENTATION "
+    "— each undirected edge points from its (degree, id)-smaller to "
+    "its larger endpoint, so every triangle is counted exactly once "
+    "and wedge fan-out is bounded by max out-degree O(sqrt(m)) "
+    "instead of max degree (the standard trick that makes exact "
+    "triangle counting survive power-law graphs at scale; the "
+    "celebrity node generates no wedges because its edges point IN). "
+    "The oracle states the orientation-free id-ordered spec — equal "
+    "counts prove the oriented plan loses/duplicates nothing. "
+    "Clustering coefficient = 3*triangles / wedges in exact ppm.",
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .distinct()
+    )
+    a = p.select(F.col("u").alias("ua"), "h")
+    b = p.select(F.col("u").alias("ub"), "h")
+    e = (
+        a.join(b, "h")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(
+        F.col("u").alias("ua"), F.col("d").alias("dega")
+    )
+    db = deg.select(
+        F.col("u").alias("ub"), F.col("d").alias("degb")
+    )
+    # orient each edge (deg, id)-ascending: src -> dst
+    keyed = e.join(da, "ua").join(db, "ub")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("ua") < F.col("ub"))
+    )
+    o = keyed.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    # wedges at the low-degree apex: (x->y, x->z), id-canonicalized
+    # to y < z; the closure test is then a pure EQUI semi-join against
+    # the undirected id-ordered edge set e itself (an OR of the two
+    # oriented directions would be a nested-loop join — the one plan
+    # shape this operator exists to avoid)
+    o1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    o2 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedge = o1.join(o2, "x").filter(F.col("y") < F.col("z"))
+    closer = e.select(
+        F.col("ua").alias("y"), F.col("ub").alias("z")
+    )
+    tri = wedge.join(
+        closer, ["y", "z"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    stats = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.sum(
+                    (F.col("d") * (F.col("d") - 1) / 2).cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("w"),
+            )
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.expr(
+            "CAST(n_triangles * 3000000 DIV greatest(w, 1) AS BIGINT)"
+        ).alias("clustering_ppm"),
+    )
+
+
+@register(
+    "q268_cusum_changepoint",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY day
+        ),
+        p AS (
+            SELECT day, x,
+                   SUM(x) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pre,
+                   ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   SUM(x) OVER () AS tot,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ),
+        c AS (
+            SELECT day, x, n, ABS(n * pre - i * tot) AS cdev FROM p
+        )
+        SELECT day AS change_day, x AS day_count,
+               CAST(MAX(n) OVER () AS BIGINT) AS n_days,
+               CAST(cdev AS BIGINT) AS max_cusum_scaled
+        FROM c ORDER BY cdev DESC, day LIMIT 1
+    """,
+    doc="CUSUM change-point scan over the daily purchase series: the "
+    "day maximizing |cumulative deviation from the mean| — the "
+    "standard level-shift detector a pipeline runs on every metric "
+    "it publishes. Integer-exact throughout: the mean is never "
+    "materialized; the scaled form n*prefix_i - i*total equals "
+    "n * (prefix_i - i*mean) so the argmax is identical and every "
+    "term is BIGINT (no float accumulation to drift the argmax; "
+    "ties break to the earliest day). Day-grain windows — the "
+    "series is bounded by the time range, not the corpus size.",
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w_pre = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    p = d.select(
+        "day",
+        "x",
+        F.sum("x").over(w_pre).alias("pre"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("x").over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    c = p.select(
+        F.col("day").alias("change_day"),
+        F.col("x").alias("day_count"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.abs(F.col("n") * F.col("pre") - F.col("i") * F.col("tot"))
+        .cast("bigint")
+        .alias("max_cusum_scaled"),
+    )
+    return c.orderBy(
+        F.col("max_cusum_scaled").desc(), "change_day"
+    ).limit(1)
+
+
+#: Benford expected first-digit shares, floor(log10(1+1/d)*1e6) —
+#: precomputed literals so neither engine evaluates a log
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_SQL = "CASE dig " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+
+@register(
+    "q269_benford_digits",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(substr(CAST(CAST(FLOOR(value * 1000000)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS dig
+            FROM events WHERE value > 0
+        ),
+        g AS (
+            SELECT dig, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(COUNT(*)) OVER () AS HUGEINT) AS tot
+            FROM v GROUP BY dig
+        )
+        SELECT dig AS digit, n_obs,
+               CAST(n_obs * 1000000 // tot AS BIGINT) AS obs_ppm,
+               {_BENFORD_SQL} AS benford_ppm,
+               CAST(ABS(n_obs * 1000000 // tot - {_BENFORD_SQL})
+                    AS BIGINT) AS dev_ppm
+        FROM g ORDER BY digit
+    """,
+    doc="Benford first-digit audit of the value column: observed vs "
+    "expected leading-digit shares with per-digit deviation — the "
+    "classic anomaly/fraud screen for any magnitude-spanning metric "
+    "(fabricated or clipped values flatten the digit curve). The "
+    "Benford shares are PRECOMPUTED integer-ppm literals (no log "
+    "evaluated in either engine); observed shares are exact integer "
+    "DIV; the e6-floored value's first digit equals the raw value's "
+    "first significant digit for every value >= 1e-6. One narrow "
+    "projection + a 9-row aggregate.",
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dig = F.substring(
+        F.floor(F.col("value") * 1000000).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    g = (
+        table(spark, sf, "events")
+        .filter(F.col("value") > 0)
+        .select(dig.alias("dig"))
+        .groupBy("dig")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .withColumn(
+            "tot", F.sum("n_obs").over(Window.partitionBy())
+        )
+    )
+    bexp = "CASE dig " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    return g.select(
+        F.col("dig").alias("digit"),
+        "n_obs",
+        F.expr("n_obs * 1000000 DIV tot").alias("obs_ppm"),
+        F.expr(bexp).alias("benford_ppm"),
+        F.expr(
+            f"CAST(ABS(n_obs * 1000000 DIV tot - ({bexp})) AS BIGINT)"
+        ).alias("dev_ppm"),
+    ).orderBy("digit")

@@ -1271,3 +1271,28 @@ def test_q266_sessionization_windows_per_user(q):
     for ln in win_lines:
         assert "user_id" in ln.split("windowspecdefinition")[1], ln
     assert not has_python_eval(df)
+
+
+def test_q267_triangle_joins_are_hash_equi(q):
+    # wedge build and closure are equi joins (hash/merge); the only
+    # nested-loop joins are the 1-row stat broadcasts at the end —
+    # a data-grain CartesianProduct or an OR-condition closure would
+    # be the quadratic shape this operator exists to avoid
+    df = q("q267_triangle_count")
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    # the closure must be a hash/merge LEFT SEMI — an OR-of-directions
+    # condition would surface as a BroadcastNestedLoopJoin LeftSemi
+    semi_lines = [ln for ln in p.splitlines() if "LeftSemi" in ln]
+    assert semi_lines
+    for ln in semi_lines:
+        assert "NestedLoop" not in ln, ln
+    # wedge build is an equi join on the apex (orientation joins sit
+    # behind the localCheckpoint and don't render here)
+    assert (
+        p.count("SortMergeJoin")
+        + p.count("BroadcastHashJoin")
+        + p.count("ShuffledHashJoin")
+        >= 2
+    )
+    assert not has_python_eval(df)
