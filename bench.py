@@ -66,6 +66,12 @@ TIER2 = [
     # shuffles this round
     "q238_snapshot_diff",
     "q241_prefix_filter_join",
+    # round-8 additions: the double-median value-grain pass, the 5-way
+    # unpivot checksum scan, and the dense-graph wedge join — the
+    # heaviest new shapes this round
+    "q255_group_mad_outliers",
+    "q265_column_checksums",
+    "q267_triangle_count",
 ]
 
 
