@@ -73,6 +73,7 @@ SWEEP_FIRST = [
     "q267_triangle_count",
     "q268_cusum_changepoint",
     "q269_benford_digits",
+    "q270_pareto_skyline",
     # (3) implementation changed this round — re-attest after change:
     # q126's query-vector norm moves from `** 0.5` to math.sqrt
     # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`

@@ -1421,3 +1421,99 @@ def q269(spark: SparkSession, sf: str) -> DataFrame:
             f"CAST(ABS(n_obs * 1000000 DIV tot - ({bexp})) AS BIGINT)"
         ).alias("dev_ppm"),
     ).orderBy("digit")
+
+
+@register(
+    "q270_pareto_skyline",
+    oracle="""
+        WITH c AS (
+            SELECT o_custkey AS cust,
+                   CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                        * 100) AS BIGINT) AS spend_e2,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_order
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT cust, spend_e2, last_order
+        FROM c p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c q
+            WHERE q.spend_e2 >= p.spend_e2
+              AND q.last_order >= p.last_order
+              AND (q.spend_e2 > p.spend_e2
+                   OR q.last_order > p.last_order)
+        )
+        ORDER BY spend_e2 DESC, cust
+    """,
+    doc="2-D skyline (Pareto front) of customers over (total spend, "
+    "recency): the rows no other row beats on both axes — the "
+    "standard multi-criteria shortlist (best-customer, best-offer, "
+    "cost/quality frontiers). The Spark plan is the LINEAR monotone "
+    "rewrite: reduce to the distinct-spend grain, take max recency "
+    "per spend, then a BANDED suffix-max (the spend grain is "
+    "customer-cardinality, so the only unpartitioned window runs "
+    "over the one-row-per-bin aggregate; in-bin windows partition "
+    "by bin — the q194/q80 two-level form). A point survives iff no "
+    "strictly-higher spend reaches its recency and no equal-spend "
+    "point beats it — O(n) + bin-grain work instead of the "
+    "quadratic dominance self-join. The oracle states exactly that "
+    "quadratic NOT EXISTS spec — equality is the losslessness proof "
+    "(the q241 pattern). Spend is the exact DECIMAL money sum, "
+    "FLOOR-scaled to integer cents; ties on both axes keep BOTH "
+    "points (strict dominance), matching the spec.",
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                * 100
+            )
+            .cast("bigint")
+            .alias("spend_e2"),
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+        )
+    )
+    c = c.localCheckpoint(eager=True)
+    # spend-grain frame: cardinality ~ distinct spends ~ customers, so
+    # the suffix max must be BANDED (the q194/q80 two-level rewrite):
+    # the only unpartitioned window runs over the one-row-per-bin
+    # aggregate; every data-sized window partitions by bin
+    xg = c.groupBy("spend_e2").agg(
+        F.max("last_order").alias("maxy")
+    ).withColumn(
+        "b", F.floor(F.col("spend_e2") / 1_000_000).cast("bigint")
+    )
+    xg = xg.localCheckpoint(eager=True)
+    bins = xg.groupBy("b").agg(F.max("maxy").alias("bmax"))
+    w_bins = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.select(
+        "b", F.max("bmax").over(w_bins).alias("rmax_bins")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy(F.col("spend_e2").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xg = (
+        xg.withColumn("rmax_in", F.max("maxy").over(w_in))
+        .join(F.broadcast(bins), "b")
+        .withColumn(
+            "rmax", F.greatest(F.col("rmax_bins"), F.col("rmax_in"))
+        )
+    )
+    keep = (
+        (F.col("rmax").isNull() | (F.col("rmax") < F.col("last_order")))
+        & (F.col("maxy") <= F.col("last_order"))
+    )
+    return (
+        c.join(xg.select("spend_e2", "maxy", "rmax"), "spend_e2")
+        .filter(keep)
+        .select("cust", "spend_e2", "last_order")
+        .orderBy(F.col("spend_e2").desc(), "cust")
+    )

@@ -1296,3 +1296,24 @@ def test_q267_triangle_joins_are_hash_equi(q):
         >= 2
     )
     assert not has_python_eval(df)
+
+
+def test_q270_skyline_suffix_max_is_banded(q):
+    # the spend grain is customer-cardinality: every data-sized window
+    # must partition by the band; the lone unpartitioned window rides
+    # the one-row-per-bin aggregate (same contract as q80/q130/q184)
+    import re
+
+    df = q("q270_pareto_skyline")
+    p = plan_string(df)
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines
+    for ln in lines:
+        spec = re.search(r"windowspecdefinition\(([^,]+),", ln)
+        assert spec, ln
+        head = spec.group(1)
+        unpartitioned = " ASC" in head or " DESC" in head
+        if unpartitioned:
+            assert "b#" in head, f"unpartitioned data-grain window: {ln}"
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
