@@ -36,82 +36,36 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # (1) round-8 priority: the 14 round-7 additions that have never
-    # had a driver CORRECTNESS row (sweep- and pytest-green at three
-    # scales, but the r7 ~50-query budget ran out at q238; r7 verdict
-    # item 1). Attesting these closes the registry: every entry will
-    # have at least one driver row.
-    "q239_correlation_matrix",
-    "q240_temperature_mix",
-    "q241_prefix_filter_join",
-    "q242_seasonal_anomaly",
-    "q243_embedding_drift",
-    "q244_concurrency_sweepline",
-    "q245_group_quantile_bands",
-    "q246_hhi_concentration",
-    "q247_stratified_kfold",
-    "q248_langid_confusion",
-    "q249_bucket_reconcile",
-    "q250_minhash_quality",
-    "q251_macro_f1",
-    "q252_source_overlap_matrix",
-    # (2) new this round (round-8 pipeline batch) — first attestation:
-    "q253_seeded_epoch_shuffle",
-    "q254_dup_cluster_stats",
-    "q255_group_mad_outliers",
-    "q256_profile_drift",
-    "q257_weighted_median",
+    # (1) changed this round (round 9) — re-attest after change:
+    # q258's oracle canonicalizes NULL text like the Spark side
+    # (ADVICE r8); q262's rank windows and q267's day-position
+    # computation are rewritten banded (r8 verdict item 3 + ADVICE),
+    # and q267's oracle wedge sum moves to exact integer //.
     "q258_quality_gate_bitmask",
-    "q259_dataset_card",
-    "q260_zorder_layout",
-    "q261_k_anonymity",
     "q262_spearman_rank",
-    "q263_stream_stream_join",
-    "q264_funnel_conversion",
-    "q265_column_checksums",
-    "q266_session_depth",
     "q267_triangle_count",
-    "q268_cusum_changepoint",
-    "q269_benford_digits",
-    "q270_pareto_skyline",
-    # (3) implementation changed this round — re-attest after change:
-    # q126's query-vector norm moves from `** 0.5` to math.sqrt
-    # (ADVICE r7 cross-libm item); q202 gains the ANN `candidates=`
-    # hook (r7 verdict item 6).
-    "q126_pq_ann",
-    "q202_hard_negatives",
-    # (4) oldest-first re-attestation (r7 verdict item 4): the r01-
-    # attested block (7 rounds stale), then the r02 block. Budget
-    # overflow past ~50 simply falls to next round's front.
-    "q35_cdc_pipeline",
-    "q36_dsl_route",
-    "q42_jaccard_neardup",
-    "q43_cosine_topk",
-    "q44_token_topk",
-    "q45_fingerprint_dedup",
-    "q46_minhash_lsh",
-    "q47_simhash",
-    "q48_embedding_neardup",
-    "q49_lang_id",
-    "q50_quality_score",
-    "q51_token_count",
-    "q52_multimodal_meta",
-    "q53_ann_ivf",
-    "q61_pivot",
-    "q62_correlated_subqueries",
+    # (2) oldest-first re-attestation, continued (r8 verdict item 1):
+    # the r02/r05-era block the r8 budget ran out before (q63-q79),
+    # then the r02 block (q19-q34), then the r03 block (q01-q18);
+    # budget overflow simply falls to next round's front.
     "q63_percentiles",
     "q64_ordered_array_agg",
     "q65_shingle_jaccard",
     "q66_rolling_fingerprint",
+    "q67_binned_range_join",
     "q68_salted_agg",
     "q69_rank_family",
     "q70_multiset_ops",
     "q71_srp_neardup",
+    "q72_gapfill_locf",
+    "q73_gapfill_interpolate",
     "q74_string_funcs2",
+    "q75_udtf_ngrams",
     "q76_cube",
     "q77_approx_percentiles",
     "q78_stratified_sample",
     "q79_jaccard_df_capped",
+    "q80_range_frame_binned",
     "q19_conditional_agg",
     "q20_row_number",
     "q21_lag_lead",
@@ -121,6 +75,7 @@ SWEEP_FIRST = [
     "q25_topk",
     "q26_union_all",
     "q26_union_distinct",
+    "q27_except",
     "q27_intersect",
     "q28_string_funcs",
     "q29_datetime_funcs",
@@ -129,6 +84,32 @@ SWEEP_FIRST = [
     "q32_map_funcs",
     "q33_json_filter",
     "q34_case_coalesce",
+    "q01_scan_count",
+    "q02_json_extract",
+    "q03_projection",
+    "q04_filter_predicates",
+    "q05_dsl_eq",
+    "q05_dsl_in",
+    "q06_explode",
+    "q07_join_agg",
+    "q08_full_join",
+    "q08_left_join",
+    "q08_right_join",
+    "q09_semi_join",
+    "q10_anti_join",
+    "q11_cross_join",
+    "q12_range_join",
+    "q13_asof_join",
+    "q14_interval_join",
+    "q15_groupby_agg",
+    "q16_count_distinct",
+    "q16_distinct",
+    "q17_rollup",
+    "q18_having",
+    # (3) remaining r02/r03-era rows for the r10 front if the budget
+    # reaches this far:
+    "q37_tumbling_window",
+    "q38_session_window",
     "q39_dedup_distinct",
     "q39_dedup_first_per_key",
     "q40_pandas_udf",
@@ -136,6 +117,12 @@ SWEEP_FIRST = [
     "q41_grouped_agg_udaf",
     "q41_grouped_map_zscore",
     "q54_approx_distinct",
+    "q55_sliding_window",
+    "q56_tpch_q3_shipping_priority",
+    "q57_tpch_q5_local_supplier",
+    "q58_tpch_q10_returned_items",
+    "q59_tpch_q12_late_lines",
+    "q60_tpch_q18_large_orders",
 ]
 
 

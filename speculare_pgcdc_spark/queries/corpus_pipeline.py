@@ -460,9 +460,9 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
     "q258_quality_gate_bitmask",
     oracle=f"""
         WITH f AS (
-            SELECT len(list_filter(string_split(text, ' '),
+            SELECT len(list_filter(string_split(COALESCE(text, ''), ' '),
                        t -> t <> '')) AS nt,
-                   len(list_filter(string_split(text, ' '),
+                   len(list_filter(string_split(COALESCE(text, ''), ' '),
                        t -> list_contains(
                            ['the','a','of','and','to','in'], t)))
                        AS st,
@@ -714,6 +714,14 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: q262: rank-window band widths (x = per-user event count, small
+#: integer range; y = e6-scaled per-user value sum, wide range). Width
+#: only affects task balance, never the ranks — any monotone binning
+#: yields identical below-counts.
+RANK_BAND_X = 8
+RANK_BAND_Y = 10_000_000
+
+
 @register(
     "q262_spearman_rank",
     oracle="""
@@ -771,9 +779,11 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
     "integers: the average rank of a tie group is (lo+hi)/2, so both "
     "variables use DOUBLED average ranks rx2 = 2*below + cnt + 1 "
     "(always integer; scaling both variables by 2 leaves r "
-    "unchanged), computed at the DISTINCT-VALUE grain (one grouped "
-    "count + a value-grain cumulative window — q194's banding "
-    "argument, no data-grain rank window). Moments accumulate in "
+    "unchanged), computed at the DISTINCT-VALUE grain and BANDED "
+    "(q194/q270 two-level form: y is nearly unique per user, so the "
+    "value grain is user-cardinality — the only unpartitioned "
+    "cumulative window runs over the one-row-per-band aggregate, and "
+    "the data-sized window partitions by band). Moments accumulate in "
     "DECIMAL(38,0); rho floors to e6 via the shared q235/q239 "
     "expression (zero-variance pinned to 0).",
 )
@@ -792,27 +802,56 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
     )
     u = u.localCheckpoint(eager=True)
 
-    def ranks2(col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        return (
+    def ranks2(col: str, band_width: int) -> DataFrame:
+        # y (per-user value sum) is nearly unique per user, so the
+        # distinct-value grain IS user cardinality — an unpartitioned
+        # cumulative window there is a single-task sort at scale. Band
+        # it with the q194/q270 two-level form: the only unpartitioned
+        # window runs over the one-row-per-band aggregate; the
+        # data-sized cumulative window partitions by band.
+        g = (
             u.groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn(
-                "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                "b",
+                F.floor(F.col(col) / F.lit(band_width)).cast("bigint"),
             )
+            .localCheckpoint(eager=True)
+        )
+        bins = g.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+        w_bins = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        bins = bins.select(
+            "b",
+            F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0)).alias(
+                "below_bins"
+            ),
+        )
+        w_in = (
+            Window.partitionBy("b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            g.withColumn(
+                "below_in",
+                F.coalesce(F.sum("cnt").over(w_in), F.lit(0)),
+            )
+            .join(F.broadcast(bins), "b")
             .select(
                 col,
-                (2 * F.col("below") + F.col("cnt") + 1).alias(
-                    f"r2_{col}"
-                ),
+                (
+                    2 * (F.col("below_bins") + F.col("below_in"))
+                    + F.col("cnt")
+                    + 1
+                ).alias(f"r2_{col}"),
             )
         )
 
     r = (
-        u.join(ranks2("x"), "x")
-        .join(ranks2("y"), "y")
+        u.join(ranks2("x", RANK_BAND_X), "x")
+        .join(ranks2("y", RANK_BAND_Y), "y")
         .select(
             F.col("r2_x").cast("decimal(38,0)").alias("rx2"),
             F.col("r2_y").cast("decimal(38,0)").alias("ry2"),
@@ -1125,6 +1164,75 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q267_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected K-successor adjacency edges, BANDED.
+
+    The day's total order is never materialized on one task: each
+    row's day-global position rn is the banded two-level cumsum
+    (q194/q80 form) — in-band row_number over (d, minute-band) plus
+    the per-day cumulative band offset (the only per-day window runs
+    at the BAND grain, <=1440 rows/day). K-successor adjacency is
+    then the pure equi-join on (d, rn + k) — the oracle's own
+    ROW_NUMBER self-join spec, shuffle-parallel on the position key,
+    with no data-grain window partitioned by the date alone (the
+    hardening the r8 density lesson asks for: a day's volume grows
+    linearly with corpus scale while its task count stayed 1).
+    """
+    from pyspark.sql import Window
+
+    p = (
+        table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("d"),
+            # minute band: monotone in ts, so in-band (ts, event_id)
+            # order concatenated across ascending bands IS the day
+            # order; correctness never depends on band/day alignment
+            # (bands are keyed jointly with d)
+            F.floor(F.unix_timestamp("ts") / 60)
+            .cast("bigint")
+            .alias("b"),
+            "ts",
+            "event_id",
+        )
+    )
+    w_in = Window.partitionBy("d", "b").orderBy("ts", "event_id")
+    p = p.withColumn("rn_in", F.row_number().over(w_in))
+    bandcnt = p.groupBy("d", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_bands = (
+        Window.partitionBy("d")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bandcnt.select(
+        "d",
+        "b",
+        F.coalesce(F.sum("c").over(w_bands), F.lit(0)).alias("off"),
+    )
+    pos = p.join(offs, ["d", "b"]).select(
+        "d", "u", (F.col("off") + F.col("rn_in")).alias("rn")
+    )
+    succ = pos.select(
+        "d",
+        "u",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        "rn",
+    ).select("d", "u", (F.col("rn") + F.col("k")).alias("rn2"))
+    nxt = pos.select(
+        "d", F.col("u").alias("v"), F.col("rn").alias("rn2")
+    )
+    pairs = succ.join(nxt, ["d", "rn2"]).filter(
+        F.col("u") != F.col("v")
+    )
+    return pairs.select(
+        F.least("u", "v").alias("ua"),
+        F.greatest("u", "v").alias("ub"),
+    ).distinct()
+
+
 @register(
     "q267_triangle_count",
     oracle="""
@@ -1156,7 +1264,10 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
                       JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
         ),
         wedges AS (
-            SELECT CAST(SUM(d * (d - 1) / 2) AS HUGEINT) AS w FROM deg
+            -- d*(d-1) is even, so // 2 is exact; integer arithmetic
+            -- end to end (a / here returns DOUBLE and the sum would
+            -- accumulate FP error past 2^53)
+            SELECT CAST(SUM(d * (d - 1) // 2) AS HUGEINT) AS w FROM deg
         )
         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
@@ -1174,6 +1285,11 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
     "a same-bucket co-occurrence grain densifies toward a complete "
     "graph as volume grows (the 10x probe of the hour-grain variant "
     "filled the shuffle disk; wedges are cubic on dense graphs). "
+    "Day positions are computed BANDED (minute-band row_number + "
+    "per-day band-grain cumsum — no window partitioned by the date "
+    "alone, so no task ever owns a whole day's total order), and "
+    "adjacency is the equi-join on (d, rn + k), the oracle's own "
+    "ROW_NUMBER self-join spec. "
     "The Spark plan then uses DEGREE ORIENTATION — each undirected "
     "edge points from its (degree, id)-smaller to its larger "
     "endpoint, so every triangle is counted exactly once and wedge "
@@ -1187,38 +1303,7 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
     "= 3*triangles / wedges in exact ppm.",
 )
 def q267(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    p = (
-        table(spark, sf, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            F.to_date("ts").alias("d"),
-            "ts",
-            "event_id",
-        )
-    )
-    # K-successor adjacency: lead(u, k) under the day's total order —
-    # one narrow window per day (day-grain partitions, bounded by the
-    # time range), no self-join at the row grain
-    w = Window.partitionBy("d").orderBy("ts", "event_id")
-    succ = p.select(
-        F.col("u"),
-        F.array(
-            *[F.lead("u", k).over(w) for k in (1, 2, 3)]
-        ).alias("nxt"),
-    )
-    pairs = succ.select(
-        "u", F.explode("nxt").alias("v")
-    ).filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
-    e = (
-        pairs.select(
-            F.least("u", "v").alias("ua"),
-            F.greatest("u", "v").alias("ub"),
-        )
-        .distinct()
-    )
+    e = _q267_edges(spark, sf)
     e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("ua").alias("u"))
@@ -1262,9 +1347,10 @@ def q267(spark: SparkSession, sf: str) -> DataFrame:
             deg.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
                 F.sum(
-                    (F.col("d") * (F.col("d") - 1) / 2).cast(
-                        "decimal(38,0)"
-                    )
+                    # d*(d-1) even => DIV 2 exact; stay integer (the
+                    # Column `/` is a DOUBLE division) then widen to
+                    # DECIMAL for the overflow-proof sum
+                    F.expr("CAST(d * (d - 1) DIV 2 AS DECIMAL(38,0))")
                 ).alias("w"),
             )
         )

@@ -1298,6 +1298,80 @@ def test_q267_triangle_joins_are_hash_equi(q):
     assert not has_python_eval(df)
 
 
+def _window_partition_cols(line):
+    # windowspecdefinition(p1#1L, p2#2L, sort#3 ASC ..., specified...)
+    # -> partition column NAMES before the first sort field
+    import re
+
+    m = re.search(r"windowspecdefinition\((.*)", line)
+    assert m, line
+    cols = []
+    for tok in m.group(1).split(", "):
+        if (
+            " ASC" in tok
+            or " DESC" in tok
+            or tok.startswith("specifiedwindowframe")
+        ):
+            break
+        cols.append(tok.split("#")[0])
+    return cols
+
+
+def test_q267_position_windows_are_banded(q, spark, sf_dir):
+    # the day-position computation must never put a whole day's total
+    # order on one task: a window partitioned by the date ALONE may
+    # only ride the band-grain aggregate (ordered by the band id b,
+    # <=1440 rows/day); every row-grain window partitions by (d, b).
+    # Same contract family as q80/q194/q262/q270 — data-grain windows
+    # over a low-cardinality time key must carry a band.
+    from speculare_pgcdc_spark.plans import plan_string
+    from speculare_pgcdc_spark.queries.corpus_pipeline import (
+        _q267_edges,
+    )
+
+    df = _q267_edges(spark, sf_dir)
+    p = plan_string(df)
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines  # in-band row_number + band-grain cumsum
+    saw_banded = False
+    for ln in lines:
+        cols = _window_partition_cols(ln)
+        if cols == ["d"]:
+            # band-grain cumsum: must order by the band id, never the
+            # row-grain (ts, event_id) order
+            assert "ts#" not in ln and "event_id#" not in ln, ln
+        else:
+            assert set(cols) >= {"d", "b"}, ln
+            saw_banded = True
+    assert saw_banded
+    # K-successor adjacency is the (d, rn + k) equi-join, not any
+    # row-grain lead/lag or theta join
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+    assert not has_python_eval(df)
+
+
+def test_q262_rank_windows_are_banded(q):
+    # y (per-user value sum) is ~unique per user: the distinct-value
+    # grain is user cardinality, so the cumulative rank windows must
+    # be banded — unpartitioned windows only at the band grain
+    # (ordered by b), data-sized windows partitioned by b
+    df = q("q262_spearman_rank")
+    p = plan_string(df)
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines
+    saw_in_band = False
+    for ln in lines:
+        cols = _window_partition_cols(ln)
+        if not cols:  # unpartitioned: band-grain cumsum only
+            assert "b#" in ln.split("specifiedwindowframe")[0], ln
+        else:
+            assert cols == ["b"], ln
+            saw_in_band = True
+    assert saw_in_band
+    assert not has_python_eval(df)
+
+
 def test_q270_skyline_suffix_max_is_banded(q):
     # the spend grain is customer-cardinality: every data-sized window
     # must partition by the band; the lone unpartitioned window rides
