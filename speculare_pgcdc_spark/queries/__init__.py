@@ -41,6 +41,9 @@ SWEEP_FIRST = [
     # (ADVICE r8); q262's rank windows and q267's day-position
     # computation are rewritten banded (r8 verdict item 3 + ADVICE),
     # and q267's oracle wedge sum moves to exact integer //.
+    # q271 is NEW this round: the ANN-fed hard-negative miner
+    # (rows-only contract; recall-vs-exact pinned in tests/test_llm).
+    "q271_hard_negatives_ann",
     "q258_quality_gate_bitmask",
     "q262_spearman_rank",
     "q267_triangle_count",

@@ -1291,6 +1291,70 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
     return sim.mine_triplets(anchors, cands)
 
 
+#: q271 IVF knobs — the q53 quantizer (k=8 trained cells), multi-probe
+#: 2 so anchors near a cell boundary still meet their cross-boundary
+#: neighbors
+HARDNEG_IVF_K = 8
+HARDNEG_IVF_ITERS = 2
+HARDNEG_IVF_PROBES = 2
+
+
+@register(
+    "q271_hard_negatives_ann",
+    oracle=None,  # ANN-fed by contract (candidate subset is the point);
+    # recall vs the exact q202 twin is pinned in tests/test_llm.py
+    doc="q202's hard-negative mining THROUGH the ANN candidate tier, "
+    "end to end: train the q53 IVF quantizer (DataFrame Lloyd's "
+    f"k-means, k={HARDNEG_IVF_K}, deterministic md5 init — only the "
+    "k x dim model crosses to the driver), assign anchors and corpus "
+    f"to their {HARDNEG_IVF_PROBES} nearest cells (multi-probe "
+    "literal-model narrow map, no join), candidates = same-cell "
+    "(aid, cid) pairs, then similarity.mine_triplets(candidates=...) "
+    "scores ONLY those pairs — the corpus-scale shape where per-"
+    "anchor work is bounded by cell occupancy, not corpus size. "
+    "Multi-probe duplicate pairs are collapsed inside the hook; "
+    "subset bounds (ANN hard-neg sim <= exact argmax, far-pos >= "
+    "exact argmin) and exact-match recall on the fixture quantizer "
+    "are pinned in tests/test_llm.py::test_q271_ann_recall_vs_exact. "
+    "Engine-side feature (no reference analog; the reference has no "
+    "vector surface).",
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        sim._norm(F.col("embedding")).alias("nrm"),
+    )
+    anchors = e.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clbl"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cents = sim.kmeans_centroids(
+        e.select("vec_id", F.col("v").alias("embedding")),
+        k=HARDNEG_IVF_K,
+        iters=HARDNEG_IVF_ITERS,
+    )
+    a_cells = sim.assign_probe_cells(
+        anchors, cents, probes=HARDNEG_IVF_PROBES, vec_col="av"
+    ).select("aid", "_cell")
+    c_cells = sim.assign_probe_cells(
+        cands, cents, probes=HARDNEG_IVF_PROBES, vec_col="cv"
+    ).select("cid", "_cell")
+    pairs = a_cells.join(c_cells, "_cell").select("aid", "cid")
+    return sim.mine_triplets(anchors, cands, candidates=pairs)
+
+
 # --------------------------------------------------------------------
 # Retrieval / classifier evaluation metrics (round 6, batch 3): the
 # measurements a team runs on every ranking function and quality

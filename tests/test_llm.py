@@ -1139,3 +1139,32 @@ def test_mine_triplets_ivf_cell_candidates(spark, emb, triplet_frames):
             assert r.hard_neg_sim_ppm <= ex.hard_neg_sim_ppm
         if r.far_pos_sim_ppm is not None:
             assert r.far_pos_sim_ppm >= ex.far_pos_sim_ppm
+
+
+def test_q271_ann_recall_vs_exact(spark, sf_dir):
+    """The registered ANN-fed miner (q271) vs its exact twin (q202):
+    every anchor must be mined, subset bounds must hold anchor by
+    anchor (ANN hard-neg sim <= exact argmax, ANN far-pos sim >=
+    exact argmin), and the trained-quantizer candidate tier must
+    actually find the exact hard negative for most anchors — the
+    recall floor that makes 'ANN-fed' a quality claim, not an
+    escape hatch (cf. the q53/q46 recall pins)."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    exact = {
+        r.vec_id: r
+        for r in reg["q202_hard_negatives"].fn(spark, sf_dir).collect()
+    }
+    ann = reg["q271_hard_negatives_ann"].fn(spark, sf_dir).collect()
+    assert {r.vec_id for r in ann} == set(exact)
+    hit = 0
+    for r in ann:
+        ex = exact[r.vec_id]
+        if r.hard_neg_sim_ppm is not None:
+            assert r.hard_neg_sim_ppm <= ex.hard_neg_sim_ppm
+            if r.hard_neg_id == ex.hard_neg_id:
+                hit += 1
+        if r.far_pos_sim_ppm is not None:
+            assert r.far_pos_sim_ppm >= ex.far_pos_sim_ppm
+    assert hit / len(ann) >= 0.6, f"hard-neg recall {hit}/{len(ann)}"
