@@ -40,13 +40,21 @@ DIMS = ["region", "nation", "part", "supplier", "customer"]
 
 def scale(spark, src: str, dst: str, factor: int) -> None:
     copies = spark.range(factor).select(F.col("id").alias("__c"))
+    # part count scales with the factor: each part file lands as one
+    # parquet row group, and row groups are the real unit of scan
+    # parallelism (splits can't subdivide one). 32 parts at 100x made
+    # every fact scan a 32-owning-task stage behind 128 mostly-empty
+    # splits — the r9 probe read that writer artifact as 650x "skew"
+    # on a scan with zero shuffle. ~factor*2.5 parts keeps row groups
+    # near the size a real 100 TB table's would be relative to tasks.
+    parts = max(32, min(factor * 3, 256))
 
     def fanout(df):
         # repartition so the written table is many splittable parts
         # (a single-part write lands ONE giant row group, which no
         # reader can parallelize — the probe would then measure the
         # writer's layout, not the query plans)
-        return df.crossJoin(F.broadcast(copies)).repartition(32)
+        return df.crossJoin(F.broadcast(copies)).repartition(parts)
 
     os.makedirs(dst, exist_ok=True)
     for t in DIMS:

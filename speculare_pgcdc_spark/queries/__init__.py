@@ -166,6 +166,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         history,
         corpus,
+        corpus_eval,
         corpus_analytics,
         corpus_audit,
         corpus_pipeline,

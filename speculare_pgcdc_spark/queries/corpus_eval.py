@@ -1,0 +1,1212 @@
+"""Retrieval / classifier evaluation metrics and distribution tests
+(split from corpus.py in round 9 — the module crossed 2.5k lines):
+
+- q203-q208: the measurements a team runs on every ranking function
+  and quality classifier BEFORE letting it filter or order a corpus
+  (NDCG@k, MRR, threshold sweep, Cohen's kappa, autocorrelation,
+  Theil-Sen trend).
+- q209-q213: distribution tests + corpus-hygiene filters (repetition
+  ratio, two-sample KS, chi-squared independence, JS divergence,
+  Kaplan-Meier) — the statistical toolkit behind "did this corpus /
+  cohort actually change" decisions.
+
+Reference scope note: the reference engine (src/) is a CDC forwarder
+with no analytics; these rows extend SURVEY.md §2D with the
+training-data-pipeline surface the build brief names as first-class.
+
+All outputs follow the engine-stability convention: integer e9-scaled
+discount constants, exact BIGINT/DECIMAL arithmetic, ppm via exact DIV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.queries import register
+
+# --------------------------------------------------------------------
+# Retrieval / classifier evaluation metrics (round 6, batch 3): the
+# measurements a team runs on every ranking function and quality
+# classifier BEFORE letting it filter or order a corpus. All outputs
+# follow the engine-stability convention: integer e9-scaled discount
+# constants, exact BIGINT/DECIMAL arithmetic, ppm via exact DIV.
+# --------------------------------------------------------------------
+
+#: NDCG@k cutoff and the e9-scaled rank discounts 1e9/log2(r+1),
+#: r = 1..k, precomputed as INTEGER literals so both engines sum the
+#: exact same numbers (no ln/log2 call in either plan); _NDCG_IDCG_E9
+#: holds the ideal-DCG prefix sums (index m = ideal DCG of m
+#: relevant docs).
+NDCG_K = 10
+_NDCG_DISC_E9 = (
+    1000000000, 630929753, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464876, 301029995, 289064826,
+)
+_NDCG_IDCG_E9 = (
+    0, 1000000000, 1630929753, 2130929753, 2561606311, 2948459118,
+    3304666305, 3637999638, 3953464514, 4254494509, 4543559335,
+)
+
+_NDCG_DISC_SQL = "CASE rk " + " ".join(
+    f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC_E9)
+) + " END"
+_NDCG_IDCG_SQL = "CASE least(n_rel, 10) " + " ".join(
+    f"WHEN {m} THEN {v}" for m, v in enumerate(_NDCG_IDCG_E9)
+) + " END"
+
+
+@register(
+    "q203_ndcg_at_k",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ),
+        dcg AS (
+            SELECT source,
+                   SUM(rel * ({_NDCG_DISC_SQL})) AS dcg_e9
+            FROM ranked WHERE rk <= {NDCG_K} GROUP BY source
+        ),
+        stats AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS n_rel
+            FROM documents GROUP BY source
+        )
+        SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+               CAST(s.n_rel AS BIGINT) AS n_rel,
+               CAST(COALESCE(d.dcg_e9, 0) * 1000000
+                    // greatest({_NDCG_IDCG_SQL}, 1) AS BIGINT)
+                   AS ndcg_ppm
+        FROM stats s LEFT JOIN dcg d ON s.source = d.source
+        ORDER BY s.source
+    """,
+    doc="NDCG@10 of a ranking (score = n_chars desc, doc_id "
+    "tiebreak) against binary relevance (lang = 'en'), per query "
+    "group (source) — the retrieval-eval metric behind every search "
+    "and eval-set ranking change. Engine-stable by construction: the "
+    "1/log2(rank+1) discounts are precomputed e9-scaled INTEGER "
+    "literals (no transcendental call in either plan), DCG is a "
+    "BIGINT sum, ideal DCG is a prefix-sum lookup on "
+    "least(n_rel, k), and NDCG is exact integer DIV to ppm. Scale: "
+    "the rank filter rk <= k sits directly on the window, which "
+    "Spark's WindowGroupLimit rewrite turns into per-partition "
+    "partial top-k before the shuffle — the full sort of each "
+    "source's documents never happens; everything after is "
+    "group-grain.",
+)
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    rel = F.when(F.col("lang") == "en", 1).otherwise(0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    disc = F.lit(None)
+    for r, d in enumerate(_NDCG_DISC_E9):
+        disc = F.when(F.col("rk") == r + 1, d).otherwise(disc)
+    dcg = (
+        docs.select("source", rel.alias("rel"),
+                    F.col("n_chars"), F.col("doc_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NDCG_K)
+        .groupBy("source")
+        .agg(F.sum(F.col("rel") * disc).alias("dcg_e9"))
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(rel).cast("bigint").alias("n_rel"),
+    )
+    idcg = F.lit(None)
+    for m, v in enumerate(_NDCG_IDCG_E9):
+        idcg = F.when(
+            F.least(F.col("n_rel"), F.lit(NDCG_K)) == m, v
+        ).otherwise(idcg)
+    return (
+        stats.join(dcg, "source", "left")
+        .select(
+            "source", "n_docs", "n_rel",
+            (F.coalesce(F.col("dcg_e9"), F.lit(0)) * 1000000)
+            .cast("bigint").alias("_num"),
+            idcg.alias("_idcg"),
+        )
+        .select(
+            "source", "n_docs", "n_rel",
+            F.expr("CAST(_num DIV greatest(_idcg, 1) AS BIGINT)")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q204_mrr",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ),
+        firstrel AS (
+            SELECT source, MIN(rk) AS r FROM ranked
+            WHERE lang = 'en' GROUP BY source
+        )
+        SELECT s.source,
+               CAST(f.r AS BIGINT) AS first_rel_rank,
+               CAST(COALESCE(1000000 // f.r, 0) AS BIGINT) AS rr_ppm
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN firstrel f ON s.source = f.source
+        ORDER BY s.source
+    """,
+    doc="Mean-reciprocal-rank inputs per query group (source): the "
+    "rank of the FIRST relevant document (lang = 'en') under the "
+    "(n_chars desc, doc_id) ordering, and its reciprocal as exact "
+    "integer ppm (1000000 DIV rank). Computed WITHOUT ranking the "
+    "group: the best relevant doc per source is one max(struct(...)) "
+    "aggregate, and its rank is 1 + the count of docs ordered "
+    "strictly above it — a broadcast join of the group-grain best "
+    "row against the scan plus one hash agg. No window at all, so "
+    "at 100 TB the cost is two scans and group-grain joins, "
+    "independent of group size or skew. Sources with no relevant "
+    "doc keep a NULL rank and rr_ppm 0 (LEFT join).",
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select(
+        "source", "doc_id", "n_chars", "lang"
+    )
+    best = (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "source",
+            F.col("b.nc").alias("bnc"),
+            (-F.col("b.nd")).alias("bid"),
+        )
+    )
+    above = (
+        docs.join(F.broadcast(best), "source")
+        .filter(
+            (F.col("n_chars") > F.col("bnc"))
+            | (
+                (F.col("n_chars") == F.col("bnc"))
+                & (F.col("doc_id") < F.col("bid"))
+            )
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    return (
+        docs.select("source").distinct()
+        .join(F.broadcast(best.select("source", "bnc")), "source",
+              "left")
+        .join(F.broadcast(above), "source", "left")
+        .select(
+            "source",
+            F.when(
+                F.col("bnc").isNotNull(),
+                F.coalesce(F.col("n_above"), F.lit(0)) + 1,
+            ).cast("bigint").alias("first_rel_rank"),
+        )
+        .select(
+            "source",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+            ).cast("bigint").alias("rr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: q205 threshold grid resolution (score-bin count, q199's convention)
+SWEEP_BINS = 20
+
+
+@register(
+    "q205_threshold_sweep",
+    oracle=f"""
+        WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+        b AS (
+            SELECT least(n_chars * {SWEEP_BINS} // mx,
+                         {SWEEP_BINS - 1}) AS score_bin,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents CROSS JOIN m
+        ),
+        g AS (
+            SELECT score_bin, SUM(pos) AS pos_cnt,
+                   COUNT(*) - SUM(pos) AS neg_cnt
+            FROM b GROUP BY score_bin
+        ),
+        t AS (
+            SELECT SUM(pos_cnt) AS total_pos FROM g
+        ),
+        c AS (
+            SELECT score_bin,
+                   SUM(pos_cnt) OVER (ORDER BY score_bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS tp,
+                   SUM(neg_cnt) OVER (ORDER BY score_bin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS fp
+            FROM g
+        )
+        SELECT CAST(score_bin AS BIGINT) AS thresh_bin,
+               CAST(tp + fp AS BIGINT) AS n_pred,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT)
+                   AS precision_ppm,
+               CAST(tp * 1000000 // greatest(t.total_pos, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST(2 * tp * 1000000
+                    // greatest(tp + fp + t.total_pos, 1) AS BIGINT)
+                   AS f1_ppm
+        FROM c CROSS JOIN t
+        ORDER BY thresh_bin
+    """,
+    doc="Operating-point sweep for a score/label pair: "
+    "precision / recall / F1 at every threshold of a "
+    f"{SWEEP_BINS}-bin score grid (predict positive when score-bin "
+    ">= t) — the curve a team reads to PICK the quality-filter "
+    "threshold that q198's AUC only summarizes. Shape: one hash agg "
+    "to bin grain, then reverse-cumulative windows over the "
+    f"<= {SWEEP_BINS}-row bin table (the q198 banding contract: "
+    "windows only ever run at bin grain), totals broadcast; every "
+    "metric is exact integer ppm (F1 = 2*tp // (2*tp + fp + fn) "
+    "with fn folded via total_pos). Scale: the corpus touches one "
+    "scan + one agg; the sweep itself is O(bins).",
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    m = docs.agg(F.max("n_chars").alias("mx"))
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        docs.crossJoin(F.broadcast(m))
+        .select(
+            F.least(
+                F.expr(f"n_chars * {SWEEP_BINS} DIV mx"),
+                F.lit(SWEEP_BINS - 1),
+            ).alias("score_bin"),
+            pos.alias("pos"),
+        )
+        .groupBy("score_bin")
+        .agg(
+            F.sum("pos").alias("pos_cnt"),
+            (F.count(F.lit(1)) - F.sum("pos")).alias("neg_cnt"),
+        )
+    )
+    g = g.localCheckpoint(eager=True)
+    t = g.agg(F.sum("pos_cnt").alias("total_pos"))
+    w = Window.orderBy(F.col("score_bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.select(
+            "score_bin",
+            F.sum("pos_cnt").over(w).alias("tp"),
+            F.sum("neg_cnt").over(w).alias("fp"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("score_bin").cast("bigint").alias("thresh_bin"),
+            (F.col("tp") + F.col("fp")).cast("bigint")
+            .alias("n_pred"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.expr(
+                "CAST(tp * 1000000 DIV greatest(tp + fp, 1) "
+                "AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(tp * 1000000 DIV greatest(total_pos, 1) "
+                "AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(2 * tp * 1000000 DIV "
+                "greatest(tp + fp + total_pos, 1) AS BIGINT)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("thresh_bin")
+    )
+
+
+#: q206 rater A threshold: docs with n_chars >= this count as "long"
+KAPPA_CHARS = 300
+
+
+@register(
+    "q206_cohens_kappa",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN n_chars >= {KAPPA_CHARS} THEN 1 ELSE 0
+                   END AS a,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT COUNT(*) AS n,
+                   SUM(a) AS a1, SUM(b) AS b1,
+                   SUM(a * b) AS n11,
+                   SUM((1 - a) * (1 - b)) AS n00,
+                   SUM(a * (1 - b)) AS n10,
+                   SUM((1 - a) * b) AS n01
+            FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n00 AS BIGINT) AS n00,
+               CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10,
+               CAST(n11 AS BIGINT) AS n11,
+               CAST(FLOOR(
+                   CAST(n * (n00 + n11)
+                        - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                   / CAST(greatest(n * n
+                        - (a1 * b1 + (n - a1) * (n - b1)), 1)
+                        AS DOUBLE) * 1000000) AS BIGINT) AS kappa_e6
+        FROM c
+    """,
+    doc="Cohen's kappa between two labelling functions — rater A = "
+    f"'long doc' (n_chars >= {KAPPA_CHARS}), rater B = 'is English' "
+    "(lang = 'en') — the chance-corrected agreement measure used to "
+    "decide whether two annotation pipelines (or a classifier and a "
+    "human pass) measure the same thing before one replaces the "
+    "other. One scan, one 6-counter hash agg to a single row; kappa "
+    "= (n*(n00+n11) - chance) / (n^2 - chance) with chance = "
+    "a1*b1 + a0*b0 kept as exact BIGINTs, the final ratio taken in "
+    "DOUBLE on identical integer operands and floored to e6 (floor "
+    "is toward -inf in both engines, so negative kappa — "
+    "worse-than-chance agreement — stays engine-stable). The full "
+    "2x2 contingency table is emitted alongside so any other "
+    "agreement statistic is derivable without a rescan.",
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    a = F.when(F.col("n_chars") >= KAPPA_CHARS, 1).otherwise(0)
+    b = F.when(F.col("lang") == "en", 1).otherwise(0)
+    c = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+    )
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.floor(
+            (
+                F.col("n") * (F.col("n00") + F.col("n11"))
+                - (
+                    F.col("a1") * F.col("b1")
+                    + (F.col("n") - F.col("a1"))
+                    * (F.col("n") - F.col("b1"))
+                )
+            ).cast("double")
+            / F.greatest(
+                F.col("n") * F.col("n")
+                - (
+                    F.col("a1") * F.col("b1")
+                    + (F.col("n") - F.col("a1"))
+                    * (F.col("n") - F.col("b1"))
+                ),
+                F.lit(1),
+            ).cast("double")
+            * 1000000
+        ).cast("bigint").alias("kappa_e6"),
+    )
+
+
+#: q207 maximum autocorrelation lag (days)
+ACF_MAX_LAG = 7
+
+
+@register(
+    "q207_autocorrelation",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events GROUP BY d
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx FROM days
+        ),
+        den AS (
+            SELECT SUM(CAST((s.n * d.x - s.sx) AS HUGEINT)
+                       * (s.n * d.x - s.sx)) AS den
+            FROM days d CROSS JOIN s
+        ),
+        lags AS (
+            SELECT CAST(x AS BIGINT) AS lag
+            FROM generate_series(1, {ACF_MAX_LAG}) t(x)
+        ),
+        num AS (
+            SELECT l.lag, COUNT(*) AS n_pairs,
+                   SUM(CAST((s.n * a.x - s.sx) AS HUGEINT)
+                       * (s.n * b.x - s.sx)) AS num
+            FROM lags l
+            JOIN days a ON TRUE
+            JOIN days b ON b.d = a.d + CAST(l.lag AS INTEGER)
+            CROSS JOIN s
+            GROUP BY l.lag
+        )
+        SELECT num.lag,
+               CAST(num.n_pairs AS BIGINT) AS n_pairs,
+               CAST(FLOOR(CAST(num.num AS DOUBLE)
+                    / CAST(greatest(den.den, 1) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS acf_ppm
+        FROM num CROSS JOIN den
+        ORDER BY num.lag
+    """,
+    doc="Lag-1..7 autocorrelation of the daily event-count series — "
+    "the seasonality detector behind capacity planning and the "
+    "q168/q177 anomaly thresholds (a strong lag-7 says 'weekly "
+    "cycle', a high lag-1 says 'bursts persist'). Exact arithmetic "
+    "throughout: with S = sum(x) and n = days, the centered product "
+    "(x_t - S/n)(x_{{t+k}} - S/n) is scaled by n^2 to the all-integer "
+    "(n*x_t - S)(n*x_{{t+k}} - S), DECIMAL/HUGEINT-summed; only the "
+    "final num/den ratio is taken in DOUBLE (identical operands -> "
+    "identical IEEE result) and floored to ppm. Shape: one "
+    "corpus-sized agg to day grain, then everything — the lag "
+    "self-join on d = d + k, the scalar den — runs on the tiny day "
+    "table; missing days simply drop pairs (n_pairs reports "
+    "coverage). At 100 TB the day table is still thousands of rows.",
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    days = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    s = days.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    dec = "decimal(38,0)"
+    den = (
+        days.crossJoin(F.broadcast(s))
+        .select(
+            (
+                (F.col("n") * F.col("x") - F.col("sx")).cast(dec)
+                * (F.col("n") * F.col("x") - F.col("sx"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("den"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = days.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = days.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    num = (
+        lags.crossJoin(a)
+        .join(
+            b,
+            F.col("db")
+            == F.date_add(F.col("da"), F.col("lag").cast("int")),
+        )
+        .crossJoin(F.broadcast(s))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("n") * F.col("xa") - F.col("sx")).cast(dec)
+                * (F.col("n") * F.col("xb") - F.col("sx"))
+            ).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.floor(
+                F.col("num").cast("double")
+                / F.greatest(
+                    F.col("den"), F.lit(1).cast(dec)
+                ).cast("double")
+                * 1000000
+            ).cast("bigint").alias("acf_ppm"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q208_theil_sen_trend",
+    oracle="""
+        WITH days AS (
+            SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x
+            FROM events GROUP BY d
+        ),
+        t AS (
+            SELECT CAST(d - (SELECT MIN(d) FROM days) AS BIGINT)
+                       AS t, x
+            FROM days
+        ),
+        pairs AS (
+            SELECT CAST(b.x - a.x AS DOUBLE)
+                   / CAST(b.t - a.t AS DOUBLE) AS slope
+            FROM t a JOIN t b ON b.t > a.t
+        ),
+        ranked AS (
+            SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                   COUNT(*) OVER () AS np
+            FROM pairs
+        ),
+        sel AS (
+            SELECT AVG(slope) AS med, MAX(np) AS np FROM ranked
+            WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT)
+                   AS n_days,
+               CAST(np AS BIGINT) AS n_pairs,
+               CAST(FLOOR(med * 1000000) AS BIGINT) AS slope_ppm
+        FROM sel
+    """,
+    doc="Theil-Sen robust trend of the daily event-count series: the "
+    "exact median of all pairwise slopes (x_j - x_i)/(t_j - t_i) — "
+    "the slope estimator that shrugs off the outlier days that make "
+    "OLS (q187's fit) lie about traffic trends. Median selection is "
+    "explicit order statistics (row_number, pick positions "
+    "(n+1)//2 and (n+2)//2, AVG the one or two values) so both "
+    "engines average the SAME two IEEE doubles — no reliance on "
+    "matching quantile-interpolation conventions — and the result "
+    "is floored to ppm (floor toward -inf: negative trends stay "
+    "stable). Shape: one corpus-sized agg to day grain; the "
+    "O(days^2) pair join is day-grain (3.65k days = 6.6M pairs at a "
+    "decade of data). Median selection rides the q194 banded "
+    "order-statistics path — distinct-slope grain with counts, "
+    "millislope-bin cumsum for the global rank interval, in-bin "
+    "window partitioned by bin — so NO data-grain single-partition "
+    "sort remains even as the pair count grows quadratically in "
+    "days. Slope units: events/day.",
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tmin = days.agg(F.min("d").alias("d0"))
+    t = days.crossJoin(F.broadcast(tmin)).select(
+        F.datediff("d", "d0").cast("bigint").alias("t"), "x"
+    )
+    a = t.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = t.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("tb") - F.col("ta")).cast("double")
+            ).alias("slope")
+        )
+    )
+    # q194-style banded order statistics over the slope multiset:
+    # collapse to distinct-slope grain (ties carry counts), bin by
+    # millislope; rank interval [lo, hi] per distinct value, median
+    # positions select at most two values — both engines average the
+    # same IEEE doubles the oracle's ROW_NUMBER form picks.
+    g = (
+        pairs.groupBy("slope")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "b", F.floor(F.col("slope") * 1000).cast("bigint")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = (
+        g.groupBy("b")
+        .agg(F.sum("cnt").alias("bcnt"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0)).alias(
+                "below_bins"
+            ),
+        )
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = g.agg(F.sum("cnt").alias("np"))
+    spans = (
+        g.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bins), "b")
+        .crossJoin(F.broadcast(n))
+        .withColumn("lo", F.col("below_bins") + F.col("below_in") + 1)
+        .withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+    )
+    p1 = F.expr("(np + 1) DIV 2")
+    p2 = F.expr("(np + 2) DIV 2")
+    in1 = (F.col("lo") <= p1) & (p1 <= F.col("hi"))
+    in2 = (F.col("lo") <= p2) & (p2 <= F.col("hi"))
+    weight = F.when(in1, 1).otherwise(0) + F.when(in2, 1).otherwise(0)
+    sel = (
+        spans.filter(in1 | in2)
+        .select(
+            F.col("np"),
+            (F.col("slope") * weight).alias("vw"),
+            weight.alias("w"),
+        )
+        .agg(
+            (F.sum("vw") / F.sum("w")).alias("med"),
+            F.max("np").alias("np"),
+        )
+    )
+    n_days = days.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        sel.crossJoin(F.broadcast(n_days))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.floor(F.col("med") * 1000000).cast("bigint")
+            .alias("slope_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Distribution tests + corpus-hygiene filters (round 6, batch 4):
+# repetition filtering (the Gopher-style duplicate-n-gram rule),
+# two-sample KS, chi-squared independence, JS divergence, and a
+# Kaplan-Meier time-to-event curve — the statistical toolkit behind
+# "did this corpus / cohort actually change" decisions.
+# --------------------------------------------------------------------
+
+#: q209: docs whose duplicate-bigram fraction is at/above this ppm are
+#: flagged repetitive (fixture range: median ~28k, max ~133k ppm)
+REP_FLAG_PPM = 60000
+
+
+@register(
+    "q209_repetition_ratio",
+    oracle=f"""
+        WITH b AS (
+            SELECT source,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               x -> x <> '') AS a
+            FROM documents
+        ),
+        g AS (
+            SELECT source,
+                   CASE WHEN len(a) >= 2 THEN
+                       list_transform(generate_series(1, len(a) - 1),
+                           i -> a[i] || ' ' || a[i + 1])
+                   ELSE [] END AS bg
+            FROM b
+        ),
+        r AS (
+            SELECT source,
+                   (len(bg) - len(list_distinct(bg))) * 1000000
+                       // greatest(len(bg), 1) AS rep_ppm
+            FROM g
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(rep_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_rep_ppm,
+               CAST(SUM(CASE WHEN rep_ppm >= {REP_FLAG_PPM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Intra-document repetition filter (the Gopher-family "
+    "duplicate-n-gram rule): per doc, the fraction of bigrams that "
+    "are repeats of an earlier bigram in the same doc — template "
+    "spam, keyword stuffing, and decode-loop artifacts all light "
+    "this up. rep_ppm = (n_bigrams - n_distinct_bigrams) exact "
+    "integer ppm; per-source rollup emits mean rep and the count "
+    f"over the {REP_FLAG_PPM} ppm flag line. Entirely map-side: "
+    "bigrams, distinct count, and the ratio are per-row array "
+    "expressions (transform over index sequence + array_distinct — "
+    "no explode, no shuffle at token grain); the only shuffle is "
+    "the source-grain rollup. At 100 TB this is the cheapest shape "
+    "a token-level filter can have.",
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.textstats import (
+        repetition_counts,
+    )
+
+    # the property-tested Gopher primitive: BIGINT-cast counts, so the
+    # *1e6 scaling below cannot overflow 32-bit on a highly repetitive
+    # long doc (size() alone is INT — the trap this helper exists for)
+    counts = repetition_counts(F.col("text"), n=2)
+    r = table(spark, sf, "documents").select(
+        "source",
+        counts["n_gram"].alias("ng"),
+        counts["n_gram_distinct"].alias("ngd"),
+    ).select(
+        "source",
+        F.expr(
+            "(ng - ngd) * 1000000 DIV greatest(ng, 1)"
+        ).alias("rep_ppm"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("SUM(rep_ppm) DIV COUNT(*)").cast("bigint")
+            .alias("mean_rep_ppm"),
+            F.sum(
+                (F.col("rep_ppm") >= REP_FLAG_PPM).cast("int")
+            ).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+#: q210 value-bin width (n_chars grain, the q198 banding)
+KS_BIN = 64
+
+
+@register(
+    "q210_ks_test",
+    oracle="""
+        WITH g AS (
+            SELECT n_chars AS v,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS a_cnt,
+                   SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                       AS b_cnt
+            FROM documents GROUP BY v
+        ),
+        t AS (
+            SELECT CAST(SUM(a_cnt) AS HUGEINT) AS na,
+                   CAST(SUM(b_cnt) AS HUGEINT) AS nb
+            FROM g
+        ),
+        c AS (
+            SELECT SUM(a_cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ca,
+                   SUM(b_cnt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cb
+            FROM g
+        )
+        SELECT CAST(t.na AS BIGINT) AS n_en,
+               CAST(t.nb AS BIGINT) AS n_other,
+               CAST(MAX(abs(CAST(ca AS HUGEINT) * t.nb
+                            - CAST(cb AS HUGEINT) * t.na))
+                    * 1000000 // greatest(t.na * t.nb, 1) AS BIGINT)
+                   AS ks_ppm
+        FROM c CROSS JOIN t
+        GROUP BY t.na, t.nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the en and "
+    "non-en n_chars distributions — the distribution-shift test a "
+    "team runs before blaming a metric move on a pipeline change "
+    "(q144's KL needs binning and misses location shifts; KS is "
+    "binning-free). Exact integer throughout: D = max |F1 - F2| is "
+    "computed as max |ca*n2 - cb*n1| over distinct values (one "
+    "cross-multiplication per value, no float CDFs), emitted as "
+    "exact ppm of n1*n2. The cumulative counts come from the q198 "
+    "two-level banding (bin cumsum + in-bin prefix), so no window "
+    "ever sees data grain — value grain is bounded by the score "
+    "range, not the corpus. Spark accumulates the cross products "
+    "in DECIMAL(38,0) (HUGEINT in the oracle): n1*n2 overflows "
+    "BIGINT at ~3e9 rows per class.",
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    g = (
+        table(spark, sf, "documents")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(pos).alias("a_cnt"),
+            (F.count(F.lit(1)) - F.sum(pos)).alias("b_cnt"),
+        )
+        .withColumn("b", F.expr(f"v DIV {KS_BIN}"))
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("a_cnt").alias("na"), F.sum("b_cnt").alias("nb")
+    )
+    bins = g.groupBy("b").agg(
+        F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
+    )
+    w_bins = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bins = bins.select(
+        "b",
+        F.coalesce(F.sum("ba").over(w_bins), F.lit(0))
+        .alias("below_a"),
+        F.coalesce(F.sum("bb").over(w_bins), F.lit(0))
+        .alias("below_b"),
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    c = (
+        g.withColumn("ia", F.sum("a_cnt").over(w_in))
+        .withColumn("ib", F.sum("b_cnt").over(w_in))
+        .join(F.broadcast(bins), "b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.abs(
+                (F.col("below_a") + F.col("ia")).cast(dec)
+                * F.col("nb")
+                - (F.col("below_b") + F.col("ib")).cast(dec)
+                * F.col("na")
+            ).alias("d"),
+            F.col("na").cast(dec).alias("na"),
+            F.col("nb").cast(dec).alias("nb"),
+        )
+    )
+    return c.groupBy("na", "nb").agg(
+        F.max("d").alias("mx")
+    ).select(
+        F.col("na").cast("bigint").alias("n_en"),
+        F.col("nb").cast("bigint").alias("n_other"),
+        F.expr(
+            "CAST((mx * 1000000 - pmod(mx * 1000000, "
+            "greatest(na * nb, 1))) / greatest(na * nb, 1) "
+            "AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+@register(
+    "q211_chi_squared",
+    oracle="""
+        WITH o AS (
+            SELECT lang, source, COUNT(*) AS obs
+            FROM documents GROUP BY lang, source
+        ),
+        rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+        ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+        n AS (SELECT SUM(obs) AS n FROM o),
+        grid AS (
+            SELECT rt.lang, ct.source, rt.r, ct.c, n.n,
+                   COALESCE(o.obs, 0) AS obs
+            FROM rt CROSS JOIN ct CROSS JOIN n
+            LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST((COUNT(DISTINCT lang) - 1)
+                    * (COUNT(DISTINCT source) - 1) AS BIGINT)
+                   AS dof,
+               CAST(ROUND(CAST(SUM(CAST(
+                   CAST(obs * n - r * c AS DOUBLE)
+                   * CAST(obs * n - r * c AS DOUBLE)
+                   / CAST(n * r * c AS DOUBLE)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS chi2
+        FROM grid
+    """,
+    doc="Chi-squared test of independence for the lang x source "
+    "contingency table — 'does language mix depend on source?', the "
+    "stratification check run before pooling sources into one "
+    "training blend. Each cell's (O - E)^2 / E is algebraically "
+    "rescaled to (O*n - r*c)^2 / (n*r*c): the difference O*n - r*c "
+    "is EXACT integer arithmetic — DECIMAL(38,0) here, HUGEINT in "
+    "the oracle, since LONG products overflow at ~1e9-row marginals "
+    "— rounded ONCE to double, then squared and divided in IEEE "
+    "doubles both engines evaluate identically (zero cells included "
+    "via the row x column grid — they contribute r*c/n), "
+    "accumulating in DECIMAL(28,12) with the final "
+    "round->double output (the q144 contract). Shape: one hash agg "
+    "to cell grain, marginals re-aggregated from the cells (the "
+    "corpus is scanned once), and the grid is category-sized.",
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        table(spark, sf, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+    )
+    # exact integer difference in DECIMAL(38,0) (HUGEINT in the
+    # oracle — LONG products overflow at ~1e9-row marginals), ONE
+    # rounding to double, then square/divide in IEEE doubles both
+    # engines evaluate identically
+    dec = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    d = (dec("obs") * dec("n") - dec("r") * dec("c")).cast("double")
+    nrc = (dec("n") * dec("r") * dec("c")).cast("double")
+    term = (d * d / nrc).cast("decimal(28,12)")
+    return grid.agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            (F.countDistinct("lang") - 1)
+            * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum(term).cast("double"), 6).cast("double")
+        .alias("chi2"),
+    )
+
+
+@register(
+    "q212_js_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+                   t.tok
+            FROM documents,
+                 LATERAL (
+                    SELECT unnest(string_split(COALESCE(text, ''), ' '))
+                        AS tok
+                 ) t
+            WHERE t.tok <> ''
+        ),
+        per AS (
+            SELECT tok,
+                   SUM(grp) AS c1,
+                   COUNT(*) - SUM(grp) AS c2
+            FROM toks GROUP BY tok
+        ),
+        t AS (
+            SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per
+        )
+        SELECT CAST(t.n1 AS BIGINT) AS n_tokens_en,
+               CAST(t.n2 AS BIGINT) AS n_tokens_other,
+               CAST(ROUND(CAST(SUM(CAST(
+                   0.5 * (CASE WHEN c1 > 0 THEN
+                       (c1 * 1.0 / t.n1) * ln((c1 * 1.0 / t.n1)
+                           / (((c1 * 1.0 / t.n1)
+                               + (c2 * 1.0 / t.n2)) / 2))
+                       ELSE 0 END)
+                   + 0.5 * (CASE WHEN c2 > 0 THEN
+                       (c2 * 1.0 / t.n2) * ln((c2 * 1.0 / t.n2)
+                           / (((c1 * 1.0 / t.n1)
+                               + (c2 * 1.0 / t.n2)) / 2))
+                       ELSE 0 END)
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS js_divergence
+        FROM per CROSS JOIN t
+        GROUP BY t.n1, t.n2
+    """,
+    doc="Jensen-Shannon divergence between the en and non-en unigram "
+    "distributions — the SYMMETRIC, bounded (<= ln 2) cousin of "
+    "q144's KL, the standard 'how different are these two corpora' "
+    "number (KL is infinite on any token one side lacks; JS "
+    "handles disjoint support, which real corpus pairs always "
+    "have). One (tok)-keyed agg carries both class counts, totals "
+    "are a broadcast scalar; p, q, m = (p+q)/2 are doubles from "
+    "exact integer ratios so both engines form identical IEEE "
+    "terms, zero-count sides contribute exactly 0 by CASE (not by "
+    "float underflow), and terms accumulate in DECIMAL(28,12) with "
+    "round->double output (the q144/q136 contract). Scale: "
+    "token-vocabulary grain after one corpus scan.",
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("lang", "text")
+    grp = F.when(F.col("lang") == "en", 1).otherwise(0)
+    toks = docs.select(
+        grp.alias("grp"),
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("tok").agg(
+        F.sum("grp").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("grp")).alias("c2"),
+    )
+    t = per.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    p = F.col("c1") * 1.0 / F.col("n1")
+    q = F.col("c2") * 1.0 / F.col("n2")
+    m = (p + q) / 2
+    term = (
+        0.5 * F.when(F.col("c1") > 0, p * F.log(p / m)).otherwise(0.0)
+        + 0.5
+        * F.when(F.col("c2") > 0, q * F.log(q / m)).otherwise(0.0)
+    ).cast("decimal(28,12)")
+    return (
+        per.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).cast("double")
+            .alias("js_divergence")
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n_tokens_en"),
+            F.col("n2").cast("bigint").alias("n_tokens_other"),
+            "js_divergence",
+        )
+    )
+
+
+#: q213 step encoding base: step = n_risk * KM_ENC + d_events, so the
+#: recurrence can ride a BIGINT-typed list fold in both engines
+KM_ENC = 100000000
+
+
+@register(
+    "q213_kaplan_meier",
+    oracle=f"""
+        WITH oe AS (
+            SELECT MAX(CAST(ts AS DATE)) AS oe FROM events
+        ),
+        u AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ts AS DATE) END) AS fp
+            FROM events GROUP BY user_id
+        ),
+        u2 AS (
+            SELECT CASE WHEN fp IS NOT NULL
+                        THEN CAST(fp - f AS BIGINT)
+                        ELSE CAST((SELECT oe FROM oe) - f AS BIGINT)
+                   END AS t,
+                   CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM u
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM u2),
+        pts AS (
+            SELECT t, SUM(ev) AS d, COUNT(*) AS c_all
+            FROM u2 GROUP BY t
+        ),
+        pts2 AS (
+            SELECT t, d,
+                   n - COALESCE(SUM(c_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS r
+            FROM pts CROSS JOIN tot
+        ),
+        steps AS (
+            SELECT list(struct_pack(t := t, r := r, d := d)
+                        ORDER BY t) AS arr
+            FROM pts2 WHERE d > 0
+        ),
+        curve AS (
+            SELECT unnest(generate_series(1, len(arr))) AS i, arr
+            FROM steps
+        )
+        SELECT CAST((arr[i]).t AS BIGINT) AS t,
+               CAST((arr[i]).r AS BIGINT) AS n_risk,
+               CAST((arr[i]).d AS BIGINT) AS d_events,
+               CAST(list_reduce(
+                   list_prepend(CAST(1000000 AS BIGINT),
+                       list_transform(list_slice(arr, 1, i),
+                           x -> CAST(x.r * {KM_ENC} + x.d
+                                     AS BIGINT))),
+                   (a, b) -> a * ((b // {KM_ENC}) - (b % {KM_ENC}))
+                             // (b // {KM_ENC})) AS BIGINT)
+                   AS surv_ppm
+        FROM curve ORDER BY t
+    """,
+    doc="Kaplan-Meier curve for time-to-first-purchase per user, "
+    "right-censored at the observation window's end for users who "
+    "never converted — the estimator that makes conversion-latency "
+    "claims honest when the window cuts users off (q167's latency "
+    "distribution silently drops non-converters; KM keeps them in "
+    "the denominator until censored). Survival is the product "
+    "S(t) = prod(1 - d_i/n_i), which no engine exposes as an "
+    "aggregate — computed here as an exact INTEGER recurrence "
+    "S_i = S_(i-1) * (n_i - d_i) DIV n_i from 1e6, folded over the "
+    "(time, at-risk, deaths) step list per output row (Spark "
+    "aggregate() over slice(); DuckDB list_reduce over an encoded "
+    "BIGINT list) — deterministic floor at each step, zero "
+    "float products, zero exp/ln. Shape: one user-grain agg is the "
+    "only corpus-sized work; the step table is day-grain and the "
+    "O(T^2) slice-folds are over tens of rows.",
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events")
+    oe = ev.agg(F.max(F.to_date("ts")).alias("oe"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("f"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.to_date("ts")
+            )
+        ).alias("fp"),
+    )
+    u2 = u.crossJoin(F.broadcast(oe)).select(
+        F.when(
+            F.col("fp").isNotNull(), F.datediff("fp", "f")
+        )
+        .otherwise(F.datediff("oe", "f"))
+        .cast("bigint").alias("t"),
+        F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    tot = u2.agg(F.count(F.lit(1)).alias("n"))
+    pts = u2.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c_all")
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pts2 = (
+        pts.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n")
+                - F.coalesce(F.sum("c_all").over(w), F.lit(0))
+            ).alias("r"),
+        )
+    )
+    steps = pts2.filter(F.col("d") > 0).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "r", "d"))
+        ).alias("arr")
+    )
+    return (
+        steps.select(
+            F.col("arr"),
+            F.posexplode("arr").alias("i", "s"),
+        )
+        .select(
+            F.col("s.t").cast("bigint").alias("t"),
+            F.col("s.r").cast("bigint").alias("n_risk"),
+            F.col("s.d").cast("bigint").alias("d_events"),
+            F.expr(
+                "CAST(aggregate(slice(arr, 1, i + 1), "
+                "CAST(1000000 AS BIGINT), "
+                "(acc, x) -> (acc * (x.r - x.d)) DIV x.r) "
+                "AS BIGINT)"
+            ).alias("surv_ppm"),
+        )
+        .orderBy("t")
+    )
+
+
+# --------------------------------------------------------------------

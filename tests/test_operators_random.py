@@ -48,6 +48,114 @@ def test_salted_agg_equals_plain_agg(rnd_events):
     assert got == exp
 
 
+@pytest.fixture(scope="module")
+def zipf_events(spark):
+    """A genuinely hot key: ~90% of rows share one key (the Zipf-head
+    shape the salting tier exists for; the uniform fixtures never
+    exercise it — r8 verdict item 5)."""
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            0 if rng.random() < 0.9 else 1 + rng.randrange(50),
+            float(rng.randrange(0, 10_000)) / 100,
+        )
+        for i in range(60_000)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, k int, value double"
+    )
+
+
+def test_salted_agg_spreads_hot_key(zipf_events):
+    """The salting invariant under real skew: the hot key's rows land
+    on every salt bucket, with max bucket occupancy within 2x of the
+    uniform share — so no single reducer ever owns the hot key. The
+    check recomputes the operator's own content-hash salt expression
+    (xxhash64(key, value) pmod buckets) at the partial grain; the
+    result equality under the same skew is asserted alongside."""
+    from speculare_pgcdc_spark.operators.skewscale import salted_agg
+
+    buckets = 16
+    per_salt = (
+        zipf_events.filter(F.col("k") == 0)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("k"), F.col("value")), F.lit(buckets)),
+        )
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) == buckets  # every bucket participates
+    counts = [r["count"] for r in per_salt]
+    hot_total = sum(counts)
+    assert max(counts) <= 2 * hot_total / buckets
+    # and the salted result still equals the plain aggregate
+    got = {
+        (r.k, r.c, r.s)
+        for r in salted_agg(
+            zipf_events, "k", "value", salt_buckets=buckets
+        ).collect()
+    }
+    exp = {
+        (r.k, r.c, r.s)
+        for r in zipf_events.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_join_spreads_hot_key(zipf_events, spark):
+    """Join-side twin: with salt_on a per-row-unique column, the hot
+    key's probe rows spread over all buckets (max within 2x uniform),
+    and the salted join's rows equal the plain join's exactly."""
+    from speculare_pgcdc_spark.operators.skewscale import salted_join
+
+    buckets = 8
+    small = zipf_events.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim_c")
+    )
+    per_salt = (
+        zipf_events.filter(F.col("k") == 0)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(buckets)),
+        )
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(per_salt) == buckets
+    counts = [r["count"] for r in per_salt]
+    assert max(counts) <= 2 * sum(counts) / buckets
+    got = {
+        (r.event_id, r.k, r.dim_c)
+        for r in salted_join(
+            zipf_events,
+            small.hint("shuffle_hash"),
+            "k",
+            salt_buckets=buckets,
+            salt_on="event_id",
+        )
+        .select("event_id", "k", "dim_c")
+        .collect()
+    }
+    exp = {
+        (r.event_id, r.k, r.dim_c)
+        for r in zipf_events.join(small, "k")
+        .select("event_id", "k", "dim_c")
+        .collect()
+    }
+    assert got == exp
+
+
 def test_bin_range_join_equals_naive_theta_join(rnd_events):
     from speculare_pgcdc_spark.operators.skewscale import bin_range_join
 
