@@ -44,6 +44,9 @@ SWEEP_FIRST = [
     # q271 is NEW this round: the ANN-fed hard-negative miner
     # (rows-only contract; recall-vs-exact pinned in tests/test_llm).
     "q271_hard_negatives_ann",
+    "q272_partition_digest_diff",
+    "q273_ngram_novelty",
+    "q274_trimmed_mean",
     "q258_quality_gate_bitmask",
     "q262_spearman_rank",
     "q267_triangle_count",

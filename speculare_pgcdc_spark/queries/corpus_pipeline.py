@@ -1603,3 +1603,382 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
         .select("cust", "spend_e2", "last_order")
         .orderBy(F.col("spend_e2").desc(), "cust")
     )
+
+
+# --------------------------------------------------------------------
+# Round-9 batch: partition-level divergence localization, corpus
+# novelty decay, and robust means — the maintenance/monitoring ops
+# between q238's row-level diff and q265's column checksums.
+# --------------------------------------------------------------------
+
+#: q273: docs per novelty bucket (doc_id DIV this)
+NOVELTY_BUCKET_DOCS = 50
+
+#: q274: two-sided trim — drop n DIV TRIM_DEN rows from each end
+TRIM_DEN = 10
+
+
+def _q272_oracle() -> str:
+    from speculare_pgcdc_spark.queries.corpus_audit import (
+        DIFF_DRIFT_MOD,
+        DIFF_DROP_MOD,
+        DIFF_INSERT_MOD,
+        DIFF_INSERT_OFFSET,
+        _diff_rowhash_sql,
+    )
+
+    return f"""
+        WITH old_rows AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders
+        ),
+        new_rows AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   {_diff_rowhash_sql(
+                       'o_totalprice + CASE WHEN o_orderkey % '
+                       + str(DIFF_DRIFT_MOD)
+                       + ' = 0 THEN 1.5 ELSE 0 END')} AS h
+            FROM orders WHERE o_orderkey % {DIFF_DROP_MOD} <> 0
+            UNION ALL
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   {_diff_rowhash_sql('o_totalprice')} AS h
+            FROM orders WHERE o_orderkey % {DIFF_INSERT_MOD} = 0
+        ),
+        o AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(h AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS dig
+            FROM old_rows GROUP BY d
+        ),
+        n AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(h AS HUGEINT))
+                        % 1000000000000000000 AS BIGINT) AS dig
+            FROM new_rows GROUP BY d
+        ),
+        j AS (
+            SELECT COALESCE(o.d, n.d) AS d,
+                   COALESCE(o.cnt, 0) AS ocnt,
+                   COALESCE(n.cnt, 0) AS ncnt,
+                   CASE WHEN o.d IS NULL OR n.d IS NULL
+                             OR o.cnt <> n.cnt OR o.dig <> n.dig
+                        THEN 1 ELSE 0 END AS div
+            FROM o FULL OUTER JOIN n ON o.d = n.d
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(div) AS BIGINT) AS n_days_diverged,
+               CAST(SUM(CASE WHEN div = 1 THEN ocnt ELSE 0 END)
+                    AS BIGINT) AS rows_old_diverged,
+               CAST(SUM(CASE WHEN div = 1 THEN ncnt ELSE 0 END)
+                    AS BIGINT) AS rows_new_diverged,
+               CAST(SUM(CASE WHEN div = 1 THEN
+                        date_diff('day', DATE '1970-01-01', d)
+                        ELSE 0 END) % 1000000000000000000 AS BIGINT)
+                   AS diverged_day_checksum
+        FROM j
+    """
+
+
+@register(
+    "q272_partition_digest_diff",
+    oracle=_q272_oracle(),
+    doc="Partition-level divergence LOCALIZATION for replica "
+    "verification: per-day (order date) digests — row count + "
+    "order-free additive 48-bit md5 row-hash sum mod 1e18, the "
+    "q196/q265 digest convention — computed on a table and its "
+    "drifted replica (q238's deterministic drop/drift/late-insert "
+    "perturbation), then compared at the DAY grain. The payoff at "
+    "100 TB: the comparison itself touches only #days rows (a "
+    "broadcast-sized join), and q238's row-level full-outer diff "
+    "then runs ONLY on the diverged partitions — the output's "
+    "rows_old/new_diverged are exactly that rescan bill, vs the "
+    "full-table shuffle a naive diff pays. Two map-side-combinable "
+    "day aggregates + a tiny full-outer join; the diverged-day "
+    "checksum (epoch-day sum) pins WHICH days, order-free.",
+)
+def q272(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.queries.corpus_audit import (
+        DIFF_DRIFT_MOD,
+        DIFF_DROP_MOD,
+        DIFF_INSERT_MOD,
+    )
+
+    def rowhash(price):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.floor(price * 100).cast("bigint")
+                        .cast("string"),
+                        F.col("o_orderdate").cast("date")
+                        .cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    orders = table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date").alias("d")
+
+    def day_digest(rows):
+        return rows.groupBy("d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.lit(10**18).cast("decimal(38,0)")
+            ).cast("bigint").alias("dig"),
+        )
+
+    old = day_digest(orders.select(d, rowhash(F.col("o_totalprice")).alias("h")))
+    drift = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % DIFF_DRIFT_MOD == 0, F.lit(1.5)
+    ).otherwise(F.lit(0.0))
+    new = day_digest(
+        orders.filter(F.col("o_orderkey") % DIFF_DROP_MOD != 0)
+        .select(d, rowhash(drift).alias("h"))
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % DIFF_INSERT_MOD == 0)
+            .select(d, rowhash(F.col("o_totalprice")).alias("h"))
+        )
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.d") == F.col("n.d"), "full_outer"
+    ).select(
+        F.coalesce(F.col("o.d"), F.col("n.d")).alias("d"),
+        F.coalesce(F.col("o.cnt"), F.lit(0)).alias("ocnt"),
+        F.coalesce(F.col("n.cnt"), F.lit(0)).alias("ncnt"),
+        F.when(
+            F.col("o.d").isNull()
+            | F.col("n.d").isNull()
+            | (F.col("o.cnt") != F.col("n.cnt"))
+            | (F.col("o.dig") != F.col("n.dig")),
+            1,
+        ).otherwise(0).alias("div"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("div").cast("bigint").alias("n_days_diverged"),
+        F.sum(F.when(F.col("div") == 1, F.col("ocnt")).otherwise(0))
+        .cast("bigint").alias("rows_old_diverged"),
+        F.sum(F.when(F.col("div") == 1, F.col("ncnt")).otherwise(0))
+        .cast("bigint").alias("rows_new_diverged"),
+        (
+            F.sum(
+                F.when(
+                    F.col("div") == 1,
+                    F.datediff(F.col("d"), F.lit("1970-01-01"))
+                    .cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            % F.lit(10**18).cast("decimal(38,0)")
+        ).cast("bigint").alias("diverged_day_checksum"),
+    )
+
+
+@register(
+    "q273_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id // {NOVELTY_BUCKET_DOCS} AS bucket,
+                   list_filter(string_split(COALESCE(text, ''), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT bucket,
+                   ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(len(ts) - 1, 1)))
+                     t(i)
+        ),
+        fb AS (SELECT g, MIN(bucket) AS fb FROM tri GROUP BY g)
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN fb = bucket THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN fb = bucket THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM tri JOIN fb USING (g)
+        GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Corpus novelty decay: token TRIGRAMS attributed to the first "
+    f"doc-id bucket ({NOVELTY_BUCKET_DOCS} docs) that contains them; "
+    "per bucket, the share of its distinct trigrams seen for the "
+    "first time — the curve that tells a collection pipeline when "
+    "additional crawl/source volume stops contributing new content "
+    "(novelty falling toward 0 = the marginal data is rehash; the "
+    "aggregate view behind dedup-threshold and stop-crawling "
+    "decisions). Shape: trigram explode -> DISTINCT (gram, bucket) "
+    "-> min-bucket attribution -> gram-keyed join back — every "
+    "shuffle keyed on the gram (high cardinality, no hot key), "
+    "counts map-side-combinable, exact integer ppm. First-occurrence "
+    "attribution is the same primitive as q197's incremental-ingest "
+    "dedup, lifted from exact-doc to content-ngram grain.",
+)
+def q273(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    tri = F.expr(
+        "CASE WHEN size(_ts) >= 3 THEN "
+        "transform(sequence(0, size(_ts) - 3), i -> "
+        "concat_ws(' ', _ts[i], _ts[i + 1], _ts[i + 2])) "
+        "ELSE array() END"
+    )
+    pairs = (
+        table(spark, sf, "documents")
+        .select(
+            F.expr(f"doc_id DIV {NOVELTY_BUCKET_DOCS}").alias("bucket"),
+            toks.alias("_ts"),
+        )
+        .select("bucket", F.explode(tri).alias("g"))
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    fb = pairs.groupBy("g").agg(F.min("bucket").alias("fb"))
+    return (
+        pairs.join(fb, "g")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("fb") == F.col("bucket")).cast("int"))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "bucket",
+            "n_ngrams",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_ngrams").cast("bigint")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q274_trimmed_mean",
+    oracle=f"""
+        WITH li AS (
+            SELECT l_returnflag AS flag,
+                   CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p
+            FROM lineitem
+        ),
+        r AS (
+            SELECT flag, p,
+                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY p)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY flag) AS n
+            FROM li
+        )
+        SELECT flag,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(n) - 2 * (MAX(n) // {TRIM_DEN}) AS BIGINT)
+                   AS trimmed_n,
+               CAST(SUM(CASE WHEN rn > n // {TRIM_DEN}
+                             AND rn <= n - n // {TRIM_DEN}
+                        THEN CAST(p AS HUGEINT) ELSE 0 END)
+                    // (MAX(n) - 2 * (MAX(n) // {TRIM_DEN}))
+                    AS BIGINT) AS tmean_e2
+        FROM r GROUP BY flag ORDER BY flag
+    """,
+    doc="Exact two-sided trimmed mean (drop n DIV "
+    f"{TRIM_DEN} rows from each tail) of the e2-scaled extended price "
+    "per return flag — the robust location estimate between the "
+    "mean (outlier-dominated) and the median (throws away 98% of "
+    "the data); the standard guard for cost/latency KPIs. The Spark "
+    "plan never materializes a row-grain rank: reduce to the "
+    "distinct-(flag, price) grain with counts, compute each value's "
+    "global rank INTERVAL via the banded two-level cumsum (in-band "
+    "window over (flag, band), band-grain cumsum per flag — the "
+    "q194/q257/q262 form), and each value's trimmed contribution is "
+    "the measure of its interval's overlap with [lo+1, hi] — "
+    "tie-order-free, so the oracle's row-grain ROW_NUMBER spec sums "
+    "to the identical integer. DECIMAL-accumulated sum, exact floor "
+    "division for the published e2 mean.",
+)
+def q274(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    g = (
+        table(spark, sf, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint").alias("p"),
+        )
+        .groupBy("flag", "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "b", F.floor(F.col("p") / 1_000_000).cast("bigint")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bins = g.groupBy("flag", "b").agg(F.sum("cnt").alias("bcnt"))
+    w_bins = (
+        Window.partitionBy("flag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = bins.select(
+        "flag",
+        "b",
+        F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0))
+        .alias("below_bins"),
+    )
+    w_in = (
+        Window.partitionBy("flag", "b")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_flag = g.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    spans = (
+        g.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(bins), ["flag", "b"])
+        .join(F.broadcast(n_flag), "flag")
+        .withColumn("below", F.col("below_bins") + F.col("below_in"))
+        .withColumn("lo", F.expr(f"n DIV {TRIM_DEN}"))
+        .withColumn("hi", F.col("n") - F.col("lo"))
+        # overlap of (below, below+cnt] with (lo, hi]
+        .withColumn(
+            "w",
+            F.greatest(
+                F.least(F.col("below") + F.col("cnt"), F.col("hi"))
+                - F.greatest(F.col("below"), F.col("lo")),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        spans.groupBy("flag")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            (F.max("n") - 2 * F.expr(f"max(n) DIV {TRIM_DEN}"))
+            .cast("bigint").alias("trimmed_n"),
+            F.sum(
+                (F.col("p") * F.col("w")).cast("decimal(38,0)")
+            ).alias("tsum"),
+        )
+        .select(
+            "flag",
+            "n",
+            "trimmed_n",
+            F.expr(
+                "CAST((tsum - pmod(tsum, trimmed_n)) / trimmed_n "
+                "AS BIGINT)"
+            ).alias("tmean_e2"),
+        )
+        .orderBy("flag")
+    )

@@ -1372,6 +1372,38 @@ def test_q262_rank_windows_are_banded(q):
     assert not has_python_eval(df)
 
 
+def test_q274_trim_windows_are_banded(q):
+    # the price grain per flag is near row-cardinality: the rank
+    # windows must carry the band — (flag, b) for the data-sized
+    # cumsum, flag-partitioned only at the band grain (ordered by b)
+    df = q("q274_trimmed_mean")
+    p = plan_string(df)
+    lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert lines
+    saw_banded = False
+    for ln in lines:
+        cols = _window_partition_cols(ln)
+        if cols == ["flag"]:
+            assert "p#" not in ln.split("specifiedwindowframe")[0], ln
+        else:
+            assert set(cols) == {"flag", "b"}, ln
+            saw_banded = True
+    assert saw_banded
+    assert not has_python_eval(df)
+
+
+def test_q272_digest_diff_day_grain_join(q):
+    # both digests reduce to the day grain BEFORE the full-outer
+    # compare: no window at all, and the only joins in the plan run
+    # on the tiny day-keyed aggregates (a row-grain full-outer diff
+    # here would be the q238 shape this query exists to pre-filter)
+    df = q("q272_partition_digest_diff")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
 def test_q270_skyline_suffix_max_is_banded(q):
     # the spend grain is customer-cardinality: every data-sized window
     # must partition by the band; the lone unpartitioned window rides
