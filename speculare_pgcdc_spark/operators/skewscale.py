@@ -282,3 +282,40 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return salted_big.join(replicated, on=[key, "_salt"]).drop("_salt")
+
+
+def null_isolated_left_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+) -> DataFrame:
+    """LEFT join with the null-key population ISOLATED from the
+    shuffle: rows whose join key is NULL can never match, yet a plain
+    left outer join still ships every one of them through the
+    exchange — and they all hash to the SAME reducer, the silent hot
+    key that no salting helps (salting spreads VALUES; null is one
+    value). At a 100 TB fact table where a nullable foreign key is
+    10-30% unfilled, that one reducer is the job.
+
+    The rewrite: non-null rows take the real join; null rows bypass it
+    entirely and re-enter with the dimension columns as typed NULLs —
+    exactly the rows the outer join would have produced for them.
+    Result is EXACTLY ``big.join(dim, big[key] == dim[key2], "left")``
+    rows for a dim keyed on its own column; column set is big's
+    columns plus dim's non-key columns.
+
+    ``dim`` must carry the join key under the SAME name ``key`` (the
+    usual dimension shape); its other columns are appended.
+    """
+    dim_cols = [c for c in dim.columns if c != key]
+    matched = big.filter(F.col(key).isNotNull()).join(dim, key, "left")
+    dim_fields = {f.name: f.dataType for f in dim.schema.fields}
+    nulls = big.filter(F.col(key).isNull()).select(
+        *big.columns,
+        *[
+            F.lit(None).cast(dim_fields[c]).alias(c)
+            for c in dim_cols
+        ],
+    )
+    # align column order (join moves the key first)
+    return matched.select(*nulls.columns).unionAll(nulls)

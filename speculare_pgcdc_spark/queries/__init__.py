@@ -47,6 +47,8 @@ SWEEP_FIRST = [
     "q272_partition_digest_diff",
     "q273_ngram_novelty",
     "q274_trimmed_mean",
+    "q275_null_skew_join",
+    "q276_unigram_logprob",
     "q258_quality_gate_bitmask",
     "q262_spearman_rank",
     "q267_triangle_count",

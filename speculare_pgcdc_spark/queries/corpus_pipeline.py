@@ -1982,3 +1982,158 @@ def q274(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+#: q275: a third of the fact rows carry a NULL foreign key
+NULLJOIN_MOD = 3
+
+#: q276: per-doc output cap (the q66/q202 verification-sized contract)
+LOGPROB_DOC_CAP = 300
+
+
+@register(
+    "q275_null_skew_join",
+    oracle=f"""
+        WITH dim AS (
+            SELECT user_id AS ref_user,
+                   CAST(COUNT(*) AS BIGINT) AS purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        b AS (
+            SELECT event_id,
+                   CASE WHEN event_id % {NULLJOIN_MOD} <> 0
+                        THEN user_id END AS ref_user
+            FROM events
+        ),
+        j AS (
+            SELECT b.ref_user, d.purchases
+            FROM b LEFT JOIN dim d ON b.ref_user = d.ref_user
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN ref_user IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_key,
+               CAST(SUM(CASE WHEN purchases IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(COALESCE(purchases, 0)) AS BIGINT)
+                   AS sum_purchases
+        FROM j
+    """,
+    doc="Null-isolated LEFT join (operators/skewscale."
+    "null_isolated_left_join): a nullable foreign key is the silent "
+    "hot key no salting fixes — NULL rows can never match, yet a "
+    "plain left outer join ships them ALL through the exchange onto "
+    "ONE reducer (salting spreads values; null is one value). The "
+    f"rewrite: the {100 // NULLJOIN_MOD}%-null population bypasses "
+    "the join entirely (filter isNull, dimension columns re-enter as "
+    "typed NULL literals) and unions back; only non-null keys "
+    "shuffle. The fact side's derived key is NULL on event_id % "
+    f"{NULLJOIN_MOD} = 0; the oracle is the PLAIN left join — row "
+    "equality proves the isolation is lossless. The dim side is "
+    "shuffle_hash-hinted so the fixture plan exercises the shuffled "
+    "regime the operator exists for (the q173 convention); the plan "
+    "lint pins the isnotnull filter + union shape.",
+)
+def q275(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.skewscale import (
+        null_isolated_left_join,
+    )
+
+    ev = table(spark, sf, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("ref_user"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("purchases"))
+    )
+    big = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % NULLJOIN_MOD != 0, F.col("user_id")
+        ).alias("ref_user"),
+    )
+    j = null_isolated_left_join(
+        big, dim.hint("shuffle_hash"), "ref_user"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("ref_user").isNull().cast("int"))
+        .cast("bigint").alias("n_null_key"),
+        F.sum(F.col("purchases").isNotNull().cast("int"))
+        .cast("bigint").alias("n_matched"),
+        F.sum(F.coalesce(F.col("purchases"), F.lit(0)))
+        .cast("bigint").alias("sum_purchases"),
+    )
+
+
+@register(
+    "q276_unigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(COALESCE(text, ''), ' '),
+                       t -> t <> '')) AS t
+            FROM documents
+        ),
+        vocab AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+        tot AS (SELECT SUM(f) AS tt FROM vocab),
+        terms AS (
+            SELECT doc_id,
+                   CAST(ln(CAST(tt AS DOUBLE) / f)
+                        AS DECIMAL(28,12)) AS s
+            FROM tok JOIN vocab USING (t) CROSS JOIN tot
+            WHERE doc_id < {LOGPROB_DOC_CAP}
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6)
+                    AS DOUBLE) AS avg_surprisal
+        FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Self-perplexity proxy: per-doc mean unigram surprisal "
+    "-ln p(token) under the corpus's OWN unigram distribution — the "
+    "classic cheap LM-quality signal (a doc of globally rare tokens "
+    "scores high = gibberish/OCR noise; a doc of stopwords scores "
+    "low = boilerplate), the shape Wikipedia-LM / CCNet filters use "
+    "with a real LM. Two shuffles, both on high-cardinality keys: "
+    "vocab build (token-keyed count) and the token->frequency join; "
+    "the corpus total crosses as a broadcast single row; per-doc "
+    "reduce is map-side combinable. Determinism: ln terms are "
+    "identical IEEE doubles in both engines on identical integer "
+    "ratios (the q159 exp-sum-log contract), each truncated to "
+    "DECIMAL(28,12) before the order-free sum, published ROUND 6. "
+    f"Per-doc rows capped at doc_id < {LOGPROB_DOC_CAP} (q66's "
+    "verification-sized convention); the vocab/join tier is "
+    "corpus-wide.",
+)
+def q276(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    tok = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(toks).alias("t"))
+    )
+    tok = tok.localCheckpoint(eager=True)
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    tot = vocab.agg(F.sum("f").alias("tt"))
+    terms = (
+        tok.filter(F.col("doc_id") < LOGPROB_DOC_CAP)
+        .join(vocab, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("tt").cast("double") / F.col("f"))
+            .cast("decimal(28,12)").alias("s"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            ).cast("double").alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

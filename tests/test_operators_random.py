@@ -156,6 +156,39 @@ def test_salted_join_spreads_hot_key(zipf_events, spark):
     assert got == exp
 
 
+def test_null_isolated_join_equals_plain_left_join(spark):
+    """Row-for-row equality with the plain left outer join on a frame
+    where most keys are NULL — including NULL-vs-NULL never matching
+    and duplicate dim keys fanning out identically."""
+    from speculare_pgcdc_spark.operators.skewscale import (
+        null_isolated_left_join,
+    )
+
+    rng = random.Random(11)
+    big = spark.createDataFrame(
+        [
+            (i, rng.randrange(8) if rng.random() < 0.3 else None)
+            for i in range(2_000)
+        ],
+        "rid bigint, k int",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(6)] + [(3, "dup3")],
+        "k int, payload string",
+    )
+    got = sorted(
+        (r.rid, r.k, r.payload)
+        for r in null_isolated_left_join(big, dim, "k").collect()
+    )
+    exp = sorted(
+        (r.rid, r.k, r.payload)
+        for r in big.join(dim, "k", "left")
+        .select("rid", "k", "payload")
+        .collect()
+    )
+    assert got == exp
+
+
 def test_bin_range_join_equals_naive_theta_join(rnd_events):
     from speculare_pgcdc_spark.operators.skewscale import bin_range_join
 

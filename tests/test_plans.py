@@ -1404,6 +1404,28 @@ def test_q272_digest_diff_day_grain_join(q):
     assert not has_python_eval(df)
 
 
+def test_q275_null_join_isolates_null_keys(q):
+    # the join input must be pre-filtered to non-null keys (the NULL
+    # population bypasses via union) — a plain left outer join keeps
+    # nulls in the exchange, all hashing to one reducer
+    df = q("q275_null_skew_join")
+    p = plan_string(df)
+    assert "Union" in p
+    filters = [ln for ln in p.splitlines() if "Filter " in ln]
+    # join branch: pre-filtered to non-null keys (Catalyst pushes the
+    # predicate through the CASE that derives the key)
+    assert any("isnotnull(user_id" in ln for ln in filters), filters
+    # bypass branch: the null-key population never reaches the join
+    assert any(
+        "isnull(user_id" in ln and "isnotnull" not in ln
+        for ln in filters
+    ), filters
+    join_lines = [ln for ln in p.splitlines() if "LeftOuter" in ln]
+    assert join_lines  # the real join exists, on the non-null branch
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
 def test_q270_skyline_suffix_max_is_banded(q):
     # the spend grain is customer-cardinality: every data-sized window
     # must partition by the band; the lone unpartitioned window rides
