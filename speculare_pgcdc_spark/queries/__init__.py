@@ -41,14 +41,19 @@ SWEEP_FIRST = [
     # (ADVICE r8); q262's rank windows and q267's day-position
     # computation are rewritten banded (r8 verdict item 3 + ADVICE),
     # and q267's oracle wedge sum moves to exact integer //.
-    # q271 is NEW this round: the ANN-fed hard-negative miner
-    # (rows-only contract; recall-vs-exact pinned in tests/test_llm).
+    # q271-q278 are NEW this round: the ANN-fed hard-negative miner
+    # (rows-only; recall-vs-exact pinned in tests/test_llm), then the
+    # round-9 operator batch (partition-digest diff, ngram novelty,
+    # trimmed mean, null-isolated join, unigram log-prob, quantile
+    # normalization, winnowing pairs — all oracle-checked).
     "q271_hard_negatives_ann",
     "q272_partition_digest_diff",
     "q273_ngram_novelty",
     "q274_trimmed_mean",
     "q275_null_skew_join",
     "q276_unigram_logprob",
+    "q277_quantile_normalize",
+    "q278_winnowing_pairs",
     "q258_quality_gate_bitmask",
     "q262_spearman_rank",
     "q267_triangle_count",

@@ -2137,3 +2137,205 @@ def q276(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q277_quantile_normalize",
+    oracle="""
+        WITH r AS (
+            SELECT source, n_chars AS v,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ),
+        rp AS (
+            SELECT n_chars AS v,
+                   ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        ),
+        ks AS (SELECT unnest(range(1, 10)) AS decile),
+        src AS (
+            SELECT r.source, ks.decile, r.v
+            FROM r JOIN ks
+              ON r.rn = greatest(ks.decile * r.n // 10, 1)
+        ),
+        pool AS (
+            SELECT ks.decile, rp.v
+            FROM rp JOIN ks
+              ON rp.rn = greatest(ks.decile * rp.n // 10, 1)
+        )
+        SELECT s.source, CAST(s.decile AS BIGINT) AS decile,
+               CAST(s.v AS BIGINT) AS src_v,
+               CAST(p.v AS BIGINT) AS pooled_v
+        FROM src s JOIN pool p ON s.decile = p.decile
+        ORDER BY s.source, s.decile
+    """,
+    doc="Quantile-normalization remap table: for each source and "
+    "decile k, the source's k-th decile value of n_chars next to the "
+    "POOLED corpus's — the lookup that maps any source's length (or "
+    "score) distribution onto the corpus-wide one, the standard "
+    "cross-source calibration before mixing heterogeneous scores "
+    "(quality classifiers trained per source, length-balanced "
+    "sampling). Exact order statistics, NO row-grain rank on the "
+    "Spark side: value-grain counts + the banded rank-interval form "
+    "(q194/q274) select the value whose interval covers position "
+    "(k*n) DIV 10 — tie-order-free, identical to the oracle's "
+    "ROW_NUMBER spec. Every window partitions by (source, band) or "
+    "rides a band-grain aggregate; decile positions join broadcast.",
+)
+def q277(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    def decile_values(g, part_cols):
+        # g: (*part_cols, v, cnt); returns (*part_cols, decile, v)
+        band = F.floor(F.col("v") / 512).cast("bigint")
+        g = g.withColumn("b", band).localCheckpoint(eager=True)
+        bins = g.groupBy(*part_cols, "b").agg(
+            F.sum("cnt").alias("bcnt")
+        )
+        w_bins = (
+            Window.partitionBy(*part_cols)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ) if part_cols else (
+            Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bins = bins.select(
+            *part_cols,
+            "b",
+            F.coalesce(F.sum("bcnt").over(w_bins), F.lit(0))
+            .alias("below_bins"),
+        )
+        w_in = (
+            Window.partitionBy(*(part_cols + ["b"]))
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        n = g.groupBy(*part_cols).agg(F.sum("cnt").alias("n")) \
+            if part_cols else g.agg(F.sum("cnt").alias("n"))
+        spans = g.withColumn(
+            "below_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        ).join(F.broadcast(bins), part_cols + ["b"])
+        if part_cols:
+            spans = spans.join(F.broadcast(n), part_cols)
+        else:
+            spans = spans.crossJoin(F.broadcast(n))
+        spans = spans.withColumn(
+            "lo", F.col("below_bins") + F.col("below_in") + 1
+        ).withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+        ks = spark.range(1, 10).select(
+            F.col("id").cast("bigint").alias("decile")
+        )
+        return (
+            spans.crossJoin(F.broadcast(ks))
+            .withColumn(
+                "p",
+                F.greatest(
+                    F.expr("decile * n DIV 10"), F.lit(1)
+                ),
+            )
+            .filter(
+                (F.col("lo") <= F.col("p"))
+                & (F.col("p") <= F.col("hi"))
+            )
+            .select(*part_cols, "decile", "v")
+        )
+
+    docs = table(spark, sf, "documents")
+    per_src = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pooled = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    src = decile_values(per_src, ["source"]).select(
+        "source", "decile", F.col("v").cast("bigint").alias("src_v")
+    )
+    pool = decile_values(pooled, []).select(
+        "decile", F.col("v").cast("bigint").alias("pooled_v")
+    )
+    return (
+        src.join(F.broadcast(pool), "decile")
+        .select("source", "decile", "src_v", "pooled_v")
+        .orderBy("source", "decile")
+    )
+
+
+#: q278: doc cap for the pair join + minimum shared fingerprints
+WINNOW_DOC_CAP = 200
+WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "q278_winnowing_pairs",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, i,
+                   SUM(ascii(substr(text, CAST(i + j AS INT), 1))
+                       * CAST(pow(31, j) AS BIGINT)) AS hash
+            FROM documents,
+                 unnest(range(1, len(text) - 6)) t(i),
+                 unnest(range(0, 8)) o(j)
+            WHERE doc_id < {WINNOW_DOC_CAP}
+            GROUP BY doc_id, i
+        ),
+        w AS (
+            SELECT doc_id, i,
+                   MIN(hash) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                       AS fp,
+                   MAX(i) OVER (PARTITION BY doc_id) AS m
+            FROM h
+        ),
+        d AS (
+            SELECT DISTINCT doc_id, fp FROM w WHERE i <= m - 7
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+        FROM d a JOIN d b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        ORDER BY da, db
+    """,
+    doc="Winnowing copy-detection pairs (Schleimer/Wilkerson/Aiken — "
+    "the MOSS algorithm, the alignment-robust answer to shared-SPAN "
+    "dedup that q66's bottom-k sketch and q46's MinHash don't give): "
+    "each doc's fingerprints are the distinct minima of every "
+    "8-window over its 8-gram rolling hashes, so ANY shared "
+    "substring of >= 15 chars yields an identical fingerprint in "
+    "both docs regardless of offset (a strided sampler misses "
+    "copies at non-stride offsets); density ~2/(w+1) keeps the set "
+    "~4x smaller than all positions. Pairs sharing >= "
+    f"{WINNOW_MIN_SHARED} fingerprints surface as span-level "
+    "near-dups. Fingerprinting is ONE narrow array expression per "
+    "doc (operators/textstats.winnow_fingerprints, no explode, no "
+    "Python); the only shuffles are fingerprint-keyed — at corpus "
+    "scale candidates are bounded by fingerprint-bucket occupancy, "
+    "the q65/q241 blocking grammar at the span grain. Doc cap "
+    f"{WINNOW_DOC_CAP} is the verification-sized contract (q66).",
+)
+def q278(spark: SparkSession, sf: str) -> DataFrame:
+    fps = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < WINNOW_DOC_CAP)
+        .select(
+            "doc_id",
+            F.explode(ts.winnow_fingerprints("text")).alias("fp"),
+        )
+        .distinct()
+    )
+    fps = fps.localCheckpoint(eager=True)
+    a = fps.select(F.col("doc_id").alias("da"), "fp")
+    b = fps.select(F.col("doc_id").alias("db"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+        .orderBy("da", "db")
+    )
