@@ -2339,3 +2339,106 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
         .orderBy("da", "db")
     )
+
+
+#: q279: candidate watermarks (seconds) for the lateness accounting
+WATERMARKS_S = (60, 300, 3600)
+
+#: q279: arrival-order band width (event_id DIV this)
+LATE_BAND = 65536
+
+
+@register(
+    "q279_watermark_lateness",
+    oracle=f"""
+        WITH r AS (
+            SELECT epoch_us(ts) AS t,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS hw
+            FROM events
+        ),
+        l AS (
+            SELECT GREATEST(COALESCE(hw, t) - t, 0) AS late_us FROM r
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_us > {WATERMARKS_S[0]}000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+               CAST(SUM(CASE WHEN late_us > {WATERMARKS_S[1]}000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late_5m,
+               CAST(SUM(CASE WHEN late_us > {WATERMARKS_S[2]}000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+               CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        FROM l
+    """,
+    doc="Watermark-lateness accounting: for each event, its lateness "
+    "against the running event-time high watermark in ARRIVAL order "
+    "(event_id — the feed's ingestion sequence), then the exact drop "
+    "counts a streaming watermark of 1m/5m/1h would have caused — "
+    "the measurement that picks T4's withWatermark bound from data "
+    "instead of folklore (too tight silently drops the tail this "
+    "query counts; too loose holds state). The running MAX is the "
+    "prefix-COMBINE twin of the banded cumsum: per-band maxima, "
+    "band-grain strict-prefix max (the only unpartitioned window, "
+    "band grain), in-band strict-prefix max partitioned by band — "
+    "greatest of the two is the exact high watermark, no data-grain "
+    "global window (the q194/q262/q267 contract; any associative "
+    "combine bands this way). Microsecond-exact integers end to end "
+    "(epoch_us / unix_micros).",
+)
+def q279(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.floor(F.col("event_id") / LATE_BAND).cast("bigint")
+        .alias("b"),
+    )
+    bmax = ev.groupBy("b").agg(F.max("t").alias("bm"))
+    w_bands = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bands = bmax.select(
+        "b", F.max("bm").over(w_bands).alias("prev_bands")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        ev.withColumn("prev_in", F.max("t").over(w_in))
+        .join(F.broadcast(bands), "b")
+        .select(
+            F.greatest(
+                F.coalesce(
+                    F.greatest(
+                        F.col("prev_bands"), F.col("prev_in")
+                    ),
+                    F.col("prev_bands"),
+                    F.col("prev_in"),
+                    F.col("t"),
+                )
+                - F.col("t"),
+                F.lit(0),
+            ).alias("late_us")
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            (F.col("late_us") > WATERMARKS_S[0] * 1_000_000)
+            .cast("int")
+        ).cast("bigint").alias("n_late_1m"),
+        F.sum(
+            (F.col("late_us") > WATERMARKS_S[1] * 1_000_000)
+            .cast("int")
+        ).cast("bigint").alias("n_late_5m"),
+        F.sum(
+            (F.col("late_us") > WATERMARKS_S[2] * 1_000_000)
+            .cast("int")
+        ).cast("bigint").alias("n_late_1h"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    ]
+    return late.agg(*aggs)
