@@ -2264,9 +2264,13 @@ def q277(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: q278: doc cap for the pair join + minimum shared fingerprints
+#: q278: doc cap for the pair join; a pair surfaces when the shared
+#: fingerprints cover >= this ppm of the SMALLER doc's fingerprint set
+#: (MOSS reports this containment-style overlap — an absolute shared
+#: count is non-discriminating on a corpus with shared boilerplate
+#: vocabulary: at threshold "2 shared" 92% of all fixture pairs fired)
 WINNOW_DOC_CAP = 200
-WINNOW_MIN_SHARED = 2
+WINNOW_MIN_SHARE_PPM = 250_000
 
 
 @register(
@@ -2292,13 +2296,25 @@ WINNOW_MIN_SHARED = 2
         ),
         d AS (
             SELECT DISTINCT doc_id, fp FROM w WHERE i <= m - 7
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS nf FROM d GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+            FROM d a JOIN d b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         )
-        SELECT a.doc_id AS da, b.doc_id AS db,
-               CAST(COUNT(*) AS BIGINT) AS n_shared_fp
-        FROM d a JOIN d b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        SELECT da, db, n_shared_fp,
+               CAST(n_shared_fp * 1000000
+                    // LEAST(sa.nf, sb.nf) AS BIGINT) AS share_ppm
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE n_shared_fp * 1000000
+              >= {WINNOW_MIN_SHARE_PPM} * LEAST(sa.nf, sb.nf)
         ORDER BY da, db
     """,
     doc="Winnowing copy-detection pairs (Schleimer/Wilkerson/Aiken — "
@@ -2309,9 +2325,12 @@ WINNOW_MIN_SHARED = 2
     "substring of >= 15 chars yields an identical fingerprint in "
     "both docs regardless of offset (a strided sampler misses "
     "copies at non-stride offsets); density ~2/(w+1) keeps the set "
-    "~4x smaller than all positions. Pairs sharing >= "
-    f"{WINNOW_MIN_SHARED} fingerprints surface as span-level "
-    "near-dups. Fingerprinting is ONE narrow array expression per "
+    "~4x smaller than all positions. Pairs surface as span-level "
+    "near-dups when the shared set covers >= 25% of the smaller "
+    "doc's fingerprints (the containment-style overlap MOSS "
+    "reports; an absolute count is non-discriminating under shared "
+    "boilerplate vocabulary). Fingerprinting is ONE narrow array "
+    "expression per "
     "doc (operators/textstats.winnow_fingerprints, no explode, no "
     "Python); the only shuffles are fingerprint-keyed — at corpus "
     "scale candidates are bounded by fingerprint-bucket occupancy, "
@@ -2329,14 +2348,40 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     fps = fps.localCheckpoint(eager=True)
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nf")
+    )
     a = fps.select(F.col("doc_id").alias("da"), "fp")
     b = fps.select(F.col("doc_id").alias("db"), "fp")
-    return (
+    pairs = (
         a.join(b, "fp")
         .filter(F.col("da") < F.col("db"))
         .groupBy("da", "db")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fp"))
-        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("da"), F.col("nf").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("db"), F.col("nf").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .filter(
+            F.col("n_shared_fp") * 1_000_000
+            >= WINNOW_MIN_SHARE_PPM
+            * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "da",
+            "db",
+            "n_shared_fp",
+            F.expr(
+                "CAST(n_shared_fp * 1000000 DIV least(na, nb) "
+                "AS BIGINT)"
+            ).alias("share_ppm"),
+        )
         .orderBy("da", "db")
     )
 
@@ -2344,19 +2389,35 @@ def q278(spark: SparkSession, sf: str) -> DataFrame:
 #: q279: candidate watermarks (seconds) for the lateness accounting
 WATERMARKS_S = (60, 300, 3600)
 
-#: q279: arrival-order band width (event_id DIV this)
-LATE_BAND = 65536
+#: q279: max simulated ingest delay (seconds). The fixture's event_id
+#: order IS event-time order, so measured lateness against raw arrival
+#: would be identically zero (a vacuous gate — the r5 lesson); the
+#: arrival process is modeled as ts + an md5(event_id)-derived delay
+#: in [0, MAX_DELAY) — deterministic, cross-engine-exact, and bounded
+#: so the three candidate watermarks split the distribution (1m and
+#: 5m drop real counts; 1h provably drops nothing).
+LATE_MAX_DELAY_S = 900
 
 
 @register(
     "q279_watermark_lateness",
     oracle=f"""
-        WITH r AS (
+        WITH a AS (
             SELECT epoch_us(ts) AS t,
-                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                   epoch_us(ts) + 1000000 * (
+                       CAST(CAST(concat('0x', substr(
+                           md5(CAST(event_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS BIGINT)
+                       % {LATE_MAX_DELAY_S}) AS arr,
+                   event_id
+            FROM events
+        ),
+        r AS (
+            SELECT t,
+                   MAX(t) OVER (ORDER BY arr, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS hw
-            FROM events
+            FROM a
         ),
         l AS (
             SELECT GREATEST(COALESCE(hw, t) - t, 0) AS late_us FROM r
@@ -2372,12 +2433,18 @@ LATE_BAND = 65536
         FROM l
     """,
     doc="Watermark-lateness accounting: for each event, its lateness "
-    "against the running event-time high watermark in ARRIVAL order "
-    "(event_id — the feed's ingestion sequence), then the exact drop "
+    "against the running event-time high watermark in ARRIVAL order, "
+    "then the exact drop "
     "counts a streaming watermark of 1m/5m/1h would have caused — "
     "the measurement that picks T4's withWatermark bound from data "
     "instead of folklore (too tight silently drops the tail this "
-    "query counts; too loose holds state). The running MAX is the "
+    "query counts; too loose holds state). Arrival is the modeled "
+    "ingest process ts + md5(event_id)-derived delay < "
+    f"{LATE_MAX_DELAY_S}s (the fixture's raw id order IS time order, "
+    "which would measure nothing — vacuity pinned in tests); "
+    "lateness is then provably < the delay bound, so the 1h "
+    "watermark drops zero BY CONSTRUCTION while 1m/5m count real "
+    "tails. The running MAX is the "
     "prefix-COMBINE twin of the banded cumsum: per-band maxima, "
     "band-grain strict-prefix max (the only unpartitioned window, "
     "band grain), in-band strict-prefix max partitioned by band — "
@@ -2389,11 +2456,22 @@ LATE_BAND = 65536
 def q279(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
+    delay_s = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % LATE_MAX_DELAY_S
+    arr = (
+        F.unix_micros(F.col("ts")) + 1_000_000 * delay_s
+    ).alias("arr")
     ev = table(spark, sf, "events").select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("t"),
-        F.floor(F.col("event_id") / LATE_BAND).cast("bigint")
-        .alias("b"),
+        arr,
+    ).withColumn(
+        # band on the ARRIVAL minute: monotone in the arrival order,
+        # so in-band + strict-prefix-band maxima compose exactly
+        "b", F.floor(F.col("arr") / 60_000_000).cast("bigint")
     )
     bmax = ev.groupBy("b").agg(F.max("t").alias("bm"))
     w_bands = Window.orderBy("b").rowsBetween(
@@ -2404,7 +2482,7 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_in = (
         Window.partitionBy("b")
-        .orderBy("event_id")
+        .orderBy("arr", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     late = (
