@@ -74,3 +74,63 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 30,
+) -> tuple[DataFrame, int]:
+    """K-core of an undirected graph: the (unique, maximal) subgraph
+    in which every node has degree >= k — the standard density filter
+    before community detection and the robustness audit behind
+    "how much of this graph survives removing the periphery".
+
+    ``edges`` carries one row per undirected edge as (ua, ub) with
+    ua < ub (the q267 convention). Returns (core_edges, n_iters):
+    the surviving edge set and how many peeling rounds ran.
+
+    Algorithm: iterative peeling — drop every node with current
+    degree < k, restrict the edge set, repeat to fixed point. Each
+    round is ONE degree aggregate + two semi-joins, all keyed on the
+    node id; the driver loop carries only per-round edge COUNTS
+    (the q121/kmeans bounded-driver-loop convention) and stops at
+    the fixed point, bounded by ``max_iters``. Rounds needed equal
+    the longest peel chain — small for real (power-law) graphs;
+    every intermediate edge set is localCheckpointed so lineage
+    stays constant-depth.
+
+    Correctness invariants (pinned in tests/test_plans.py-adjacent
+    suites rather than a SQL oracle — recursive peeling is not
+    expressible as a single DuckDB query): (a) every core node has
+    >= k neighbors INSIDE the core; (b) no removed node has >= k
+    neighbors in the core (degrees only shrink while peeling, so
+    such a node could never have been removed) — together these are
+    exactly the k-core's defining maximality."""
+    cur = edges.select("ua", "ub").localCheckpoint(eager=True)
+    n_prev = cur.count()
+    iters = 0
+    for _ in range(max_iters):
+        deg = (
+            cur.select(F.col("ua").alias("u"))
+            .unionAll(cur.select(F.col("ub").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("u")
+        nxt = (
+            cur.join(
+                keep.select(F.col("u").alias("ua")), "ua", "left_semi"
+            )
+            .join(
+                keep.select(F.col("u").alias("ub")), "ub", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        iters += 1
+        cur = nxt
+        if n_next == n_prev:
+            break
+        n_prev = n_next
+    return cur, iters

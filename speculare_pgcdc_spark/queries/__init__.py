@@ -41,12 +41,13 @@ SWEEP_FIRST = [
     # (ADVICE r8); q262's rank windows and q267's day-position
     # computation are rewritten banded (r8 verdict item 3 + ADVICE),
     # and q267's oracle wedge sum moves to exact integer //.
-    # q271-q279 are NEW this round: the ANN-fed hard-negative miner
+    # q271-q280 are NEW this round: the ANN-fed hard-negative miner
     # (rows-only; recall-vs-exact pinned in tests/test_llm), then the
     # round-9 operator batch (partition-digest diff, ngram novelty,
     # trimmed mean, null-isolated join, unigram log-prob, quantile
-    # normalization, winnowing pairs, watermark lateness — all
-    # oracle-checked).
+    # normalization, winnowing pairs, watermark lateness, k-core
+    # decomposition — all oracle-checked except q271/q280, whose
+    # invariants are pinned in tests).
     "q271_hard_negatives_ann",
     "q272_partition_digest_diff",
     "q273_ngram_novelty",
@@ -56,6 +57,7 @@ SWEEP_FIRST = [
     "q277_quantile_normalize",
     "q278_winnowing_pairs",
     "q279_watermark_lateness",
+    "q280_kcore_decomposition",
     "q258_quality_gate_bitmask",
     "q262_spearman_rank",
     "q267_triangle_count",

@@ -2520,3 +2520,106 @@ def q279(spark: SparkSession, sf: str) -> DataFrame:
         F.max("late_us").cast("bigint").alias("max_late_us"),
     ]
     return late.agg(*aggs)
+
+
+#: q280: k-core threshold. The graph matters more than k: the q267
+#: temporal-adjacency graph is near-REGULAR (everyone close to avg
+#: degree), where k-core is all-or-nothing — k=3 peeled nothing and
+#: k=avg+1 cascaded to empty at every scale. The customer-supplier
+#: bipartite graph has the heterogeneous degrees k-core is FOR
+#: (customer side: min 1-3, p25 10-30; supplier side: 139+), and
+#: orders-per-customer is scale-invariant, so k=8 peels some but
+#: never all nodes at every fixture scale (non-vacuity pinned).
+KCORE_K = 8
+
+
+@register(
+    "q280_kcore_decomposition",
+    oracle=None,  # iterative peeling is not one SQL query; the
+    # defining invariants (every core node has >= k in-core
+    # neighbors; no removed node does) are pinned exactly in
+    # tests/test_llm.py::test_q280_kcore_invariants
+    doc=f"K-core decomposition (k={KCORE_K}) of the customer-"
+    "supplier bipartite graph (distinct (custkey, suppkey) trade "
+    "pairs; ids disambiguated 2c / 2s+1): iteratively peel nodes "
+    "of degree < k "
+    "to the unique maximal subgraph where every node keeps >= k "
+    "neighbors — the periphery-robustness audit run before "
+    "community detection (operators/graph.kcore; the graph-family "
+    "sibling of q121 PageRank / q86 components / q267 triangles). "
+    "Each round is one degree aggregate + two node-keyed semi-joins "
+    "with only per-round edge COUNTS crossing to the driver (the "
+    "q121/kmeans bounded-loop convention), localCheckpointed to "
+    "constant lineage depth. Output is the one-row summary (k, "
+    "core nodes/edges, peel rounds, an order-free node checksum "
+    "pinning MEMBERSHIP, and the core's share of all nodes in "
+    "exact ppm); rows-only by contract — recursive peeling is not "
+    "a single SQL query — with the defining maximality invariants "
+    "exact-tested instead.",
+)
+def q280(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.graph import kcore
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("ua"),
+            (F.col("l_suppkey") * 2 + 1).alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    core, iters = kcore(e, KCORE_K)
+    nodes_all = (
+        e.select(F.col("ua").alias("u"))
+        .unionAll(e.select(F.col("ub").alias("u")))
+        .distinct()
+    )
+    core_nodes = (
+        core.select(F.col("ua").alias("u"))
+        .unionAll(core.select(F.col("ub").alias("u")))
+        .distinct()
+    )
+    stats = core_nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        (
+            F.sum(F.col("u").cast("decimal(38,0)"))
+            % F.lit(10**18).cast("decimal(38,0)")
+        ).cast("bigint").alias("core_node_checksum"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(
+                core.agg(
+                    F.count(F.lit(1)).cast("bigint")
+                    .alias("n_core_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                nodes_all.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+                )
+            )
+        )
+        .select(
+            F.lit(KCORE_K).cast("bigint").alias("k"),
+            "n_nodes",
+            "n_core_nodes",
+            "n_core_edges",
+            F.lit(iters).cast("bigint").alias("n_peel_rounds"),
+            "core_node_checksum",
+            F.expr(
+                "n_core_nodes * 1000000 DIV greatest(n_nodes, 1)"
+            ).cast("bigint").alias("core_share_ppm"),
+        )
+    )

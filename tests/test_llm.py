@@ -1064,11 +1064,62 @@ def test_gate_queries_are_not_vacuous(spark, sf_dir):
         WINNOW_DOC_CAP,
     )
     assert 0 < n_pairs < WINNOW_DOC_CAP * (WINNOW_DOC_CAP - 1) // 2
+    kc = reg["q280_kcore_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert 0 < kc.n_core_nodes < kc.n_nodes, "k-core gate is vacuous"
     # every quality rule must discriminate (both truth values occur)
     rules = reg["q152_quality_rules"].fn(spark, sf_dir)
     for c in ("rule_length", "rule_word_len", "rule_uniq",
               "rule_stopword", "passes"):
         assert rules.select(c).distinct().count() == 2, c
+
+
+def test_q280_kcore_invariants(spark, sf_dir):
+    """The k-core's DEFINING properties, exact (the rows-only
+    contract's teeth — recursive peeling has no single-SQL oracle):
+    (a) every core node keeps >= k neighbors INSIDE the core;
+    (b) no removed node has >= k neighbors in the core (degrees only
+    shrink while peeling, so such a node could never be removed) —
+    (a)+(b) are exactly uniqueness+maximality of the k-core."""
+    from speculare_pgcdc_spark.operators.graph import kcore
+    from speculare_pgcdc_spark.queries.corpus_pipeline import KCORE_K
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    e = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("ua"),
+            (F.col("l_suppkey") * 2 + 1).alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    core, _ = kcore(e, KCORE_K)
+    core_edges = {(r.ua, r.ub) for r in core.collect()}
+    all_edges = {(r.ua, r.ub) for r in e.collect()}
+    assert core_edges <= all_edges
+    core_nodes = {u for ed in core_edges for u in ed}
+    # (a) in-core degree >= k for every core node
+    from collections import Counter
+
+    deg_in_core = Counter()
+    for ua, ub in core_edges:
+        deg_in_core[ua] += 1
+        deg_in_core[ub] += 1
+    assert core_nodes, "empty core is a vacuous test"
+    assert min(deg_in_core.values()) >= KCORE_K
+    # (b) no removed node has >= k neighbors in the core
+    removed_deg = Counter()
+    for ua, ub in all_edges - core_edges:
+        if ua not in core_nodes:
+            removed_deg[ua] += 1 if ub in core_nodes else 0
+        if ub not in core_nodes:
+            removed_deg[ub] += 1 if ua in core_nodes else 0
+    assert all(d < KCORE_K for d in removed_deg.values())
 
 
 @pytest.fixture(scope="module")
