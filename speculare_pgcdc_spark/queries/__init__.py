@@ -36,72 +36,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # (1) changed this round (round 9) — re-attest after change:
-    # q258's oracle canonicalizes NULL text like the Spark side
-    # (ADVICE r8); q262's rank windows and q267's day-position
-    # computation are rewritten banded (r8 verdict item 3 + ADVICE),
-    # and q267's oracle wedge sum moves to exact integer //.
-    # q271-q280 are NEW this round: the ANN-fed hard-negative miner
-    # (rows-only; recall-vs-exact pinned in tests/test_llm), then the
-    # round-9 operator batch (partition-digest diff, ngram novelty,
-    # trimmed mean, null-isolated join, unigram log-prob, quantile
-    # normalization, winnowing pairs, watermark lateness, k-core
-    # decomposition — all oracle-checked except q271/q280, whose
-    # invariants are pinned in tests).
-    "q271_hard_negatives_ann",
-    "q272_partition_digest_diff",
-    "q273_ngram_novelty",
-    "q274_trimmed_mean",
-    "q275_null_skew_join",
-    "q276_unigram_logprob",
-    "q277_quantile_normalize",
-    "q278_winnowing_pairs",
-    "q279_watermark_lateness",
-    "q280_kcore_decomposition",
-    "q258_quality_gate_bitmask",
-    "q262_spearman_rank",
-    "q267_triangle_count",
-    # (2) oldest-first re-attestation, continued (r8 verdict item 1):
-    # the r02/r05-era block the r8 budget ran out before (q63-q79),
-    # then the r02 block (q19-q34), then the r03 block (q01-q18);
-    # budget overflow simply falls to next round's front.
-    "q63_percentiles",
-    "q64_ordered_array_agg",
-    "q65_shingle_jaccard",
-    "q66_rolling_fingerprint",
-    "q67_binned_range_join",
-    "q68_salted_agg",
-    "q69_rank_family",
-    "q70_multiset_ops",
-    "q71_srp_neardup",
-    "q72_gapfill_locf",
-    "q73_gapfill_interpolate",
-    "q74_string_funcs2",
-    "q75_udtf_ngrams",
-    "q76_cube",
-    "q77_approx_percentiles",
-    "q78_stratified_sample",
-    "q79_jaccard_df_capped",
-    "q80_range_frame_binned",
-    "q19_conditional_agg",
-    "q20_row_number",
-    "q21_lag_lead",
-    "q22_rows_frame",
-    "q23_range_frame",
-    "q24_multikey_sort",
-    "q25_topk",
-    "q26_union_all",
-    "q26_union_distinct",
-    "q27_except",
-    "q27_intersect",
-    "q28_string_funcs",
-    "q29_datetime_funcs",
-    "q30_math_funcs",
-    "q31_array_funcs",
-    "q32_map_funcs",
-    "q33_json_filter",
-    "q34_case_coalesce",
-    "q01_scan_count",
+    # Round 10: FINISH the attestation rotation (r9 verdict item 1).
+    # After r09 attested q01/q19-q34/q63-q80 and the round-9 batch,
+    # exactly 51 queries still carry r02/r03-era driver rows. They fill
+    # the whole ~50-query budget, oldest first: the 7 r02-era rows,
+    # then q02-q18, q37-q38, q55-q60, then q81-q95. Round-10 additions
+    # (q281+) queue AFTER the stale block — closing the old ledger
+    # outranks first-attesting new rows, which the three-scale + skew
+    # sweeps already hash-check this round.
+    # (1) the 7 r02-era rows:
+    "q39_dedup_distinct",
+    "q39_dedup_first_per_key",
+    "q40_pandas_udf",
+    "q40_python_udf",
+    "q41_grouped_agg_udaf",
+    "q41_grouped_map_zscore",
+    "q54_approx_distinct",
+    # (2) r03-era: q02-q18, q37-q38, q55-q60:
     "q02_json_extract",
     "q03_projection",
     "q04_filter_predicates",
@@ -123,23 +74,34 @@ SWEEP_FIRST = [
     "q16_distinct",
     "q17_rollup",
     "q18_having",
-    # (3) remaining r02/r03-era rows for the r10 front if the budget
-    # reaches this far:
     "q37_tumbling_window",
     "q38_session_window",
-    "q39_dedup_distinct",
-    "q39_dedup_first_per_key",
-    "q40_pandas_udf",
-    "q40_python_udf",
-    "q41_grouped_agg_udaf",
-    "q41_grouped_map_zscore",
-    "q54_approx_distinct",
     "q55_sliding_window",
     "q56_tpch_q3_shipping_priority",
     "q57_tpch_q5_local_supplier",
     "q58_tpch_q10_returned_items",
     "q59_tpch_q12_late_lines",
     "q60_tpch_q18_large_orders",
+    # (3) r03-era tail: q81-q95 — as much as the budget allows; any
+    # overflow falls to the round-11 front:
+    "q81_cdc_pipeline_v2",
+    "q82_repetition_signal",
+    "q83_label_centroids",
+    "q84_pii_redaction",
+    "q85_kmeans_clusters",
+    "q86_dup_components",
+    "q87_contamination",
+    "q88_chunking",
+    "q89_source_mixing",
+    "q90_token_budget",
+    "q91_cluster_neardup",
+    "q92_window_dup_signal",
+    "q93_canonical_dedup",
+    "q94_asof_tolerance",
+    "q95_weighted_sampling",
+    # (4) NEW this round (round 10) — first driver attestation when
+    # the budget reaches here (sweep-green at 3 scales + skew either
+    # way):
 ]
 
 
