@@ -45,8 +45,9 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     # parallelism (splits can't subdivide one). 32 parts at 100x made
     # every fact scan a 32-owning-task stage behind 128 mostly-empty
     # splits — the r9 probe read that writer artifact as 650x "skew"
-    # on a scan with zero shuffle. ~factor*2.5 parts keeps row groups
-    # near the size a real 100 TB table's would be relative to tasks.
+    # on a scan with zero shuffle. factor*3 parts (floor 32, cap 256)
+    # keeps row groups near the size a real 100 TB table's would be
+    # relative to tasks.
     parts = max(32, min(factor * 3, 256))
 
     def fanout(df):

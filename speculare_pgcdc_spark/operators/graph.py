@@ -110,6 +110,7 @@ def kcore(
     cur = edges.select("ua", "ub").localCheckpoint(eager=True)
     n_prev = cur.count()
     iters = 0
+    converged = False
     for _ in range(max_iters):
         deg = (
             cur.select(F.col("ua").alias("u"))
@@ -131,6 +132,17 @@ def kcore(
         iters += 1
         cur = nxt
         if n_next == n_prev:
+            converged = True
             break
         n_prev = n_next
+    if not converged:
+        # An edge set that is still shrinking when max_iters runs out
+        # is NOT a k-core (some node may have degree < k): publishing
+        # it would violate the defining invariant with no signal, so
+        # truncation is an error, not a result.
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach a fixed point within "
+            f"{max_iters} peeling rounds ({n_prev} -> {n_next} edges "
+            "in the last round); raise max_iters"
+        )
     return cur, iters

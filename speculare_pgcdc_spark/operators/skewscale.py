@@ -305,8 +305,19 @@ def null_isolated_left_join(
     columns plus dim's non-key columns.
 
     ``dim`` must carry the join key under the SAME name ``key`` (the
-    usual dimension shape); its other columns are appended.
+    usual dimension shape); its other columns are appended, so they
+    must be DISJOINT from big's columns — a shared non-key name would
+    make the post-join column selection ambiguous, so it is rejected
+    up front (alias dim's columns before calling).
     """
+    overlap = sorted(
+        (set(big.columns) & set(dim.columns)) - {key}
+    )
+    if overlap:
+        raise ValueError(
+            "null_isolated_left_join: dim's non-key columns "
+            f"{overlap} collide with big's; alias them first"
+        )
     dim_cols = [c for c in dim.columns if c != key]
     matched = big.filter(F.col(key).isNotNull()).join(dim, key, "left")
     dim_fields = {f.name: f.dataType for f in dim.schema.fields}

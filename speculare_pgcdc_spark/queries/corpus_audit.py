@@ -126,6 +126,34 @@ def _diff_rowhash_sql(price_expr: str) -> str:
         o_orderpriority)), 1, 12)) AS BIGINT) AS BIGINT)"""
 
 
+def diff_rowhash_col(price: F.Column) -> F.Column:
+    """Spark twin of :func:`_diff_rowhash_sql` — the SAME 48-bit
+    orders-row digest as a Column expression. Defined once here and
+    imported by every consumer (q238's row-level diff, q272's
+    partition-digest diff) so the two renderings cannot drift apart
+    on a schema/field change: any edit to the hashed field list must
+    touch this pair side by side."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.floor(price * 100).cast("bigint").cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 @register(
     "q238_snapshot_diff",
     oracle=f"""
@@ -178,29 +206,7 @@ def _diff_rowhash_sql(price_expr: str) -> str:
     "to divergent buckets only.",
 )
 def q238(spark: SparkSession, sf: str) -> DataFrame:
-    def rowhash(price: F.Column) -> F.Column:
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("o_custkey").cast("string"),
-                        F.col("o_orderstatus"),
-                        F.floor(price * 100).cast("bigint")
-                        .cast("string"),
-                        F.col("o_orderdate").cast("date")
-                        .cast("string"),
-                        F.col("o_orderpriority"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-
+    rowhash = diff_rowhash_col
     orders = table(spark, sf, "orders")
     old = orders.select(
         F.col("o_orderkey").alias("k"),

@@ -1702,30 +1702,8 @@ def q272(spark: SparkSession, sf: str) -> DataFrame:
         DIFF_DRIFT_MOD,
         DIFF_DROP_MOD,
         DIFF_INSERT_MOD,
+        diff_rowhash_col as rowhash,
     )
-
-    def rowhash(price):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("o_custkey").cast("string"),
-                        F.col("o_orderstatus"),
-                        F.floor(price * 100).cast("bigint")
-                        .cast("string"),
-                        F.col("o_orderdate").cast("date")
-                        .cast("string"),
-                        F.col("o_orderpriority"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
 
     orders = table(spark, sf, "orders")
     d = F.col("o_orderdate").cast("date").alias("d")
@@ -2099,8 +2077,13 @@ def q275(spark: SparkSession, sf: str) -> DataFrame:
     "the corpus total crosses as a broadcast single row; per-doc "
     "reduce is map-side combinable. Determinism: ln terms are "
     "identical IEEE doubles in both engines on identical integer "
-    "ratios (the q159 exp-sum-log contract), each truncated to "
-    "DECIMAL(28,12) before the order-free sum, published ROUND 6. "
+    "ratios (the q159 exp-sum-log contract) — a BIT-IDENTITY "
+    "assumption stronger than IEEE's ~1-ulp log bound, so it is "
+    "pinned directly by test_q276_ln_contract_bit_identity_vs_duckdb "
+    "over every fixture ratio (a libm divergence fails there with "
+    "the offending ratio, not as an opaque hash mismatch) — each "
+    "truncated to DECIMAL(28,12) before the order-free sum, "
+    "published ROUND 6. "
     f"Per-doc rows capped at doc_id < {LOGPROB_DOC_CAP} (q66's "
     "verification-sized convention); the vocab/join tier is "
     "corpus-wide.",

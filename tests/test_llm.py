@@ -1238,3 +1238,73 @@ def test_q271_ann_recall_vs_exact(spark, sf_dir):
         if r.far_pos_sim_ppm is not None:
             assert r.far_pos_sim_ppm >= ex.far_pos_sim_ppm
     assert hit / len(ann) >= 0.6, f"hard-neg recall {hit}/{len(ann)}"
+
+
+def test_q276_ln_contract_bit_identity_vs_duckdb(spark, sf_dir, duck):
+    """PIN the q276 cross-engine ln() contract (ADVICE r9): the
+    oracle hash match assumes JVM Math.log and DuckDB ln() return
+    BIT-IDENTICAL doubles on identical integer-ratio inputs. That is
+    stronger than IEEE-754 guarantees (log is correct only to ~1 ulp
+    per libm), and the DECIMAL(28,12) truncation can NOT absorb a
+    1-ulp flip that straddles a truncation boundary — with ~1e4
+    distinct ratios some WILL sit within an ulp of the 1e-12 grid.
+    So the real contract is bit-identity, and this test checks it
+    directly over every distinct (total, freq) ratio in the fixture
+    vocabulary: if a platform's libm ever diverges, this fails with
+    the offending ratio instead of an opaque hash mismatch (the same
+    diagnosis pattern that got pow() replaced by sqrt())."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    freqs = sorted({r.f for r in vocab.select("f").distinct().collect()})
+    total = vocab.agg(F.sum("f")).collect()[0][0]
+    spark_ln = (
+        spark.createDataFrame([(int(f),) for f in freqs], "f long")
+        .select(
+            "f",
+            F.log(F.lit(int(total)).cast("double") / F.col("f"))
+            .alias("s"),
+        )
+        .collect()
+    )
+    duck_ln = {
+        f: s
+        for f, s in duck.execute(
+            "SELECT f, ln(CAST(? AS DOUBLE) / f) FROM "
+            "(SELECT unnest(?) AS f)",
+            [int(total), [int(f) for f in freqs]],
+        ).fetchall()
+    }
+    import struct
+
+    for r in spark_ln:
+        a = struct.pack("<d", r.s)
+        b = struct.pack("<d", duck_ln[r.f])
+        assert a == b, (
+            f"ln({total}/{r.f}) differs across engines: "
+            f"spark={r.s!r} duckdb={duck_ln[r.f]!r}"
+        )
+
+
+def test_kcore_nonconvergence_raises(spark):
+    """kcore must REFUSE to publish a truncated (still-shrinking)
+    edge set: with max_iters too small for the peel chain the result
+    is not a k-core at all (ADVICE r9)."""
+    from speculare_pgcdc_spark.operators.graph import kcore
+
+    # a path graph peels one edge per round from each end: k=2 core
+    # is empty but needs ~n/2 rounds to reach it
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "ua long, ub long"
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        kcore(edges, 2, max_iters=2)
+    core, iters = kcore(edges, 2, max_iters=30)
+    assert core.count() == 0 and iters <= 30

@@ -189,6 +189,19 @@ def test_null_isolated_join_equals_plain_left_join(spark):
     assert got == exp
 
 
+def test_null_isolated_join_rejects_column_collision(spark):
+    """A dim non-key column shadowing a big column would make the
+    post-join selection ambiguous — rejected up front (ADVICE r9)."""
+    from speculare_pgcdc_spark.operators.skewscale import (
+        null_isolated_left_join,
+    )
+
+    big = spark.createDataFrame([(1, 1, "a")], "rid long, k int, payload string")
+    dim = spark.createDataFrame([(1, "b")], "k int, payload string")
+    with pytest.raises(ValueError, match="payload"):
+        null_isolated_left_join(big, dim, "k")
+
+
 def test_bin_range_join_equals_naive_theta_join(rnd_events):
     from speculare_pgcdc_spark.operators.skewscale import bin_range_join
 
