@@ -2161,3 +2161,133 @@ def test_stream_stream_interval_join_matches_batch_twin(
         .collect()
     }
     assert batch == {(1, 100, 200), (3, 102, 202)}
+
+
+def test_q279_watermark_picks_drive_real_stream_drops(
+    spark, sf_dir, tmp_path
+):
+    """Close the loop from q279's lateness MEASUREMENT to T4's
+    withWatermark SEMANTICS (r9 verdict item 3): the events a real
+    watermarked stream drops are exactly the events q279 counts as
+    late, on the same modeled-arrival feed.
+
+    Three independent derivations are pinned against each other:
+    (1) the registry q279 plan run on the feed subset (Spark md5
+    arrival model, banded prefix-max), (2) a pure-Python hashlib
+    re-derivation of the same model (also the boundary guard), and
+    (3) a real per-event micro-batch stream through
+    withWatermark(W) + dropDuplicates.
+
+    Stream mechanics that make the parity EXACT: one file per batch
+    in arrival order, each event followed by a heartbeat re-send of
+    itself — the engine applies a batch's watermark from stats that
+    lag one batch behind, so the heartbeat batch lets the watermark
+    absorb event i before event i+1 arrives, making the effective
+    watermark exactly q279's running prefix max minus W. Boundary
+    convention differs (Spark drops lateness >= W, q279 counts
+    > W), so the guard asserts the feed has no exact-boundary
+    lateness (the fixture's microsecond-random ts make ties
+    measure-zero)."""
+    import hashlib
+
+    from speculare_pgcdc_spark.catalog import table
+    from speculare_pgcdc_spark.queries import load_all
+
+    N = 70
+    rows = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("ts_str"),
+        )
+        .collect()
+    )
+    # (2) pure-Python arrival model (independent of Spark's md5/conv)
+    def delay_s(eid: int) -> int:
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 900
+
+    arr = sorted(
+        ((r.t + 1_000_000 * delay_s(r.event_id), r.event_id, r.t, r.ts_str)
+         for r in rows)
+    )[:N]
+    hw = None
+    model = []  # (event_id, late_us)
+    for _a, eid, t, _s in arr:
+        late = max((hw - t), 0) if hw is not None else 0
+        model.append((eid, late))
+        hw = t if hw is None else max(hw, t)
+    for _eid, late in model:
+        assert late not in (60_000_000, 300_000_000), "boundary tie"
+    exp_1m = {e for e, l in model if l > 60_000_000}
+    exp_5m = {e for e, l in model if l > 300_000_000}
+    assert exp_5m and len(exp_1m) > len(exp_5m), "vacuous feed prefix"
+
+    # (1) the registry q279 plan on the same subset feed
+    subset_dir = tmp_path / "subset"
+    subset_ids = [eid for _a, eid, _t, _s in arr]
+    (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isin(subset_ids))
+        .select("event_id", "ts")
+        .coalesce(1)
+        .write.parquet(str(subset_dir / "events.parquet"))
+    )
+    q279 = load_all()["q279_watermark_lateness"].fn(
+        spark, str(subset_dir)
+    ).collect()[0]
+    assert q279.n_events == N
+    assert q279.n_late_1m == len(exp_1m)
+    assert q279.n_late_5m == len(exp_5m)
+    assert q279.n_late_1h == 0  # delay bound 900s < 1h, by construction
+
+    # (3) a REAL watermarked stream per candidate pick
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    feed_dir = tmp_path / "feed"
+    os.makedirs(feed_dir)
+    t0 = 1_700_000_000
+    i = 0
+    for _a, eid, _t, ts_str in arr:
+        for _rep in range(2):  # event batch + heartbeat batch
+            p = str(feed_dir / f"{i:05d}.json")
+            _write_jsonl(p, [{"ts": ts_str, "event_id": eid}])
+            os.utime(p, (t0 + i, t0 + i))
+            i += 1
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        for w_s, expected in ((60, exp_1m), (300, exp_5m)):
+            src = (
+                spark.readStream.schema("ts timestamp, event_id bigint")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(feed_dir))
+            )
+            out = src.withWatermark(
+                "ts", f"{w_s} seconds"
+            ).dropDuplicates(["event_id"])
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"t_q279_{w_s}")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck{w_s}")
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            survived = {
+                r.event_id
+                for r in spark.sql(
+                    f"SELECT event_id FROM t_q279_{w_s}"
+                ).collect()
+            }
+            assert set(subset_ids) - survived == expected, (
+                f"W={w_s}s: stream dropped "
+                f"{sorted(set(subset_ids) - survived)}, "
+                f"q279 counted {sorted(expected)} late"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
