@@ -146,6 +146,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus_analytics,
         corpus_audit,
         corpus_pipeline,
+        corpus_metrics,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

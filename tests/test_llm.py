@@ -1060,7 +1060,7 @@ def test_gate_queries_are_not_vacuous(spark, sf_dir):
     assert wl.n_late_1m > 0, "lateness gate is vacuous"
     assert wl.n_late_1h == 0  # provable: delay bound < 1h
     n_pairs = reg["q278_winnowing_pairs"].fn(spark, sf_dir).count()
-    from speculare_pgcdc_spark.queries.corpus_pipeline import (
+    from speculare_pgcdc_spark.queries.corpus_metrics import (
         WINNOW_DOC_CAP,
     )
     assert 0 < n_pairs < WINNOW_DOC_CAP * (WINNOW_DOC_CAP - 1) // 2
@@ -1081,7 +1081,7 @@ def test_q280_kcore_invariants(spark, sf_dir):
     shrink while peeling, so such a node could never be removed) —
     (a)+(b) are exactly uniqueness+maximality of the k-core."""
     from speculare_pgcdc_spark.operators.graph import kcore
-    from speculare_pgcdc_spark.queries.corpus_pipeline import KCORE_K
+    from speculare_pgcdc_spark.queries.corpus_metrics import KCORE_K
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"

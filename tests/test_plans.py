@@ -1325,7 +1325,7 @@ def test_q267_position_windows_are_banded(q, spark, sf_dir):
     # Same contract family as q80/q194/q262/q270 — data-grain windows
     # over a low-cardinality time key must carry a band.
     from speculare_pgcdc_spark.plans import plan_string
-    from speculare_pgcdc_spark.queries.corpus_pipeline import (
+    from speculare_pgcdc_spark.queries.corpus_metrics import (
         _q267_edges,
     )
 
