@@ -51,6 +51,7 @@ def banded_row_number(
     out: str = "rn",
     *,
     pin: bool = True,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Add exact global ``row_number`` (1-based) over a total order.
 
@@ -61,12 +62,20 @@ def banded_row_number(
     along the order.  ``pin=True`` localCheckpoints the binned frame so
     its two consumers (bin aggregate + in-bin window) share one
     computation.
+
+    ``by`` ranks independently WITHIN each group of the named columns
+    (the order restarts at 1 per group): one plan ranks many series at
+    once — e.g. q130's three RFM metrics unpivoted to (metric, value)
+    rows — instead of one subplan per series, each paying its own bin
+    aggregate, window pair, and scheduling overhead. With ``by`` the
+    bin-grain cumsum window partitions by the group too, so even the
+    band-grain stage is group-parallel.
     """
     _check_reserved(df, out)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)
-    return _rank_binned(binned, order_cols, out)
+    return _rank_binned(binned, order_cols, out, by=by)
 
 
 #: internal working columns — input frames must not collide with them
@@ -92,26 +101,35 @@ def _check_reserved(df: DataFrame, out: str) -> None:
 
 
 def _rank_binned(
-    binned: DataFrame, order_cols: Sequence[Column | str], out: str
+    binned: DataFrame,
+    order_cols: Sequence[Column | str],
+    out: str,
+    by: Sequence[str] = (),
 ) -> DataFrame:
-    bins = binned.groupBy("__b").agg(F.count(F.lit(1)).alias("__bcnt"))
-    w_bins = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, -1
+    by = list(by)
+    bins = binned.groupBy(*by, "__b").agg(
+        F.count(F.lit(1)).alias("__bcnt")
+    )
+    w_bins = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     bins = bins.select(
+        *by,
         "__b",
         F.coalesce(F.sum("__bcnt").over(w_bins), F.lit(0)).alias(
             "__below_bins"
         ),
     )
     w_in = (
-        Window.partitionBy("__b")
+        Window.partitionBy(*by, "__b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         binned.withColumn("__below_in", F.count(F.lit(1)).over(w_in))
-        .join(F.broadcast(bins), "__b")
+        .join(F.broadcast(bins), [*by, "__b"])
         .withColumn(
             out,
             (F.col("__below_bins") + F.col("__below_in") + F.lit(1))
@@ -129,6 +147,7 @@ def banded_ntile(
     out: str = "bucket",
     *,
     pin: bool = True,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Add exact ``ntile(k)`` over a total order, banded-rank based.
 
@@ -139,25 +158,33 @@ def banded_ntile(
     may still state as the spec).  All arithmetic is BIGINT; the
     ``base = 0`` branch (n < k) never divides because rows then always
     fall in the first-``rem`` branch.
+
+    ``by`` computes an independent ntile within each group of the
+    named columns (``n`` is then the GROUP's row count) — the
+    one-pass multi-series form (see banded_row_number).
     """
     if k < 1:
         raise ValueError(f"banded_ntile needs k >= 1, got {k}")
     _check_reserved(df, out)
+    by = list(by)
     binned = df.withColumn("__b", bin_col)
     if pin:
         binned = binned.localCheckpoint(eager=True)
-    ranked = _rank_binned(binned, order_cols, out="__rn")
+    ranked = _rank_binned(binned, order_cols, out="__rn", by=by)
     # count from the pinned binned frame, not the ranked plan — the
     # broadcast n must not re-execute the join + windows
-    n = binned.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     bucket = F.expr(
         "CAST(CASE WHEN __rn <= (__n % {k}) * (__n DIV {k} + 1) "
         "THEN (__rn - 1) DIV (__n DIV {k} + 1) + 1 "
         "ELSE (__n % {k}) + (__rn - 1 - (__n % {k}) * (__n DIV {k} + 1)) "
         "DIV (__n DIV {k}) + 1 END AS BIGINT)".format(k=int(k))
     )
-    return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(out, bucket)
-        .drop("__rn", "__n")
-    )
+    if by:
+        n = binned.groupBy(*by).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
+        joined = ranked.join(F.broadcast(n), by)
+    else:
+        n = binned.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+        joined = ranked.crossJoin(F.broadcast(n))
+    return joined.withColumn(out, bucket).drop("__rn", "__n")

@@ -1398,57 +1398,69 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="RFM segmentation (recency/frequency/monetary quartiles — the "
     "canonical customer-scoring rollup): one hash agg per customer, "
-    "then three EXACT quartile assignments via the banded global rank "
-    "(operators/rankband.py — the q170 rewrite): each metric's "
-    "strictly-before count assembles from a cumsum over a tiny "
-    "bin-grain aggregate plus an in-bin PARTITIONED prefix window, so "
-    "no data-grain single-partition sort exists anywhere in the plan "
-    "even though quartiles are a global property. ntile(4) is then "
-    "integer arithmetic on (row_number, n) — bit-identical to the "
-    "oracle's NTILE spec. Monetary sums ride decimal; every order key "
-    "is totalized by o_custkey.",
+    "then all three EXACT quartile assignments in ONE banded-rank "
+    "pass (operators/rankband.py with by=['metric'] — the r9-verdict "
+    "one-pass rewrite): the customer aggregate unpivots to (metric, "
+    "value, bin) rows via stack(), each metric's strictly-before "
+    "count assembles from a metric-partitioned cumsum over a tiny "
+    "bin-grain aggregate plus an in-(metric,bin) PARTITIONED prefix "
+    "window, and a single o_custkey regroup pivots the buckets back "
+    "— so no data-grain single-partition sort exists anywhere even "
+    "though quartiles are a global property, and the three metrics "
+    "share one subplan instead of paying 3x scheduling overhead on a "
+    "customer-sized aggregate. ntile(4) is integer arithmetic on "
+    "(row_number, n-per-metric) — bit-identical to the oracle's "
+    "NTILE spec. Values compare as DECIMAL(38,6) (timestamps via "
+    "unix_micros, both engines' sort order preserved); monetary sums "
+    "ride decimal; every order key is totalized by o_custkey.",
 )
 def q130(spark: SparkSession, sf: str) -> DataFrame:
     from speculare_pgcdc_spark.operators.rankband import banded_ntile
 
-    base = (
-        table(spark, sf, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("freq"),
-            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
-                "monetary"
-            ),
-        )
-        # three banded-rank consumers share one customer aggregate
-        .localCheckpoint(eager=True)
+    base = table(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+            "monetary"
+        ),
+    )
+    # unpivot to (metric, val, bin): val is the metric's sort key in a
+    # common exactly-ordered type; bin is coarse + monotone in val
+    long = base.select(
+        "o_custkey",
+        F.expr(
+            "stack(3, "
+            " 'r', CAST(unix_micros(last_order) AS DECIMAL(38,6)), "
+            "      CAST(year(last_order) * 12 + month(last_order) "
+            "           AS BIGINT), "
+            " 'f', CAST(freq AS DECIMAL(38,6)), "
+            "      CAST(freq AS BIGINT), "
+            " 'm', CAST(monetary AS DECIMAL(38,6)), "
+            "      CAST(FLOOR(monetary / 10000) AS BIGINT)"
+            ") AS (metric, val, bin)"
+        ),
+    )
+    ranked = banded_ntile(
+        long,
+        [F.col("val"), F.col("o_custkey")],
+        F.col("bin"),
+        4,
+        out="bucket",
+        by=["metric"],
     )
 
-    def buckets(metric: str, bin_expr, name: str) -> DataFrame:
-        return banded_ntile(
-            base.select("o_custkey", metric),
-            [F.col(metric), F.col("o_custkey")],
-            bin_expr,
-            4,
-            out=name,
-        ).select("o_custkey", name)
+    def pick(m: str) -> F.Column:
+        return F.max(
+            F.when(F.col("metric") == m, F.col("bucket"))
+        ).cast("bigint")
 
-    r = buckets(
-        "last_order",
-        (F.year("last_order") * 12 + F.month("last_order"))
-        .cast("bigint"),
-        "r_bucket",
-    )
-    fb = buckets("freq", F.col("freq").cast("bigint"), "f_bucket")
-    m = buckets(
-        "monetary",
-        F.floor(F.col("monetary") / 10_000).cast("bigint"),
-        "m_bucket",
-    )
     return (
-        r.join(fb, "o_custkey")
-        .join(m, "o_custkey")
+        ranked.groupBy("o_custkey")
+        .agg(
+            pick("r").alias("r_bucket"),
+            pick("f").alias("f_bucket"),
+            pick("m").alias("m_bucket"),
+        )
         .orderBy("o_custkey")
     )
 
