@@ -739,6 +739,59 @@ def pq_topk(
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def capped_cell_pairs(
+    a_cells: DataFrame,
+    c_cells: DataFrame,
+    cap: int,
+    a_col: str = "aid",
+    c_col: str = "cid",
+    cell_col: str = "_cell",
+) -> DataFrame:
+    """Same-cell (anchor, candidate) pairs with a PER-CELL CANDIDATE
+    CAP — the IVF candidate tier's occupancy bound (r9 verdict item 6).
+
+    The ANN failure mode under skewed data is skewed CELL occupancy:
+    cluster sizes in real corpora are Zipf-ish, and a coarse quantizer
+    reproduces that — one hot cell can hold a large constant fraction
+    of all vectors, making the naive same-cell join quadratic in it
+    (|A ∩ hot| x |hot| pairs through one reducer). Salting fixes only
+    the task placement; the pair VOLUME is the real cost, and this
+    helper bounds it: each cell contributes at most ``cap`` candidate
+    rows, chosen by md5(candidate-id) rank — deterministic,
+    value-independent (no similarity peeking, so the subset-bound
+    invariants of mine_triplets are preserved), and cheap: the
+    row_number + filter compiles to WindowGroupLimit, which keeps a
+    cap-sized heap per cell on the MAP side, so not even the shuffle
+    carries an unbounded cell.
+
+    Guarantees: per-cell candidates <= cap, hence per-anchor pairs
+    <= probes x cap and per-cell pair volume <= |A_cell| x cap. A
+    candidate dropped from an over-full cell can still surface via its
+    OTHER probe cells — multi-probe doubles as the spill path. With
+    cap >= the largest cell the result is EXACTLY the uncapped join
+    (the fixtures' regime — pinned in tests); the cap only engages on
+    pathological occupancy, trading bounded recall for bounded work,
+    which is the standard IVF contract."""
+    from pyspark.sql import Window as W
+
+    if cap < 1:
+        raise ValueError(f"capped_cell_pairs needs cap >= 1, got {cap}")
+    rk = F.row_number().over(
+        W.partitionBy(cell_col).orderBy(
+            F.md5(F.col(c_col).cast("string")), F.col(c_col)
+        )
+    )
+    capped = (
+        c_cells.select(c_col, cell_col)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return a_cells.select(a_col, cell_col).join(capped, cell_col).select(
+        a_col, c_col
+    )
+
+
 def mine_triplets(
     anchors: DataFrame,
     cands: DataFrame,

@@ -1296,6 +1296,12 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
 HARDNEG_IVF_K = 8
 HARDNEG_IVF_ITERS = 2
 HARDNEG_IVF_PROBES = 2
+#: per-cell candidate cap (similarity.capped_cell_pairs): bounds the
+#: candidate tier under Zipf cell occupancy — far above every fixture
+#: cell (<= ~500 vectors at sf0.1), so it only engages on skewed data
+#: (probed in SKEW_PROBE_r10_ann.json); per-anchor work is then
+#: <= PROBES x CAP no matter how hot a cluster gets.
+HARDNEG_CELL_CAP = 1024
 
 
 @register(
@@ -1308,9 +1314,13 @@ HARDNEG_IVF_PROBES = 2
     "k x dim model crosses to the driver), assign anchors and corpus "
     f"to their {HARDNEG_IVF_PROBES} nearest cells (multi-probe "
     "literal-model narrow map, no join), candidates = same-cell "
-    "(aid, cid) pairs, then similarity.mine_triplets(candidates=...) "
+    "(aid, cid) pairs under a per-cell candidate cap of "
+    f"{HARDNEG_CELL_CAP} (similarity.capped_cell_pairs — md5-rank "
+    "deterministic, WindowGroupLimit map-side, inactive at fixture "
+    "occupancy), then similarity.mine_triplets(candidates=...) "
     "scores ONLY those pairs — the corpus-scale shape where per-"
-    "anchor work is bounded by cell occupancy, not corpus size. "
+    "anchor work is bounded by probes x cap even under Zipf cell "
+    "occupancy (SKEW_PROBE_r10_ann.json), not corpus size. "
     "Multi-probe duplicate pairs are collapsed inside the hook; "
     "subset bounds (ANN hard-neg sim <= exact argmax, far-pos >= "
     "exact argmin) and exact-match recall on the fixture quantizer "
@@ -1350,7 +1360,7 @@ def q271(spark: SparkSession, sf: str) -> DataFrame:
     c_cells = sim.assign_probe_cells(
         cands, cents, probes=HARDNEG_IVF_PROBES, vec_col="cv"
     ).select("cid", "_cell")
-    pairs = a_cells.join(c_cells, "_cell").select("aid", "cid")
+    pairs = sim.capped_cell_pairs(a_cells, c_cells, HARDNEG_CELL_CAP)
     return sim.mine_triplets(anchors, cands, candidates=pairs)
 
 

@@ -1308,3 +1308,92 @@ def test_kcore_nonconvergence_raises(spark):
         kcore(edges, 2, max_iters=2)
     core, iters = kcore(edges, 2, max_iters=30)
     assert core.count() == 0 and iters <= 30
+
+
+def test_capped_cell_pairs_bounds_and_lossless_regime(spark):
+    """The IVF candidate tier's occupancy bound (r9 verdict item 6):
+    (a) a hot cell contributes at most `cap` candidates, so per-anchor
+    pairs <= probes x cap; (b) with cap >= max occupancy the result
+    is EXACTLY the uncapped join; (c) the md5 pick is deterministic;
+    (d) the cap rides WindowGroupLimit (map-side partial heap), never
+    a full per-cell sort."""
+    from speculare_pgcdc_spark.plans import plan_string
+
+    # one hot cell (0: 400 candidates) + one small cell (1: 20)
+    c = spark.createDataFrame(
+        [(i, 0) for i in range(400)]
+        + [(1000 + i, 1) for i in range(20)],
+        "cid long, _cell int",
+    )
+    a = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "aid long, _cell int"
+    )
+    capped = sim.capped_cell_pairs(a, c, cap=50)
+    rows = capped.collect()
+    from collections import Counter
+
+    per_anchor = Counter(r.aid for r in rows)
+    assert per_anchor[1] == 50 and per_anchor[2] == 50  # hot capped
+    assert per_anchor[3] == 20  # small cell untouched
+    # (b) lossless when cap >= occupancy
+    full = {(r.aid, r.cid) for r in a.join(c, "_cell")
+            .select("aid", "cid").collect()}
+    uncapped = {
+        (r.aid, r.cid)
+        for r in sim.capped_cell_pairs(a, c, cap=400).collect()
+    }
+    assert uncapped == full
+    # (c) determinism + capped set is a subset
+    again = {(r.aid, r.cid) for r in capped.collect()}
+    assert again == {(r.aid, r.cid) for r in rows} and again <= full
+    # (d) map-side partial limit in the plan
+    assert "WindowGroupLimit" in plan_string(capped)
+    with pytest.raises(ValueError, match="cap >= 1"):
+        sim.capped_cell_pairs(a, c, cap=0)
+
+
+def test_q271_cap_inactive_at_fixture_occupancy(spark, sf_dir):
+    """q271's HARDNEG_CELL_CAP must be INACTIVE on the fixtures (the
+    cap is a skew guard, not a fixture behavior change): the capped
+    candidate frame equals the plain same-cell join."""
+    from speculare_pgcdc_spark.queries.corpus import (
+        HARDNEG_ANCHORS,
+        HARDNEG_CELL_CAP,
+        HARDNEG_IVF_ITERS,
+        HARDNEG_IVF_K,
+        HARDNEG_IVF_PROBES,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(
+        e.select("vec_id", "embedding"),
+        k=HARDNEG_IVF_K,
+        iters=HARDNEG_IVF_ITERS,
+    )
+    cells = sim.assign_probe_cells(
+        e, cents, probes=HARDNEG_IVF_PROBES
+    ).select("vec_id", "_cell")
+    occ = (
+        cells.groupBy("_cell").count().agg(F.max("count")).collect()
+    )[0][0]
+    assert occ <= HARDNEG_CELL_CAP, (
+        f"fixture cell occupancy {occ} exceeds the cap — the skew "
+        "guard would change fixture results"
+    )
+    a_cells = cells.filter(F.col("vec_id") < HARDNEG_ANCHORS).select(
+        F.col("vec_id").alias("aid"), "_cell"
+    )
+    c_cells = cells.select(F.col("vec_id").alias("cid"), "_cell")
+    capped = {
+        (r.aid, r.cid)
+        for r in sim.capped_cell_pairs(
+            a_cells, c_cells, HARDNEG_CELL_CAP
+        ).collect()
+    }
+    plain = {
+        (r.aid, r.cid)
+        for r in a_cells.join(c_cells, "_cell")
+        .select("aid", "cid")
+        .collect()
+    }
+    assert capped == plain
