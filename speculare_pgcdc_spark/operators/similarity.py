@@ -739,6 +739,89 @@ def pq_topk(
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def mmr_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    shortlist: int = 32,
+    lam_ppm: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k: greedily pick the
+    candidate maximizing  lam * rel(q, c) - (1 - lam) * max_{s in S}
+    sim(c, s)  — the standard retrieval-diversification re-rank
+    (Carbonell & Goldstein 1998), which a plain cosine top-k cannot
+    express because each pick depends on the picks before it.
+
+    Architecture is the industry-standard two-tier shape and the
+    reason this is scale-safe: the RELEVANCE tier is distributed
+    (cosine_scores + TakeOrdered over the whole corpus — the q43
+    path), and only the ``shortlist``-sized head (ids + vectors,
+    <= shortlist x dim doubles — model-sized by contract) crosses to
+    the driver, where the inherently-sequential greedy runs over
+    shortlist² integer-ppm similarities. MMR over the full corpus
+    would be quadratic AND sequential; every production system
+    re-ranks a bounded shortlist, and so does this operator.
+
+    Determinism: relevance and pairwise similarities floor to integer
+    ppm before any comparison; the greedy objective is the exact
+    integer  lam_ppm * rel_ppm - (1_000_000 - lam_ppm) * maxsim_ppm;
+    ties break on the smaller id. lam_ppm = 1_000_000 degrades to the
+    plain relevance top-k (pinned in tests)."""
+    if not 0 <= lam_ppm <= 1_000_000:
+        raise ValueError(f"lam_ppm must be in [0, 1e6], got {lam_ppm}")
+    if k > shortlist:
+        raise ValueError(f"k={k} exceeds shortlist={shortlist}")
+    cand = (
+        cosine_scores(emb, query, vec_col)
+        .select(
+            id_col,
+            vec_col,
+            F.floor(F.col("cos") * 1_000_000).cast("bigint")
+            .alias("_rel_ppm"),
+        )
+        .orderBy(F.col("_rel_ppm").desc(), F.col(id_col))
+        .limit(shortlist)
+        .collect()
+    )
+    import math
+
+    vecs = {r[id_col]: r[vec_col] for r in cand}
+    rel = {r[id_col]: r["_rel_ppm"] for r in cand}
+    norms = {
+        i: math.sqrt(sum(x * x for x in v)) or 1.0
+        for i, v in vecs.items()
+    }
+
+    def sim_ppm(a: int, b: int) -> int:
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return math.floor(d / (norms[a] * norms[b]) * 1_000_000)
+
+    picked: list[tuple[int, int, int, int]] = []  # rank, id, rel, mmr
+    rest = sorted(vecs)
+    while rest and len(picked) < k:
+        best = None
+        for c in rest:
+            maxsim = max(
+                (sim_ppm(c, p[1]) for p in picked), default=0
+            )
+            score = lam_ppm * rel[c] - (1_000_000 - lam_ppm) * maxsim
+            if best is None or score > best[0] or (
+                score == best[0] and c < best[1]
+            ):
+                best = (score, c)
+        picked.append(
+            (len(picked) + 1, best[1], rel[best[1]], best[0])
+        )
+        rest.remove(best[1])
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked,
+        f"rank int, {id_col} long, rel_ppm long, mmr_score long",
+    ).orderBy("rank")
+
+
 def capped_cell_pairs(
     a_cells: DataFrame,
     c_cells: DataFrame,

@@ -101,7 +101,18 @@ SWEEP_FIRST = [
     "q95_weighted_sampling",
     # (4) NEW this round (round 10) — first driver attestation when
     # the budget reaches here (sweep-green at 3 scales + skew either
-    # way):
+    # way): the downstream-consumer batch (SCD2, attribution,
+    # l-diversity, MMR re-rank, n-gram diversity, bigram entropy)
+    # plus q130's re-attestation after its one-pass banded rewrite
+    # and q271 after adopting the per-cell candidate cap.
+    "q130_rfm_segmentation",
+    "q271_hard_negatives_ann",
+    "q281_scd2_intervals",
+    "q282_last_touch_attribution",
+    "q283_l_diversity",
+    "q284_mmr_diversified_topk",
+    "q285_ngram_diversity",
+    "q286_char_bigram_entropy",
 ]
 
 
@@ -147,6 +158,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus_audit,
         corpus_pipeline,
         corpus_metrics,
+        downstream,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

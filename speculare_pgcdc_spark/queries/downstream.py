@@ -1,0 +1,437 @@
+"""Downstream-consumer patterns (round 10): the operations users run
+ON TOP of the engine's CDC/corpus surface — SCD2 dimension builds from
+a change history, marketing-style last-touch attribution, the
+l-diversity privacy audit that complements q261's k-anonymity,
+retrieval diversification (MMR re-rank over a distributed shortlist),
+and two corpus-health statistics (n-gram type/token diversity, char
+bigram entropy) — q281-q286.
+
+Reference scope note: the reference engine (src/) is a CDC forwarder
+with no analytics; these rows extend SURVEY.md §2D with the
+training-data-pipeline surface the build brief names as first-class.
+q281 is the canonical consumer of a CDC stream (versioned dimension
+history — what src/api/query.rs users build downstream).
+
+Engine-stability conventions as everywhere: integer-ppm shares via
+exact DIV (HUGEINT // on the DuckDB side where SUM is DECIMAL),
+floor-scaled money/e2 units, microsecond-integer time arithmetic,
+ln only on integer-valued inputs under the pinned bit-identity
+contract (tests/test_llm.py::test_q276_ln_contract_bit_identity...),
+md5 determinism for anything order-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.queries import register
+
+
+@register(
+    "q281_scd2_intervals",
+    oracle="""
+        SELECT o_custkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to,
+               o_orderstatus AS status,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_e2
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, version
+    """,
+    doc="Slowly-changing-dimension TYPE 2 build — the canonical "
+    "downstream consumer of a CDC change history (the reference "
+    "forwards changes, src/cdc/replication.rs:169-204; its users "
+    "materialize them as versioned rows exactly like this): each "
+    "key's change sequence becomes versioned intervals via "
+    "row_number + lead(valid_from) over a KEY-partitioned window "
+    "(valid_to NULL = current version). o_custkey is "
+    "high-cardinality, so the window needs no band (the band rule "
+    "targets LOW-cardinality partition keys); one shuffle on the "
+    "key, no join, output streams. Ties totalized by o_orderkey; "
+    "money floor-scales to e2 cents.",
+)
+def q281(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("price_e2"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+#: q282: attribution lookback (hours) and touch-type codes packed into
+#: the integer max key (t_us * 8 + code <= ~1.4e16, BIGINT-safe)
+ATTRIB_HOURS = 72
+ATTRIB_CODES = {"view": 1, "click": 2, "signup": 3}
+
+
+@register(
+    "q282_last_touch_attribution",
+    oracle=f"""
+        WITH k AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS t,
+                   CASE event_type
+                        WHEN 'view' THEN epoch_us(ts) * 8 + 1
+                        WHEN 'click' THEN epoch_us(ts) * 8 + 2
+                        WHEN 'signup' THEN epoch_us(ts) * 8 + 3
+                   END AS touch_key
+            FROM events
+        ),
+        lt AS (
+            SELECT *,
+                   MAX(touch_key) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS last_key
+            FROM k
+        ),
+        p AS (
+            SELECT CASE
+                     WHEN last_key IS NULL
+                          OR t - last_key // 8
+                             > {ATTRIB_HOURS * 3600 * 1_000_000}
+                       THEN 'organic'
+                     WHEN last_key % 8 = 1 THEN 'view'
+                     WHEN last_key % 8 = 2 THEN 'click'
+                     ELSE 'signup'
+                   END AS channel,
+                   value
+            FROM lt WHERE event_type = 'purchase'
+        )
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM p GROUP BY channel ORDER BY channel
+    """,
+    doc="Last-touch attribution: each purchase credits the user's "
+    f"most recent view/click/signup within {ATTRIB_HOURS}h, else "
+    "'organic' — the standard conversion-accounting consumer of an "
+    "event stream. The 'last preceding touch' is ONE integer MAX "
+    "over a user-partitioned prefix window: timestamp and touch "
+    "code pack into t_us * 8 + code, so the max IS the latest touch "
+    "(ties at identical t_us resolve to the higher code in both "
+    "engines — order-independent, engine-stable, no struct-ordering "
+    "semantics needed). user_id is high-cardinality (no band "
+    "needed); one shuffle for the window + one tiny channel agg; "
+    "revenue rides DECIMAL.",
+)
+def q282(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = F.unix_micros(F.col("ts"))
+    code = F.create_map(
+        *[
+            x
+            for kk, v in ATTRIB_CODES.items()
+            for x in (F.lit(kk), F.lit(v))
+        ]
+    )[F.col("event_type")]
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        t.alias("t"),
+        F.when(code.isNotNull(), t * 8 + code).alias("touch_key"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = ev.withColumn("last_key", F.max("touch_key").over(w))
+    rev = {v: kk for kk, v in ATTRIB_CODES.items()}
+    channel = (
+        F.when(
+            F.col("last_key").isNull()
+            | (
+                F.col("t") - F.expr("last_key DIV 8")
+                > ATTRIB_HOURS * 3600 * 1_000_000
+            ),
+            F.lit("organic"),
+        )
+        .when(F.col("last_key") % 8 == 1, F.lit(rev[1]))
+        .when(F.col("last_key") % 8 == 2, F.lit(rev[2]))
+        .otherwise(F.lit(rev[3]))
+    )
+    return (
+        lt.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")), 2
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+#: q283: minimum distinct sensitive values per quasi-identifier class
+L_DIV = 3
+
+
+@register(
+    "q283_l_diversity",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_div,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < {L_DIV} THEN c ELSE 0 END)
+                    * 1000000 // GREATEST(CAST(SUM(c) AS HUGEINT), 1)
+                    AS BIGINT) AS rows_at_risk_ppm
+        FROM g
+    """,
+    doc=f"l-diversity audit (l={L_DIV}) — k-anonymity's (q261) "
+    "companion gate: a quasi-identifier class can be large (k-safe) "
+    "yet expose its members if the SENSITIVE attribute barely varies "
+    "inside it. Classes = (event_type, day); sensitive = user_id; "
+    "classes with fewer than l distinct sensitive values are "
+    "attribute-disclosure risks. One grouped count-distinct (two "
+    "shuffles on the class key: partial distinct then class agg — "
+    "map-side combinable both times) + a 4-column reduce; ppm rides "
+    "the HUGEINT // convention. Day-grain classes stay bounded "
+    "(groups = types x days), so the audit costs the same at any "
+    "corpus scale.",
+)
+def q283(spark: SparkSession, sf: str) -> DataFrame:
+    g = (
+        table(spark, sf, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.countDistinct("user_id").cast("bigint").alias("l"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum((F.col("l") < L_DIV).cast("int")).cast("bigint")
+        .alias("n_low_div"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN l < {L_DIV} THEN c ELSE 0 END) "
+            "* 1000000 DIV GREATEST(SUM(c), 1) AS BIGINT)"
+        ).alias("rows_at_risk_ppm"),
+    )
+
+
+#: q284: MMR knobs — lambda 0.7 (the classic relevance-leaning pick),
+#: 32-candidate shortlist (the bounded driver re-rank contract), k=8
+MMR_K = 8
+MMR_SHORTLIST = 32
+MMR_LAM_PPM = 700_000
+
+
+@register(
+    "q284_mmr_diversified_topk",
+    oracle=None,  # greedy sequential re-rank: no single-SQL form; the
+    # greedy recurrence + shortlist bounds are exact-tested in
+    # tests/test_llm.py
+    doc="Maximal-marginal-relevance diversified top-k "
+    f"(operators/similarity.mmr_topk, lambda={MMR_LAM_PPM}ppm, "
+    f"shortlist={MMR_SHORTLIST}, k={MMR_K}): the retrieval "
+    "diversification re-rank a vector surface needs next to plain "
+    "q43 top-k — each pick maximizes lam*rel - (1-lam)*max-sim-to-"
+    "picked, so near-duplicate hits can't fill the result page. "
+    "Two-tier scale shape: relevance tier distributed over the "
+    "corpus (cosine + TakeOrdered), only the shortlist (ids + "
+    "vectors, model-sized by contract) crosses to the driver for "
+    "the inherently sequential greedy, in exact integer-ppm "
+    "arithmetic with id tie-breaks. Query = vec_id 0 (the q43 "
+    "convention). Engine-side feature (no reference analog).",
+)
+def q284(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators import similarity as sim
+
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return sim.mmr_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        k=MMR_K,
+        shortlist=MMR_SHORTLIST,
+        lam_ppm=MMR_LAM_PPM,
+    )
+
+
+#: q285: word n-gram order for the diversity statistics
+DIVERSITY_N = 5
+
+
+@register(
+    "q285_ngram_diversity",
+    oracle=f"""
+        WITH tok AS (
+            SELECT list_filter(string_split(COALESCE(text, ''), ' '),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        g AS (
+            SELECT array_to_string(ts[i:i+{DIVERSITY_N - 1}], ' ')
+                       AS gram
+            FROM tok, UNNEST(range(1, len(ts) - {DIVERSITY_N - 2}))
+                          AS u(i)
+            WHERE len(ts) >= {DIVERSITY_N}
+        ),
+        df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        SELECT CAST(SUM(df) AS BIGINT) AS total_grams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+               CAST(COUNT(*) * 1000000
+                    // GREATEST(CAST(SUM(df) AS HUGEINT), 1)
+                    AS BIGINT) AS ttr_ppm,
+               CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS rep_mass
+        FROM df
+    """,
+    doc=f"Corpus diversity at the word {DIVERSITY_N}-gram grain: "
+    "type/token ratio (distinct grams per million total — the "
+    "self-BLEU-style homogeneity signal that actually scales: "
+    "pairwise overlap is quadratic, but expected pairwise shared "
+    "grams = sum_g C(df_g, 2) assembles EXACTLY from the gram "
+    "document-frequency table) plus that collision mass itself "
+    "(rep_mass). Low ttr / high rep_mass = templated or crawled-"
+    "duplicate corpus before any pairwise dedup runs. One gram-keyed "
+    "shuffle (map-side combinable count) + a single-row reduce; "
+    "grams assemble in-expression (transform over sequence, no "
+    "self-join); all-integer output, ppm by exact DIV.",
+)
+def q285(spark: SparkSession, sf: str) -> DataFrame:
+    n = DIVERSITY_N
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    df = (
+        table(spark, sf, "documents")
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df.agg(
+        F.sum("df").cast("bigint").alias("total_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+        F.expr(
+            "CAST(COUNT(1) * 1000000 "
+            "DIV GREATEST(SUM(df), 1) AS BIGINT)"
+        ).alias("ttr_ppm"),
+        F.sum(F.expr("df * (df - 1) DIV 2")).cast("bigint")
+        .alias("rep_mass"),
+    )
+
+
+#: q286: per-doc rows capped (the q276/q66 verification-sized
+#: convention); the bigram tier is per-doc anyway so the filter
+#: prunes at the scan
+ENTROPY_DOC_CAP = 40
+
+
+@register(
+    "q286_char_bigram_entropy",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, COALESCE(text, '') AS txt
+            FROM documents WHERE doc_id < {ENTROPY_DOC_CAP}
+        ),
+        bg AS (
+            SELECT doc_id, substr(txt, i, 2) AS b
+            FROM d, UNNEST(range(1, length(txt))) AS u(i)
+            WHERE length(txt) >= 2
+        ),
+        f AS (
+            SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS f
+            FROM bg GROUP BY doc_id, b
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(SUM(f) AS BIGINT) AS n,
+                   SUM(CAST(f * ln(CAST(f AS DOUBLE))
+                            AS DECIMAL(28,12))) AS sfl
+            FROM f GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_bigrams,
+               CAST(ROUND(ln(CAST(n AS DOUBLE))
+                          - CAST(sfl AS DOUBLE) / n, 6)
+                    AS DOUBLE) AS entropy
+        FROM s ORDER BY doc_id
+    """,
+    doc="Per-document character-bigram Shannon entropy (nats): "
+    "H = ln(n) - (sum_b f_b ln f_b) / n — the algebraic form whose "
+    "ln arguments are all INTEGER-valued (bigram counts and the "
+    "total), riding the pinned cross-engine ln bit-identity "
+    "contract; each f*ln(f) term truncates to DECIMAL(28,12) before "
+    "the order-free sum (the q276 convention), published ROUND 6. "
+    "Low entropy = repetitive/templated text, high = encrypted or "
+    "binary-ish noise — both gate ends of the classic quality "
+    "filter. Bigrams assemble in-expression (transform over "
+    "sequence), one (doc, bigram) count + one per-doc reduce, both "
+    "map-side combinable; published rows capped at doc_id < "
+    f"{ENTROPY_DOC_CAP} with the filter pushed to the scan.",
+)
+def q286(spark: SparkSession, sf: str) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    bigrams = F.when(
+        F.length(txt) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 1),
+            lambda i: F.substring(txt, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    f = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < ENTROPY_DOC_CAP)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    s = f.groupBy("doc_id").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("f") * F.log(F.col("f").cast("double")))
+            .cast("decimal(28,12)")
+        ).alias("sfl"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("sfl").cast("double") / F.col("n"),
+            6,
+        ).cast("double").alias("entropy"),
+    ).orderBy("doc_id")

@@ -1397,3 +1397,173 @@ def test_q271_cap_inactive_at_fixture_occupancy(spark, sf_dir):
         .collect()
     }
     assert capped == plain
+
+
+def test_q284_mmr_greedy_invariants(spark, sf_dir):
+    """Independent verification of the MMR greedy (q284 is rows-only
+    by contract): recompute relevance and pairwise sims from the
+    shortlist vectors and check, pick by pick, that (a) the recorded
+    mmr_score equals lam*rel - (1-lam)*max-sim-to-previous, (b) no
+    unpicked shortlist member scored strictly higher at that step
+    (ties break to the smaller id), (c) pick 1 is the relevance
+    argmax, and (d) lam=1e6 degrades to the plain cosine top-k."""
+    import math
+
+    from speculare_pgcdc_spark.queries import load_all
+    from speculare_pgcdc_spark.queries.downstream import (
+        MMR_K,
+        MMR_LAM_PPM,
+        MMR_SHORTLIST,
+    )
+
+    reg = load_all()
+    picks = reg["q284_mmr_diversified_topk"].fn(spark, sf_dir).collect()
+    assert [p.rank for p in picks] == list(range(1, MMR_K + 1))
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    short = (
+        sim.cosine_scores(emb.filter(F.col("vec_id") != 0), q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(F.col("cos") * 1_000_000).cast("bigint")
+            .alias("rel_ppm"),
+        )
+        .orderBy(F.col("rel_ppm").desc(), "vec_id")
+        .limit(MMR_SHORTLIST)
+        .collect()
+    )
+    vecs = {r.vec_id: r.embedding for r in short}
+    rel = {r.vec_id: r.rel_ppm for r in short}
+    nrm = {
+        i: math.sqrt(sum(x * x for x in v)) or 1.0
+        for i, v in vecs.items()
+    }
+
+    def s_ppm(a, b):
+        return math.floor(
+            sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            / (nrm[a] * nrm[b])
+            * 1_000_000
+        )
+
+    assert picks[0].vec_id == short[0].vec_id  # (c)
+    chosen = []
+    for p in picks:
+        assert p.vec_id in vecs and p.rel_ppm == rel[p.vec_id]
+        maxsim = max((s_ppm(p.vec_id, c) for c in chosen), default=0)
+        score = (
+            MMR_LAM_PPM * p.rel_ppm
+            - (1_000_000 - MMR_LAM_PPM) * maxsim
+        )
+        assert p.mmr_score == score  # (a)
+        for other in vecs:  # (b)
+            if other in chosen or other == p.vec_id:
+                continue
+            om = max((s_ppm(other, c) for c in chosen), default=0)
+            os_ = (
+                MMR_LAM_PPM * rel[other]
+                - (1_000_000 - MMR_LAM_PPM) * om
+            )
+            assert os_ < score or (
+                os_ == score and other > p.vec_id
+            ), f"greedy violated at rank {p.rank}"
+        chosen.append(p.vec_id)
+    # (d) lam=1e6 == plain relevance order over the shortlist
+    plain = sim.mmr_topk(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        k=MMR_K,
+        shortlist=MMR_SHORTLIST,
+        lam_ppm=1_000_000,
+    ).collect()
+    assert [p.vec_id for p in plain] == [r.vec_id for r in short[:MMR_K]]
+    assert qv is not None
+
+
+def test_mmr_diversifies_near_duplicates(spark):
+    """The property MMR exists for: a shortlist whose top hits are
+    near-duplicates must NOT all be picked consecutively once lam < 1
+    — the duplicate's marginal score collapses."""
+    # query is NOT a corpus member: vec 0 and its exact-duplicate 1
+    # (a scalar multiple -> identical cosine) are most relevant, vec 2
+    # is moderately relevant but orthogonal to them
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [([0.8, 0.6, 0.1, 0.0],)], "q array<double>"
+    )
+    picks = sim.mmr_topk(
+        emb, q, k=3, shortlist=4, lam_ppm=500_000
+    ).collect()
+    ids = [p.vec_id for p in picks]
+    assert ids[0] == 0  # relevance argmax (dup tie -> smaller id)
+    assert ids[1] == 2, f"expected the diverse hit second, got {ids}"
+    plain = sim.mmr_topk(
+        emb, q, k=3, shortlist=4, lam_ppm=1_000_000
+    ).collect()
+    assert [p.vec_id for p in plain][:2] == [0, 1]  # dup family first
+    with pytest.raises(ValueError, match="lam_ppm"):
+        sim.mmr_topk(emb, q, lam_ppm=2_000_000)
+    with pytest.raises(ValueError, match="exceeds shortlist"):
+        sim.mmr_topk(emb, q, k=9, shortlist=4)
+
+
+def test_round10_gates_are_not_vacuous(spark, sf_dir):
+    """Round-10 queries must exercise both sides of their filters/
+    thresholds on the fixtures (the q279-first-form lesson: a
+    perfectly-ordered feed measured zero lateness and hash-matched a
+    hollow green)."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    # q281: open (current) versions AND closed versions both exist
+    scd = reg["q281_scd2_intervals"].fn(spark, sf_dir)
+    n_open = scd.filter(F.col("valid_to").isNull()).count()
+    n_closed = scd.filter(F.col("valid_to").isNotNull()).count()
+    assert n_open > 0 and n_closed > 0
+    # every key has exactly one open (current) version
+    keys = scd.select("o_custkey").distinct().count()
+    assert n_open == keys
+    # q282: organic AND at least one touch channel both convert
+    ch = {
+        r.channel: r.n_purchases
+        for r in reg["q282_last_touch_attribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert ch.get("organic", 0) > 0
+    assert sum(v for k, v in ch.items() if k != "organic") > 0
+    # q283: the l-gate fires on the tiny fixture; at larger scales
+    # classes legitimately fill past l (min_l is still computed and
+    # asserted sane — the audit reporting zero risk there is the
+    # correct answer, not a hollow one)
+    ld = reg["q283_l_diversity"].fn(spark, sf_dir).collect()[0]
+    assert ld.n_groups > 0 and ld.min_l >= 1
+    if "sf0.001" in sf_dir:
+        assert ld.n_low_div > 0
+    # q285: the corpus has repeated grams (rep_mass both > 0 and
+    # < the all-identical extreme), and distinct < total
+    dv = reg["q285_ngram_diversity"].fn(spark, sf_dir).collect()[0]
+    assert 0 < dv.distinct_grams < dv.total_grams
+    assert dv.rep_mass > 0
+    # q286: entropy actually varies across docs
+    ent = [
+        r.entropy
+        for r in reg["q286_char_bigram_entropy"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert len(ent) > 1 and min(ent) < max(ent)
+    assert all(e >= 0 for e in ent)
