@@ -113,6 +113,9 @@ SWEEP_FIRST = [
     "q284_mmr_diversified_topk",
     "q285_ngram_diversity",
     "q286_char_bigram_entropy",
+    "q287_poisson_bootstrap_ci",
+    "q288_count_min_sketch",
+    "q289_time_to_convert",
 ]
 
 

@@ -435,3 +435,399 @@ def q286(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).cast("double").alias("entropy"),
     ).orderBy("doc_id")
+
+
+#: q287: Poisson-bootstrap replicates and the Poisson(1) CDF
+#: thresholds (17-sig-digit double literals — both engines parse
+#: decimal literals to the same correctly-rounded double, and the
+#: md5-derived uniform is an exact dyadic rational, so the weight
+#: CASE is bit-stable cross-engine). Weights cap at 6 (P > 6 under
+#: Poisson(1) ~ 8e-5 — the standard truncation).
+BOOT_B = 40
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _boot_u_sql(b: str, key: str) -> str:
+    """48-bit md5-derived uniform in (0, 1] — DuckDB rendering."""
+    return (
+        f"(CAST(CAST(concat('0x', substr(md5(concat(CAST({b} AS "
+        f"VARCHAR), ':', CAST({key} AS VARCHAR))), 1, 12)) AS BIGINT) "
+        f"AS BIGINT) + 1) / {float(1 << 48)!r}"
+    )
+
+
+def _boot_w_sql(u_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@register(
+    "q287_poisson_bootstrap_ci",
+    oracle=f"""
+        WITH r AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p,
+                   b
+            FROM orders, UNNEST(range({BOOT_B})) AS u(b)
+        ),
+        w AS (
+            SELECT b, p,
+                   {_boot_w_sql(_boot_u_sql('b', 'o_orderkey'))} AS w
+            FROM r
+        ),
+        m AS (
+            SELECT b,
+                   CAST(SUM(w * p) AS HUGEINT)
+                   // GREATEST(CAST(SUM(w) AS HUGEINT), 1) AS mean_e2
+            FROM w GROUP BY b
+        ),
+        o AS (
+            SELECT mean_e2,
+                   ROW_NUMBER() OVER (ORDER BY mean_e2, b) AS rn
+            FROM m
+        ),
+        pt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100)
+                                      AS BIGINT)) AS HUGEINT)
+                        // COUNT(*) AS BIGINT) AS mean_e2
+            FROM orders
+        )
+        SELECT pt.n_rows, pt.mean_e2,
+               CAST(MAX(CASE WHEN rn = 2 THEN o.mean_e2 END)
+                    AS BIGINT) AS ci_lo_e2,
+               CAST(MAX(CASE WHEN rn = {BOOT_B - 1} THEN o.mean_e2 END)
+                    AS BIGINT) AS ci_hi_e2
+        FROM o, pt GROUP BY pt.n_rows, pt.mean_e2
+    """,
+    doc=f"Poisson bootstrap CI for the mean — THE bootstrap that "
+    "works at 100 TB: classical resampling needs n draws with "
+    "replacement (a global shuffle per replicate); the Poisson "
+    "approximation gives every row an independent Poisson(1) weight "
+    f"per replicate, so all {BOOT_B} replicates assemble in ONE scan "
+    "as 2x{BOOT_B} map-side-combinable aggregates — no explode, no "
+    "extra shuffle, no data inflation (the oracle MAY explode; the "
+    "Spark plan must not). Weights are md5(b:key)-derived inverse-"
+    "CDF draws (deterministic, restart-stable); per-replicate means "
+    "are exact integer cents (BIGINT DIV; the DuckDB side casts its "
+    "DECIMAL sums to HUGEINT before // per the engine convention); "
+    "the CI is the [2nd, {BOOT_B - 1}th] order statistic of the "
+    f"{BOOT_B} replicate means — a {BOOT_B}-row sort, model-sized "
+    "by construction. BIGINT sum headroom ~1.8e11 rows at max "
+    "weight x max price; beyond that the q265 DECIMAL(38,0) "
+    "accumulation swap is mechanical.",
+)
+def q287(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+    )
+
+    def w_col(b: int) -> F.Column:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(b)),
+                            F.lit(":"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ) / float(1 << 48)
+        expr = F.lit(6)
+        for k in range(len(POISSON1_CDF) - 1, -1, -1):
+            expr = F.when(u < float(POISSON1_CDF[k]), F.lit(k)).otherwise(
+                expr
+            )
+        return expr.cast("bigint")
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("CAST(SUM(p) DIV COUNT(1) AS BIGINT)").alias("mean_e2"),
+    ]
+    for b in range(BOOT_B):
+        w = w_col(b)
+        aggs.append(F.sum(w * F.col("p")).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"c{b}"))
+    one = o.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.expr(f"CAST(s{b} DIV GREATEST(c{b}, 1) AS BIGINT)")
+                for b in range(BOOT_B)
+            ]
+        )
+    )
+    return one.select(
+        "n_rows",
+        "mean_e2",
+        F.element_at(means, 2).alias("ci_lo_e2"),
+        F.element_at(means, BOOT_B - 1).alias("ci_hi_e2"),
+    )
+
+
+#: q288: count-min sketch geometry (D hash rows x W buckets) and how
+#: many exact-top keys to audit
+CMS_D = 4
+CMS_W = 64
+CMS_TOPK = 10
+
+
+@register(
+    "q288_count_min_sketch",
+    oracle=f"""
+        WITH cells AS (
+            SELECT d,
+                   CAST(CAST(concat('0x', substr(md5(concat(
+                       CAST(d AS VARCHAR), ':',
+                       CAST(user_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                       AS BIGINT) % {CMS_W} AS cell,
+                   user_id
+            FROM events, UNNEST(range({CMS_D})) AS u(d)
+        ),
+        sketch AS (
+            SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS c
+            FROM cells GROUP BY d, cell
+        ),
+        tops AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY user_id
+            ORDER BY exact_n DESC, user_id LIMIT {CMS_TOPK}
+        ),
+        est AS (
+            SELECT t.user_id, t.exact_n, MIN(s.c) AS cms_est
+            FROM tops t,
+                 UNNEST(range({CMS_D})) AS u(d)
+                 JOIN sketch s
+                   ON s.d = u.d
+                  AND s.cell = CAST(CAST(concat('0x', substr(md5(
+                          concat(CAST(u.d AS VARCHAR), ':',
+                                 CAST(t.user_id AS VARCHAR))), 1, 12))
+                          AS BIGINT) AS BIGINT) % {CMS_W}
+            GROUP BY t.user_id, t.exact_n
+        )
+        SELECT user_id, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - exact_n AS BIGINT) AS overcount
+        FROM est ORDER BY exact_n DESC, user_id
+    """,
+    doc=f"Count-min sketch ({CMS_D}x{CMS_W}, md5-derived hash rows) "
+    "with its point-query audit against the exact heavy hitters — "
+    "the mergeable frequency sketch that complements the Misra-Gries "
+    "tier: CMS is a fixed 256-cell grid REGARDLESS of key "
+    "cardinality, merges by cell-wise addition across partitions/"
+    "days/streams, and never undercounts (est >= exact is the "
+    "one-sided guarantee this query's overcount column audits, and "
+    "the oracle hash-checks — the sketch is DETERMINISTIC given its "
+    "md5 hash family, so unlike most sketches it takes a full "
+    "value-equality oracle, not just error bounds). Build = one "
+    f"grouped count over a {CMS_D}x-exploded key stream (map-side "
+    "combinable into <= 256 cells — the explode never reaches the "
+    f"shuffle); audit = top-{CMS_TOPK} exact keys probe the "
+    "broadcast-sized sketch.",
+)
+def q288(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id")
+
+    def cell(d, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d.cast("string"),
+                            F.lit(":"),
+                            key.cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    cells = ev.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(CMS_D - 1))
+        ).alias("d"),
+        "user_id",
+    ).select("d", cell(F.col("d"), F.col("user_id")).alias("cell"))
+    sketch = cells.groupBy("d", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tops = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(CMS_TOPK)
+    )
+    probes = tops.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "d",
+        cell(F.col("d"), F.col("user_id")).alias("cell"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint")
+        .alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), "user_id")
+
+
+#: q289: banded-percentile bin width (seconds of delay per bin)
+TTC_BIN_S = 3600
+
+
+@register(
+    "q289_time_to_convert",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS tv,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS tp
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id, (tp - tv) // 1000000 AS delay_s
+            FROM per_user WHERE tv IS NOT NULL AND tp > tv
+        ),
+        n AS (
+            SELECT CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_viewed,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user
+        ),
+        rk AS (
+            SELECT delay_s,
+                   ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+                   COUNT(*) OVER () AS nc
+            FROM conv
+        )
+        SELECT n.n_viewed,
+               CAST(MAX(nc) AS BIGINT) AS n_converted,
+               CAST(MAX(nc) * 1000000
+                    // GREATEST(CAST(n.n_viewed AS HUGEINT), 1)
+                    AS BIGINT) AS conv_ppm,
+               CAST(MAX(CASE WHEN rn = (nc + 1) // 2
+                        THEN delay_s END) AS BIGINT)
+                   AS median_delay_s,
+               CAST(MAX(CASE WHEN rn = (nc * 9 + 9) // 10
+                        THEN delay_s END) AS BIGINT)
+                   AS p90_delay_s
+        FROM rk, n GROUP BY n.n_viewed
+    """,
+    doc="Time-to-convert funnel statistics: per user, first view -> "
+    "first purchase delay; conversion share (exact ppm) plus the "
+    "EXACT median and p90 of the delay distribution — the "
+    "product-analytics consumer of the event stream (q264's funnel "
+    "counts stages; this measures the clock between them). Per-user "
+    "reduce is one map-side-combinable conditional-MIN agg; the "
+    "order statistics ride the banded global rank "
+    f"(operators/rankband, {TTC_BIN_S}s delay bins) so no data-grain "
+    "single-partition sort exists even though the percentiles are "
+    "global — the oracle states the plain ROW_NUMBER spec the band "
+    "provably equals. Rank targets: lower median (n+1) DIV 2, p90 "
+    "at ceil(0.9 n) = (9n+9) DIV 10.",
+)
+def q289(spark: SparkSession, sf: str) -> DataFrame:
+    from speculare_pgcdc_spark.operators.rankband import (
+        banded_row_number,
+    )
+
+    t = F.unix_micros(F.col("ts"))
+    pu = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", t)
+            ).alias("tv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", t)
+            ).alias("tp"),
+        )
+    )
+    conv = pu.filter(
+        F.col("tv").isNotNull() & (F.col("tp") > F.col("tv"))
+    ).select(
+        "user_id",
+        F.expr("(tp - tv) DIV 1000000").alias("delay_s"),
+    )
+    stats = pu.agg(
+        F.sum(F.col("tv").isNotNull().cast("int")).cast("bigint")
+        .alias("n_viewed")
+    )
+    ranked = banded_row_number(
+        conv,
+        [F.col("delay_s"), F.col("user_id")],
+        F.expr(f"delay_s DIV {TTC_BIN_S}"),
+        out="rn",
+    )
+    nc = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    picks = (
+        ranked.crossJoin(F.broadcast(nc))
+        .filter(
+            (F.col("rn") == F.expr("(nc + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(nc * 9 + 9) DIV 10"))
+        )
+        .agg(
+            F.max("nc").cast("bigint").alias("n_converted"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(nc + 1) DIV 2"),
+                    F.col("delay_s"),
+                )
+            ).cast("bigint").alias("median_delay_s"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(nc * 9 + 9) DIV 10"),
+                    F.col("delay_s"),
+                )
+            ).cast("bigint").alias("p90_delay_s"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(picks)).select(
+        "n_viewed",
+        "n_converted",
+        F.expr(
+            "CAST(n_converted * 1000000 DIV GREATEST(n_viewed, 1) "
+            "AS BIGINT)"
+        ).alias("conv_ppm"),
+        "median_delay_s",
+        "p90_delay_s",
+    )

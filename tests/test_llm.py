@@ -1567,3 +1567,33 @@ def test_round10_gates_are_not_vacuous(spark, sf_dir):
     ]
     assert len(ent) > 1 and min(ent) < max(ent)
     assert all(e >= 0 for e in ent)
+
+
+def test_round10_batch2_gates_and_plan(spark, sf_dir):
+    """q287-q289 gates + the q287 no-explode plan contract."""
+    from speculare_pgcdc_spark.plans import plan_string
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    # q287: the CI must bracket the point estimate strictly and be
+    # a real interval; and the Spark plan must NOT explode the data
+    # (all replicates ride one scan's aggregates — the whole point)
+    df = reg["q287_poisson_bootstrap_ci"].fn(spark, sf_dir)
+    b = df.collect()[0]
+    assert b.ci_lo_e2 < b.mean_e2 < b.ci_hi_e2
+    p = plan_string(df)
+    assert "Generate" not in p, "q287 must not explode replicates"
+    # q288: est >= exact for every audited key (the CMS one-sided
+    # guarantee); collisions actually occur at sf0.01+ (zero
+    # overcount everywhere would mean the sketch was never stressed)
+    rows = reg["q288_count_min_sketch"].fn(spark, sf_dir).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    if "sf0.001" not in sf_dir:
+        assert any(r.overcount > 0 for r in rows)
+        assert any(r.overcount == 0 for r in rows)
+    # q289: conversion is partial (strictly between 0 and 100%) and
+    # the percentiles are ordered
+    t = reg["q289_time_to_convert"].fn(spark, sf_dir).collect()[0]
+    assert 0 < t.n_converted < t.n_viewed
+    assert 0 < t.conv_ppm < 1_000_000
+    assert 0 <= t.median_delay_s <= t.p90_delay_s
