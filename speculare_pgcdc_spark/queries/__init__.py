@@ -116,6 +116,8 @@ SWEEP_FIRST = [
     "q287_poisson_bootstrap_ci",
     "q288_count_min_sketch",
     "q289_time_to_convert",
+    "q290_markov_transitions",
+    "q291_source_label_gini",
 ]
 
 

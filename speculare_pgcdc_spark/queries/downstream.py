@@ -831,3 +831,136 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
         "median_delay_s",
         "p90_delay_s",
     )
+
+
+@register(
+    "q290_markov_transitions",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type AS t, epoch_us(ts) AS tu,
+                   event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_t
+            FROM events
+        ),
+        e AS (
+            SELECT prev_t, t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_t IS NOT NULL GROUP BY prev_t, t
+        ),
+        tot AS (
+            SELECT prev_t, CAST(SUM(n) AS BIGINT) AS out_n
+            FROM e GROUP BY prev_t
+        )
+        SELECT e.prev_t, e.t, e.n,
+               CAST(e.n * 1000000
+                    // CAST(tot.out_n AS HUGEINT) AS BIGINT) AS p_ppm
+        FROM e JOIN tot ON e.prev_t = tot.prev_t
+        ORDER BY e.prev_t, e.t
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: counts and exact-ppm row-normalized probabilities of "
+    "type -> type transitions — the behavioral-analytics consumer "
+    "behind session-path mining, anomaly baselines ('error after "
+    "purchase is 40x rarer than after click'), and synthetic-journey "
+    "generation. One lag over the user-partitioned order (high-"
+    "cardinality key, no band), one edge-grain count, one tiny "
+    "(types x types) normalize join — the transition matrix is "
+    "CONSTANT-sized however large the stream, so this is a "
+    "bounded-output full-corpus scan at any scale. Ties in ts "
+    "totalized by event_id; ppm by exact DIV (HUGEINT on the DuckDB "
+    "side).",
+)
+def q290(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    s = table(spark, sf, "events").select(
+        F.col("event_type").alias("t"),
+        F.lag("event_type").over(w).alias("prev_t"),
+    )
+    e = (
+        s.filter(F.col("prev_t").isNotNull())
+        .groupBy("prev_t", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = e.groupBy("prev_t").agg(
+        F.sum("n").cast("bigint").alias("out_n")
+    )
+    return (
+        e.join(F.broadcast(tot), "prev_t")
+        .select(
+            "prev_t",
+            "t",
+            "n",
+            F.expr("CAST(n * 1000000 DIV out_n AS BIGINT)")
+            .alias("p_ppm"),
+        )
+        .orderBy("prev_t", "t")
+    )
+
+
+@register(
+    "q291_source_label_gini",
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, lang
+        ),
+        s AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss,
+                   CAST(MAX(c) AS BIGINT) AS top_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_labels
+            FROM c GROUP BY source
+        )
+        SELECT source, n, n_labels,
+               CAST((CAST(n AS HUGEINT) * n - ss) * 1000000
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT)
+                   AS gini_ppm,
+               CAST(top_c * 1000000 // CAST(n AS HUGEINT) AS BIGINT)
+                   AS majority_ppm
+        FROM s ORDER BY source
+    """,
+    doc="Per-source label (language) Gini impurity + majority share, "
+    "exact ppm: gini = (n² - Σc²)/n² — the mixture-design audit "
+    "('is this source monolingual boilerplate or a real mix?') that "
+    "gates per-source sampling weights (q89/q240) and flags label "
+    "leakage between splits. Two map-side-combinable aggregates "
+    "((source, lang) then source), zero windows/joins; the squared "
+    "sums ride HUGEINT/DECIMAL headroom on both sides (c² at 1e11 "
+    "rows per class would overflow BIGINT — the q265 lesson applied "
+    "up front). Output is sources-sized: constant, scale-free.",
+)
+def q291(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        table(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c")
+        ).alias("ss"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    # exact floor-division on DECIMAL(38,0): (a - a % b) / b — the
+    # mod and subtraction are exact at scale 0 and the final quotient
+    # is an exact integer, so Spark's round-to-scale decimal division
+    # is the identity on it (plain a/b would HALF_UP-round the true
+    # quotient at 1e-6 before floor — the banned DECIMAL DIV class)
+    nn = F.col("n").cast("decimal(38,0)") * F.col("n")
+    num = (nn - F.col("ss")) * 1_000_000
+    return s.select(
+        "source",
+        "n",
+        "n_labels",
+        ((num - num % nn) / nn).cast("bigint").alias("gini_ppm"),
+        F.expr("CAST(top_c * 1000000 DIV n AS BIGINT)")
+        .alias("majority_ppm"),
+    ).orderBy("source")

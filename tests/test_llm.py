@@ -1597,3 +1597,33 @@ def test_round10_batch2_gates_and_plan(spark, sf_dir):
     assert 0 < t.n_converted < t.n_viewed
     assert 0 < t.conv_ppm < 1_000_000
     assert 0 <= t.median_delay_s <= t.p90_delay_s
+
+
+def test_round10_batch3_gates(spark, sf_dir):
+    """q290/q291 vacuity gates."""
+    from speculare_pgcdc_spark.queries import load_all
+
+    reg = load_all()
+    # q290: per-source-type probabilities sum to ~1e6 (exact-DIV
+    # floors make the sum land in (1e6 - n_targets, 1e6]), and the
+    # matrix is genuinely non-uniform
+    rows = reg["q290_markov_transitions"].fn(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.prev_t].append(r.p_ppm)
+    for src, ps in by_src.items():
+        assert 1_000_000 - len(ps) < sum(ps) <= 1_000_000, src
+    assert len({p for ps in by_src.values() for p in ps}) > 1
+    # q291: impurity is computed (0 <= gini < 1e6), majority share
+    # consistent with it, and the corpus has label mixture somewhere
+    g = reg["q291_source_label_gini"].fn(spark, sf_dir).collect()
+    assert g
+    for r in g:
+        assert 0 <= r.gini_ppm < 1_000_000
+        assert r.majority_ppm * r.n_labels >= 1_000_000 - r.n_labels
+        if r.n_labels == 1:
+            assert r.gini_ppm == 0 and r.majority_ppm == 1_000_000
+    assert any(r.gini_ppm > 0 for r in g), "no mixed source"
