@@ -86,11 +86,26 @@ def gapfill_locf(
         .groupBy(key, "bucket")
         .agg(
             F.count(F.lit(1)).alias("_c"),
-            F.round(
-                F.sum(F.col(val_col).cast("decimal(28,6)"))
-                / F.count(F.lit(1)),
-                4,
-            ).cast("double").alias("_v"),
+            # bucket mean rounded to 4 decimals through ONE double
+            # division on identical operands (e6-exact decimal sum ->
+            # double, over count*100): both engines compute the same
+            # correctly-rounded quotient and the same half-away
+            # ROUND. The previous ROUND(decimal / count, 4) form let
+            # each engine pick its own decimal-division scale and
+            # rounding point — first seen diverging at a 4th-decimal
+            # boundary on the skew01 sweep (SKEW_SWEEP_r10); this is
+            # the q73 integer-quantized-mean contract applied to LOCF.
+            (
+                F.round(
+                    (
+                        F.sum(F.col(val_col).cast("decimal(28,6)"))
+                        * 1_000_000
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * 100),
+                    0,
+                ).cast("bigint").cast("double")
+                / 10_000
+            ).alias("_v"),
         )
     )
     w_asc = Window.partitionBy(key).orderBy("bucket")

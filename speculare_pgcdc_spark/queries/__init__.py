@@ -118,6 +118,21 @@ SWEEP_FIRST = [
     "q289_time_to_convert",
     "q290_markov_transitions",
     "q291_source_label_gini",
+    # (5) CHANGED this round — the skew01 sweep (first run at that
+    # scale) exposed five cross-engine value-stability defects, each
+    # fixed + re-verified on skew01 AND the driver fixtures
+    # (SKEW_SWEEP_r10.json): q125 seconds-truncated session gap ->
+    # unix_micros; q72 mean rounded through engine-specific decimal
+    # division -> one identical-double division; q118
+    # ROUND(cume_dist) dyadic tie -> exact rn*1e6 DIV n ppm; q159
+    # exp() proven non-bit-identical at huge args -> clamp + exact
+    # log-domain column; q169 ROUND after decimal->double cast ->
+    # decimal-domain ROUND.
+    "q72_gapfill_locf",
+    "q118_distribution_windows",
+    "q125_session_assignment",
+    "q159_compound_growth",
+    "q169_decay_engagement",
 ]
 
 

@@ -316,8 +316,10 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
             SELECT user_id,
                    CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS c,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6)))
-                        / COUNT(*), 4) AS DOUBLE) AS v
+                   CAST(CAST(ROUND(CAST(
+                            SUM(CAST(value AS DECIMAL(28,6))) * 1000000
+                            AS DOUBLE) / (COUNT(*) * 100))
+                        AS BIGINT) AS DOUBLE) / 10000 AS v
             FROM events GROUP BY 1, 2),
         grid AS (
             SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
@@ -917,7 +919,9 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     "q118_distribution_windows",
     oracle="""
         SELECT event_id,
-               CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+               CAST(ROW_NUMBER() OVER w * 1000000
+                    // CAST(COUNT(*) OVER (PARTITION BY user_id)
+                            AS HUGEINT) AS BIGINT) AS cd_ppm,
                nth_value(value, 2) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -926,24 +930,37 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
-    doc="Distribution window family completion (W1 tail): cume_dist "
-    "for the per-user empirical CDF position and nth_value with an "
-    "explicit running frame for the second-observed value. Both "
-    "partition on user_id (one shuffle, no global window); the "
-    "(ts, event_id) order key is total, so ranks are deterministic "
-    "cross-engine.",
+    doc="Distribution window family completion (W1 tail): the "
+    "per-user empirical CDF position (cume_dist's definition — "
+    "rows-at-or-before over partition size; under the TOTAL "
+    "(ts, event_id) order every row is its own peer group, so it is "
+    "exactly rn/n) and nth_value with an explicit running frame for "
+    "the second-observed value. The CDF publishes as exact integer "
+    "ppm (rn * 1e6 DIV n): ROUND(cume_dist(), 6) let the two "
+    "engines' c/n doubles land on opposite sides of a 6th-decimal "
+    "tie — first seen when the skew01 fixture's hot user produced a "
+    "dyadic rank ratio (SKEW_SWEEP_r10). Both partition on user_id "
+    "(one shuffle, no global window).",
 )
 def q118(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("user_id")
     return (
         table(spark, sf, "events")
         .select(
             "event_id",
-            F.round(F.cume_dist().over(wo), 6).cast("double").alias("cd"),
+            F.row_number().over(wo).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
             F.nth_value("value", 2).over(wf).alias("second_seen"),
+        )
+        .select(
+            "event_id",
+            F.expr("CAST(rn * 1000000 DIV n AS BIGINT)")
+            .alias("cd_ppm"),
+            "second_seen",
         )
         .orderBy("event_id")
     )
@@ -1189,9 +1206,15 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
 
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap test: cast-to-long is SECONDS (truncated),
+    # which moves the 30-min boundary by up to 1 s against the
+    # oracle's INTERVAL comparison — first seen as 3 phantom sessions
+    # on the skew01 sweep (SKEW_SWEEP_r10) when reshuffled users
+    # produced gaps within a second of exactly 30 min
     gap_new = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
-        <= 1800,
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+        <= 1800 * 1_000_000,
         0,
     ).otherwise(1)
     return (

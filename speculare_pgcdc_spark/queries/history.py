@@ -199,15 +199,18 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q159_compound_growth",
     oracle="""
-        SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_periods,
-               CAST(ROUND(exp(CAST(SUM(CAST(
-                   ln(1.0 + fmod(value, 10.0) / 100.0)
-                   AS DECIMAL(28,12))) AS DOUBLE)), 6) AS DOUBLE)
-                   AS compound_factor
-        FROM events
-        GROUP BY user_id
-        ORDER BY user_id
+        WITH s AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_periods,
+                   SUM(CAST(ln(1.0 + fmod(value, 10.0) / 100.0)
+                            AS DECIMAL(28,12))) AS ls
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_periods,
+               CAST(ROUND(ls, 6) AS DOUBLE) AS log_factor,
+               CAST(ROUND(exp(LEAST(CAST(ls AS DOUBLE), 20.0)), 6)
+                    AS DOUBLE) AS compound_factor
+        FROM s ORDER BY user_id
     """,
     doc="Compound growth per entity — the PRODUCT aggregate, which "
     "Spark (and SQL) lack natively, via the exp-sum-log identity: "
@@ -215,9 +218,16 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     "derived arithmetically from the value column; the log terms are "
     "identical IEEE doubles in both engines and accumulate in "
     "DECIMAL (the q136 contract) so shuffle order cannot move the "
-    "sum; exp runs on the identical total. One hash agg — the "
-    "product distributes exactly like a sum, partial-merged "
-    "map-side.",
+    "sum. The EXACT result is published in the log domain "
+    "(log_factor, decimal-rounded); the linear-domain factor clamps "
+    "the exp argument at 20 — the skew01 sweep proved exp(), unlike "
+    "ln(), is NOT bit-identical across libms at large arguments "
+    "(a hot entity's 13k-period sum reached e^76 ~ 1e33, where a "
+    "2-ulp exp spread sits far above any ROUND grid; below e^20 "
+    "~ 4.9e8 the 6-decimal round absorbs ulp spread), and a product "
+    "past e^20 is not a meaningful double anyway — the log column "
+    "carries it exactly. One hash agg — the product distributes "
+    "exactly like a sum, partial-merged map-side.",
 )
 def q159(spark: SparkSession, sf: str) -> DataFrame:
     term = F.log(1.0 + F.col("value") % 10.0 / 100.0).cast(
@@ -228,8 +238,16 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_periods"),
-            F.round(F.exp(F.sum(term).cast("double")), 6)
-            .cast("double").alias("compound_factor"),
+            F.sum(term).alias("ls"),
+        )
+        .select(
+            "user_id",
+            "n_periods",
+            F.round(F.col("ls"), 6).cast("double").alias("log_factor"),
+            F.round(
+                F.exp(F.least(F.col("ls").cast("double"), F.lit(20.0))),
+                6,
+            ).cast("double").alias("compound_factor"),
         )
         .orderBy("user_id")
     )
@@ -442,9 +460,9 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    value / (1 + date_diff('day', CAST(ts AS DATE), ref_d))
-                   AS DECIMAL(28,10))) AS DOUBLE), 4) AS DOUBLE)
+                   AS DECIMAL(28,10))), 4) AS DOUBLE)
                    AS engagement
         FROM events CROSS JOIN ref
         GROUP BY user_id
@@ -457,7 +475,10 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     "of an integer day difference (identical IEEE division in both "
     "engines), where an exponential exp(-lambda*age) would put a "
     "libm call inside the SUM and last-ulp differences could "
-    "accumulate. Terms sum in DECIMAL (the q136 contract); the "
+    "accumulate. Terms sum in DECIMAL (the q136 contract) and the "
+    "final ROUND runs IN the decimal domain (rounding after a "
+    "decimal->double cast let an exact .xxxx5 sum round differently "
+    "per engine — caught by the skew01 sweep, SKEW_SWEEP_r10); the "
     "reference day is a 1-row broadcast, the score one hash agg.",
 )
 def q169(spark: SparkSession, sf: str) -> DataFrame:
@@ -473,8 +494,7 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(term).cast("double"), 4)
-            .cast("double").alias("engagement"),
+            F.round(F.sum(term), 4).cast("double").alias("engagement"),
         )
         .orderBy("user_id")
     )
