@@ -133,6 +133,15 @@ SWEEP_FIRST = [
     "q125_session_assignment",
     "q159_compound_growth",
     "q169_decay_engagement",
+    # (6) the q169 class closed registry-wide: every other
+    # decimal-grid sum that ROUNDed through a decimal->double cast
+    # now rounds in the decimal domain (audit in SCALING.md §6m)
+    "q136_entropy",
+    "q144_kl_source_drift",
+    "q185_mutual_information",
+    "q211_chi_squared",
+    "q212_js_divergence",
+    "q227_mutual_information",
 ]
 
 

@@ -1220,10 +1220,10 @@ def _neyman_alloc(spark: SparkSession, sf: str, k: int) -> DataFrame:
         n AS (SELECT SUM(obs) AS n FROM o)
         SELECT CAST(MAX(n.n) AS BIGINT) AS n,
                CAST(COUNT(*) AS BIGINT) AS n_cells,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    (o.obs * 1.0 / n.n)
                    * ln((o.obs * 1.0 * n.n) / (rt.r * 1.0 * ct.c))
-                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE)
                    AS mi_nats
         FROM o
         JOIN rt ON o.lang = rt.lang
@@ -1267,7 +1267,11 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
     return cells.agg(
         F.max("n").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.round(F.sum(term).cast("double"), 6).cast("double")
+        # ROUND in the decimal domain, cast after: the sum lives on
+        # the exact 1e-12 grid, where half-ties at the 1e-6 grid are
+        # reachable and a decimal->double cast resolves them
+        # engine-specifically (the q169 skew01 lesson, SCALING §6m)
+        F.round(F.sum(term), 6).cast("double")
         .alias("mi_nats"),
     )
 

@@ -922,11 +922,11 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
                CAST((COUNT(DISTINCT lang) - 1)
                     * (COUNT(DISTINCT source) - 1) AS BIGINT)
                    AS dof,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    CAST(obs * n - r * c AS DOUBLE)
                    * CAST(obs * n - r * c AS DOUBLE)
                    / CAST(n * r * c AS DOUBLE)
-                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE)
                    AS chi2
         FROM grid
     """,
@@ -975,7 +975,8 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
             (F.countDistinct("lang") - 1)
             * (F.countDistinct("source") - 1)
         ).cast("bigint").alias("dof"),
-        F.round(F.sum(term).cast("double"), 6).cast("double")
+        # decimal-domain ROUND (q169 skew01 lesson, SCALING §6m)
+        F.round(F.sum(term), 6).cast("double")
         .alias("chi2"),
     )
 
@@ -1004,7 +1005,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT CAST(t.n1 AS BIGINT) AS n_tokens_en,
                CAST(t.n2 AS BIGINT) AS n_tokens_other,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    0.5 * (CASE WHEN c1 > 0 THEN
                        (c1 * 1.0 / t.n1) * ln((c1 * 1.0 / t.n1)
                            / (((c1 * 1.0 / t.n1)
@@ -1015,7 +1016,7 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
                            / (((c1 * 1.0 / t.n1)
                                + (c2 * 1.0 / t.n2)) / 2))
                        ELSE 0 END)
-                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE)
                    AS js_divergence
         FROM per CROSS JOIN t
         GROUP BY t.n1, t.n2
@@ -1059,7 +1060,8 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
         per.crossJoin(F.broadcast(t))
         .groupBy("n1", "n2")
         .agg(
-            F.round(F.sum(term).cast("double"), 6).cast("double")
+            # decimal-domain ROUND (q169 skew01 lesson)
+            F.round(F.sum(term), 6).cast("double")
             .alias("js_divergence")
         )
         .select(

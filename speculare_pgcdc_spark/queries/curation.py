@@ -178,10 +178,10 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         corpus_tot AS (SELECT SUM(c_t) AS n FROM corpus)
         SELECT p.source,
                CAST(s.n_s AS BIGINT) AS n_tokens,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    (p.c * 1.0 / s.n_s)
                    * ln((p.c * 1.0 / s.n_s) / (g.c_t * 1.0 / ct.n))
-                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE)
                    AS kl_divergence
         FROM per_src p
         JOIN src_tot s ON p.source = s.source
@@ -223,7 +223,8 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(corpus_tot))
         .groupBy("source", "n_s")
         .agg(
-            F.round(F.sum(term).cast("double"), 6)
+            # decimal-domain ROUND (q169 skew01 lesson)
+            F.round(F.sum(term), 6)
             .cast("double").alias("kl_divergence")
         )
         .select(

@@ -1710,9 +1710,9 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT c.user_id,
                CAST(ROUND(
-                   CAST(SUM(CAST(
+                   SUM(CAST(
                        -(n * 1.0 / tot) * log2(n * 1.0 / tot)
-                       AS DECIMAL(28,12))) AS DOUBLE), 6)
+                       AS DECIMAL(28,12))), 6)
                AS DOUBLE) AS entropy
         FROM c JOIN tot ON c.user_id = tot.user_id
         GROUP BY c.user_id
@@ -1739,7 +1739,8 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         c.join(tot, "user_id")
         .groupBy("user_id")
         .agg(
-            F.round(F.sum(term).cast("double"), 6)
+            # decimal-domain ROUND (q169 skew01 lesson, SCALING §6m)
+            F.round(F.sum(term), 6)
             .cast("double").alias("entropy")
         )
         .orderBy("user_id")

@@ -586,10 +586,10 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
         mh AS (SELECT h, SUM(c) AS ch FROM joint GROUP BY h),
         tot AS (SELECT SUM(c) AS n FROM joint)
         SELECT CAST(tot.n AS BIGINT) AS n,
-               CAST(ROUND(CAST(SUM(CAST(
+               CAST(ROUND(SUM(CAST(
                    (c * 1.0 / n) * ln((c * 1.0 / n)
                        / ((ct * 1.0 / n) * (ch * 1.0 / n)))
-                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS DOUBLE)
+                   AS DECIMAL(28,12))), 6) AS DOUBLE)
                    AS mutual_info
         FROM joint
         JOIN mt ON joint.t = mt.t
@@ -638,7 +638,8 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("n")
         .agg(
-            F.round(F.sum(term).cast("double"), 6)
+            # decimal-domain ROUND (q169 skew01 lesson)
+            F.round(F.sum(term), 6)
             .cast("double").alias("mutual_info")
         )
         .select(F.col("n").cast("bigint").alias("n"), "mutual_info")
