@@ -1445,3 +1445,72 @@ def test_q270_skyline_suffix_max_is_banded(q):
             assert "b#" in head, f"unpartitioned data-grain window: {ln}"
     assert "CartesianProduct" not in p
     assert not has_python_eval(df)
+
+
+# ---------------------------------------------------------------- round 10
+
+
+def test_q281_scd2_single_key_exchange(q):
+    """SCD2 build: row_number + lead share ONE o_custkey exchange; the
+    output sort is rangepartitioning, and nothing crosses to Python."""
+    df = q("q281_scd2_intervals")
+    assert exchange_count(df, "hashpartitioning") == 1
+    assert not has_python_eval(df)
+    p = plan_string(df)
+    assert "Window" in p and "Join" not in p
+
+
+def test_q282_attribution_window_and_tiny_agg(q):
+    """Last-touch: one user_id exchange feeds the prefix-max window;
+    the channel agg is partial (map-side combine) before its tiny
+    exchange; no Python, no join."""
+    df = q("q282_last_touch_attribution")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    assert "Join" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+    # window partitions on the high-cardinality user key, never alone
+    # on a constant/low-card key
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+
+
+def test_q285_diversity_no_join_partial_agg(q):
+    """N-gram diversity: gram assembly is in-expression (no self-join,
+    no nested loop); the gram count combines map-side."""
+    df = q("q285_ngram_diversity")
+    p = plan_string(df)
+    assert "NestedLoop" not in p.replace("BroadcastNestedLoop", "")
+    assert "Join" not in p
+    assert "partial_count" in p
+
+
+def test_q288_cms_sketch_is_broadcast_probed(q):
+    """CMS audit: the 256-cell sketch reaches the probe side as a
+    BROADCAST join (never a shuffled join against 10 probe keys)."""
+    df = q("q288_count_min_sketch")
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_q289_ttc_windows_are_banded(q):
+    """Time-to-convert percentiles ride the banded rank: every Window
+    line carries the __b band column — no data-grain global window."""
+    df = q("q289_time_to_convert")
+    p = plan_string(df)
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl
+    for ln in wl:
+        assert "__b" in ln, f"unbanded window: {ln[:120]}"
+
+
+def test_q290_markov_single_lag_window(q):
+    """Markov transitions: one user-keyed lag window + a tiny
+    edge-grain agg; the normalize join broadcasts the constant-sized
+    totals frame."""
+    df = q("q290_markov_transitions")
+    p = plan_string(df)
+    assert not has_python_eval(df)
+    assert broadcast_hash_join_count(df) == 1
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
