@@ -36,15 +36,38 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # Round 10: FINISH the attestation rotation (r9 verdict item 1).
-    # After r09 attested q01/q19-q34/q63-q80 and the round-9 batch,
-    # exactly 51 queries still carry r02/r03-era driver rows. They fill
-    # the whole ~50-query budget, oldest first: the 7 r02-era rows,
-    # then q02-q18, q37-q38, q55-q60, then q81-q95. Round-10 additions
-    # (q281+) queue AFTER the stale block — closing the old ledger
-    # outranks first-attesting new rows, which the three-scale + skew
-    # sweeps already hash-check this round.
-    # (1) the 7 r02-era rows:
+    # Round 10. Three tiers for the driver's ~50-query budget:
+    #
+    # (1) CHANGED THIS ROUND — re-attest after change (the r9
+    # precedent: a green row attesting superseded semantics misleads
+    # the ledger). The skew01-scale sweep exposed five cross-engine
+    # value-stability defects (q125 seconds-truncated gap, q72
+    # decimal-division rounding, q118 ROUND(cume_dist) tie, q159
+    # non-bit-identical exp, q169 round-through-double), and the
+    # registry-wide audit fixed the same rounding class in six more
+    # (q136/q144/q185/q211/q212/q227); q130 is the one-pass grouped
+    # banded-ntile rewrite and q271 adopted the per-cell candidate
+    # cap (inactive at fixture occupancy — output unchanged, plan
+    # changed). All hash-verified at 3 driver scales + 2 skew scales
+    # this round (SWEEP_r10 / SKEW_SWEEP_r10).
+    "q125_session_assignment",
+    "q72_gapfill_locf",
+    "q118_distribution_windows",
+    "q159_compound_growth",
+    "q169_decay_engagement",
+    "q136_entropy",
+    "q144_kl_source_drift",
+    "q185_mutual_information",
+    "q211_chi_squared",
+    "q212_js_divergence",
+    "q227_mutual_information",
+    "q130_rfm_segmentation",
+    "q271_hard_negatives_ann",
+    # (2) the attestation-rotation tail (r9 verdict item 1): the 51
+    # r02/r03-era rows, oldest first — 7 r02 rows, then q02-q18,
+    # q37-q38, q55-q60, then q81-q95; whatever the budget cannot
+    # reach falls to the round-11 front (all are sweep-green at five
+    # fixture configurations this round).
     "q39_dedup_distinct",
     "q39_dedup_first_per_key",
     "q40_pandas_udf",
@@ -52,7 +75,6 @@ SWEEP_FIRST = [
     "q41_grouped_agg_udaf",
     "q41_grouped_map_zscore",
     "q54_approx_distinct",
-    # (2) r03-era: q02-q18, q37-q38, q55-q60:
     "q02_json_extract",
     "q03_projection",
     "q04_filter_predicates",
@@ -82,8 +104,6 @@ SWEEP_FIRST = [
     "q58_tpch_q10_returned_items",
     "q59_tpch_q12_late_lines",
     "q60_tpch_q18_large_orders",
-    # (3) r03-era tail: q81-q95 — as much as the budget allows; any
-    # overflow falls to the round-11 front:
     "q81_cdc_pipeline_v2",
     "q82_repetition_signal",
     "q83_label_centroids",
@@ -99,14 +119,8 @@ SWEEP_FIRST = [
     "q93_canonical_dedup",
     "q94_asof_tolerance",
     "q95_weighted_sampling",
-    # (4) NEW this round (round 10) — first driver attestation when
-    # the budget reaches here (sweep-green at 3 scales + skew either
-    # way): the downstream-consumer batch (SCD2, attribution,
-    # l-diversity, MMR re-rank, n-gram diversity, bigram entropy)
-    # plus q130's re-attestation after its one-pass banded rewrite
-    # and q271 after adopting the per-cell candidate cap.
-    "q130_rfm_segmentation",
-    "q271_hard_negatives_ann",
+    # (3) NEW this round (q281-q291, the downstream-consumer batch) —
+    # first driver attestation when the budget reaches here.
     "q281_scd2_intervals",
     "q282_last_touch_attribution",
     "q283_l_diversity",
@@ -118,30 +132,6 @@ SWEEP_FIRST = [
     "q289_time_to_convert",
     "q290_markov_transitions",
     "q291_source_label_gini",
-    # (5) CHANGED this round — the skew01 sweep (first run at that
-    # scale) exposed five cross-engine value-stability defects, each
-    # fixed + re-verified on skew01 AND the driver fixtures
-    # (SKEW_SWEEP_r10.json): q125 seconds-truncated session gap ->
-    # unix_micros; q72 mean rounded through engine-specific decimal
-    # division -> one identical-double division; q118
-    # ROUND(cume_dist) dyadic tie -> exact rn*1e6 DIV n ppm; q159
-    # exp() proven non-bit-identical at huge args -> clamp + exact
-    # log-domain column; q169 ROUND after decimal->double cast ->
-    # decimal-domain ROUND.
-    "q72_gapfill_locf",
-    "q118_distribution_windows",
-    "q125_session_assignment",
-    "q159_compound_growth",
-    "q169_decay_engagement",
-    # (6) the q169 class closed registry-wide: every other
-    # decimal-grid sum that ROUNDed through a decimal->double cast
-    # now rounds in the decimal domain (audit in SCALING.md §6m)
-    "q136_entropy",
-    "q144_kl_source_drift",
-    "q185_mutual_information",
-    "q211_chi_squared",
-    "q212_js_divergence",
-    "q227_mutual_information",
 ]
 
 
