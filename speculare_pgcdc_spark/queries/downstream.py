@@ -53,7 +53,14 @@ from speculare_pgcdc_spark.queries import register
     "high-cardinality, so the window needs no band (the band rule "
     "targets LOW-cardinality partition keys); one shuffle on the "
     "key, no join, output streams. Ties totalized by o_orderkey; "
-    "money floor-scales to e2 cents.",
+    "money floor-scales to e2 cents. The INCREMENTAL twin — "
+    "maintaining this state change-batch by change-batch through a "
+    "real foreachBatch stream (cdc/scd2.scd2_apply: one key window "
+    "over touched-open+batch rows, one anti-join merge per batch) — "
+    "is pinned equal to this one-shot build in tests/"
+    "test_streaming.py::test_scd2_incremental_stream_matches_batch"
+    "_build, the q279-style stream==batch closure for the CDC "
+    "consumer loop.",
 )
 def q281(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window

@@ -2291,3 +2291,114 @@ def test_q279_watermark_picks_drive_real_stream_drops(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_scd2_incremental_stream_matches_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """SCD2 maintenance closes the CDC-consumer loop (the q281 twin,
+    same pattern as q279's stream parity): maintaining the versioned
+    dimension INCREMENTALLY — per change batch, through a real
+    foreachBatch stream — must yield exactly the state q281's one-shot
+    batch build computes over the full history. Also pinned batchwise
+    (scd2_apply chained by hand) so a failure localizes to either the
+    merge logic or the streaming harness."""
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.cdc.scd2 import STATE_COLS, scd2_apply
+    from speculare_pgcdc_spark.queries import load_all
+
+    orders = t(spark, sf_dir, "orders")
+    expected = {
+        tuple(r)
+        for r in load_all()["q281_scd2_intervals"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    # arrival chunks split on GLOBAL o_orderdate terciles: per key,
+    # chunk order == valid_from order (the CDC commit-order contract);
+    # equal dates stay in one chunk so in-batch tie ranking matches
+    # q281's (o_orderdate, o_orderkey) total order
+    dates = sorted(
+        r.d
+        for r in orders.select(
+            F.col("o_orderdate").alias("d")
+        ).distinct().collect()
+    )
+    d1 = dates[len(dates) // 3]
+    d2 = dates[2 * len(dates) // 3]
+    chunks = [
+        orders.filter(F.col("o_orderdate") <= F.lit(d1)),
+        orders.filter(
+            (F.col("o_orderdate") > F.lit(d1))
+            & (F.col("o_orderdate") <= F.lit(d2))
+        ),
+        orders.filter(F.col("o_orderdate") > F.lit(d2)),
+    ]
+    assert all(c.count() > 0 for c in chunks)
+
+    # (1) pure-batch incremental chain
+    state = None
+    for c in chunks:
+        state = scd2_apply(state, c)
+        state = state.localCheckpoint(eager=True)
+    got = {tuple(r) for r in state.select(*STATE_COLS).collect()}
+    assert got == expected
+
+    # (2) the same merge driven by a REAL stream, state on disk
+    import glob as _glob
+    import shutil as _shutil
+
+    feed = tmp_path / "feed"
+    os.makedirs(feed)
+    t0 = 1_700_000_000
+    for i, c in enumerate(chunks):
+        tmp_out = str(tmp_path / f"chunk{i}")
+        c.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = str(feed / f"{i:05d}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    state_dir = tmp_path / "scd2_state"
+    versions: list[str] = []
+
+    def upsert(batch_df, batch_id):
+        prev = (
+            batch_df.sparkSession.read.parquet(versions[-1])
+            if versions
+            else None
+        )
+        out = str(state_dir / f"v{batch_id}")
+        scd2_apply(prev, batch_df).write.parquet(out)
+        versions.append(out)
+
+    src = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    assert len(versions) == 3
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(versions[-1])
+        .select(*STATE_COLS)
+        .collect()
+    }
+    assert streamed == expected
+    # sanity: exactly one open version per key at every checkpoint
+    for v in versions:
+        s = spark.read.parquet(v)
+        assert (
+            s.filter(F.col("valid_to").isNull()).count()
+            == s.select("o_custkey").distinct().count()
+        )
