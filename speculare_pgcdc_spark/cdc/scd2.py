@@ -8,16 +8,35 @@ The reference engine forwards changes (src/cdc/replication.rs:169-204)
 and leaves materialization to its consumers; this module IS that
 consumer for the SCD2 shape.
 
-Contract: change batches arrive in per-key event order (valid_from
-non-decreasing per key across batches — CDC commit order guarantees
-this for transactional sources). Each batch:
+Contract — what the parity guarantee actually requires (tightened per
+the round-10 advice):
 
-1. ranks its own rows per key (the batch may carry several versions
-   of one key);
-2. pulls the key's CURRENT OPEN version from state and re-chains
-   valid_to with one lead() over (open row ∪ batch rows) per key —
-   the open row closes at the first new valid_from, the last new row
-   stays open (valid_to NULL);
+* Per key, no batch row's ``valid_from`` may be STRICTLY LESS than the
+  key's current open version's ``valid_from`` (equivalently: less than
+  the max ``valid_from`` seen so far). CDC commit order guarantees
+  this for transactional sources. A strictly-earlier row belongs
+  before an already-CLOSED version whose ``valid_to`` this merge never
+  rewrites, so the output silently diverges from the one-shot build —
+  pass ``validate=True`` to turn that silent divergence into a raised
+  ``ValueError`` (one extra touched-key aggregate per batch).
+* EQUAL ``valid_from`` across batches is fine: the state stores each
+  open version's tie key (``_tie``), and the re-chain ranks the open
+  row by its REAL ``(valid_from, _tie)`` — not a hardcoded front
+  rank — so a later batch row tying on ``valid_from`` with a smaller
+  tie key slots BEFORE the open row exactly as q281's
+  ``(valid_from, o_orderkey)`` total order does (the open row's
+  version number is re-assigned in that case, which only touches the
+  open slice the merge rewrites anyway).
+* Tie keys are unique across the history of a key (o_orderkey here);
+  redelivery of the same physical row is upstream dedup's job (T5).
+
+Each batch:
+
+1. pools the key's CURRENT OPEN version (with its real rank keys) with
+   the batch's new rows;
+2. ranks the pool per key by ``(valid_from, _tie)`` and re-chains
+   ``valid_to`` with one lead() — versions continue from the count of
+   already-CLOSED versions, the last row stays open (valid_to NULL);
 3. merges: untouched state rows pass through, touched keys' open
    rows are replaced by the re-chained slice.
 
@@ -34,11 +53,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: SCD2 state schema (q281's output shape)
+#: SCD2 public state schema (q281's output shape). The stored state
+#: additionally carries ``_tie`` (each version's rank tie key) so the
+#: open row re-enters the next batch's chain at its true position;
+#: consumers select STATE_COLS.
 STATE_COLS = [
     "o_custkey", "version", "valid_from", "valid_to", "status",
     "price_e2",
 ]
+
+#: full stored schema = STATE_COLS + the internal rank tie key
+STORED_COLS = STATE_COLS + ["_tie"]
+
+_CHAIN_COLS = ["o_custkey", "_base_v", "valid_from", "status",
+               "price_e2", "_tie"]
 
 
 def scd2_batch_rows(batch: DataFrame) -> DataFrame:
@@ -49,61 +77,92 @@ def scd2_batch_rows(batch: DataFrame) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint")
         .alias("price_e2"),
-        F.col("o_orderkey").alias("_tie"),
+        F.col("o_orderkey").cast("bigint").alias("_tie"),
     )
 
 
-def scd2_apply(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+def scd2_apply(
+    state: DataFrame | None,
+    batch: DataFrame,
+    validate: bool = False,
+) -> DataFrame:
     """Merge one change batch into the SCD2 state; returns new state.
 
-    ``state`` is None (or empty) on the first batch. ``batch`` is
-    orders-shaped raw changes. Per-key ordering inside the batch is
-    (valid_from, o_orderkey) — q281's total order.
+    ``state`` is None (or empty) on the first batch; thereafter it is
+    a prior return value (STORED_COLS schema; a bare STATE_COLS frame
+    is accepted for back-compat — its open rows then rank with tie key
+    NULL, i.e. FIRST among equal valid_from, the pre-round-11
+    behavior). ``batch`` is orders-shaped raw changes.
+
+    ``validate=True`` enforces the contract's ordering precondition
+    (no batch row strictly earlier than the key's open version) with
+    one extra aggregate over the touched keys and raises ValueError on
+    violation instead of silently diverging from the one-shot build.
     """
     rows = scd2_batch_rows(batch)
-    w_in = Window.partitionBy("o_custkey").orderBy("valid_from", "_tie")
-    new = rows.withColumn(
-        "_rn", F.row_number().over(w_in).cast("bigint")
+    new = rows.select(
+        "o_custkey",
+        F.lit(None).cast("bigint").alias("_base_v"),
+        "valid_from",
+        "status",
+        "price_e2",
+        "_tie",
     )
     if state is None:
         base = None
     else:
+        if "_tie" not in state.columns:
+            state = state.withColumn(
+                "_tie", F.lit(None).cast("bigint")
+            )
         touched = new.select("o_custkey").distinct()
         base = state.filter(F.col("valid_to").isNull()).join(
             touched, "o_custkey", "left_semi"
         )
     if base is not None:
-        # the open version re-enters the chain as rank 0 so ONE lead()
-        # re-chains it together with the batch's new versions
+        if validate:
+            floor_vf = base.groupBy("o_custkey").agg(
+                F.min("valid_from").alias("_open_vf")
+            )
+            n_bad = (
+                new.join(floor_vf, "o_custkey")
+                .filter(F.col("valid_from") < F.col("_open_vf"))
+                .count()
+            )
+            if n_bad:
+                raise ValueError(
+                    f"scd2_apply: {n_bad} batch row(s) carry a "
+                    "valid_from strictly earlier than their key's "
+                    "open version — they belong before an already-"
+                    "closed version this merge never rewrites, so the "
+                    "incremental state would silently diverge from "
+                    "the one-shot build (see module contract)"
+                )
+        # the open version re-enters the chain at its REAL
+        # (valid_from, _tie) so equal-valid_from batch rows slot
+        # around it exactly as in the one-shot total order; versions
+        # continue from the key's CLOSED count (= open version - 1)
         opens = base.select(
             "o_custkey",
-            F.col("version").alias("_base_v"),
+            (F.col("version") - 1).alias("_base_v"),
             "valid_from",
             "status",
             "price_e2",
-            F.lit(0).cast("bigint").alias("_rn"),
+            "_tie",
         )
         base_v = opens.select("o_custkey", "_base_v")
         chain = (
-            new.join(F.broadcast(base_v), "o_custkey", "left")
+            new.drop("_base_v")
+            .join(F.broadcast(base_v), "o_custkey", "left")
             .select(
                 "o_custkey",
                 F.coalesce(F.col("_base_v"), F.lit(0)).alias("_base_v"),
                 "valid_from",
                 "status",
                 "price_e2",
-                "_rn",
+                "_tie",
             )
-            .unionByName(
-                opens.select(
-                    "o_custkey",
-                    F.col("_base_v"),
-                    "valid_from",
-                    "status",
-                    "price_e2",
-                    "_rn",
-                )
-            )
+            .unionByName(opens.select(*_CHAIN_COLS))
         )
     else:
         chain = new.select(
@@ -112,19 +171,26 @@ def scd2_apply(state: DataFrame | None, batch: DataFrame) -> DataFrame:
             "valid_from",
             "status",
             "price_e2",
-            "_rn",
+            "_tie",
         )
-    w_chain = Window.partitionBy("o_custkey").orderBy("_rn")
+    # NULL _tie (legacy STATE_COLS input) sorts FIRST among equal
+    # valid_from — the pre-tie behavior — via asc_nulls_first
+    w_chain = Window.partitionBy("o_custkey").orderBy(
+        F.col("valid_from").asc(),
+        F.col("_tie").asc_nulls_first(),
+    )
     updated = chain.select(
         "o_custkey",
-        (F.col("_base_v") + F.col("_rn")).alias("version"),
+        (F.col("_base_v") + F.row_number().over(w_chain))
+        .cast("bigint").alias("version"),
         "valid_from",
         F.lead("valid_from").over(w_chain).alias("valid_to"),
         "status",
         "price_e2",
+        "_tie",
     )
     if state is None:
-        return updated.select(*STATE_COLS)
+        return updated.select(*STORED_COLS)
     untouched = state.join(
         updated.select("o_custkey").distinct(), "o_custkey", "left_anti"
     )
@@ -132,7 +198,7 @@ def scd2_apply(state: DataFrame | None, batch: DataFrame) -> DataFrame:
         updated.select("o_custkey").distinct(), "o_custkey", "left_semi"
     )
     return (
-        untouched.unionByName(closed_kept)
-        .unionByName(updated)
-        .select(*STATE_COLS)
+        untouched.select(*STORED_COLS)
+        .unionByName(closed_kept.select(*STORED_COLS))
+        .unionByName(updated.select(*STORED_COLS))
     )

@@ -107,11 +107,18 @@ def kcore(
     neighbors in the core (degrees only shrink while peeling, so
     such a node could never have been removed) — together these are
     exactly the k-core's defining maximality."""
+    if max_iters < 1:
+        # zero rounds can never certify a fixed point, and the
+        # non-convergence message below reads the last round's counts
+        raise ValueError(f"kcore: max_iters must be >= 1, got {max_iters}")
     cur = edges.select("ua", "ub").localCheckpoint(eager=True)
     n_prev = cur.count()
     iters = 0
     converged = False
+    n_before = n_prev  # edge count entering the most recent round
+    n_next = n_prev
     for _ in range(max_iters):
+        n_before = n_prev
         deg = (
             cur.select(F.col("ua").alias("u"))
             .unionAll(cur.select(F.col("ub").alias("u")))
@@ -142,7 +149,7 @@ def kcore(
         # truncation is an error, not a result.
         raise RuntimeError(
             f"kcore(k={k}) did not reach a fixed point within "
-            f"{max_iters} peeling rounds ({n_prev} -> {n_next} edges "
+            f"{max_iters} peeling rounds ({n_before} -> {n_next} edges "
             "in the last round); raise max_iters"
         )
     return cur, iters

@@ -47,6 +47,25 @@ def _segments(anchored: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _sum_e6(val_col: str) -> Column:
+    """Exact per-bucket value sum in integer MICRO-units (x 1e6).
+
+    The scaling happens PER ROW, before the aggregate: v ->
+    decimal(28,6) (6-digit quantization, exact) -> x 1e6 (integer-
+    valued decimal(36,6), exact) -> decimal(28,0) (exact for |v| <
+    1e22 per row) -> SUM -> decimal(38,0). Headroom is therefore 1e38
+    on the per-bucket SUM. The previous form multiplied AFTER the sum
+    — SUM(decimal(28,6)) is decimal(38,6) and the x 1e6 product
+    saturates precision 38, silently overflowing to NULL once a
+    bucket's sum reaches ~1e26 while DuckDB's HUGEINT-backed decimal
+    survives (round-10 advice). Values are bit-identical for all
+    in-headroom inputs: both forms produce the same exact integer."""
+    return F.sum(
+        (F.col(val_col).cast("decimal(28,6)") * 1_000_000)
+        .cast("decimal(28,0)")
+    )
+
+
 def _grid_count() -> Column:
     """Bucket row count on the dense grid: the sparse row's own count on
     its own bucket, 0 on the gap buckets it fans out."""
@@ -97,10 +116,7 @@ def gapfill_locf(
             # the q73 integer-quantized-mean contract applied to LOCF.
             (
                 F.round(
-                    (
-                        F.sum(F.col(val_col).cast("decimal(28,6)"))
-                        * 1_000_000
-                    ).cast("double")
+                    _sum_e6(val_col).cast("double")
                     / (F.count(F.lit(1)) * 100),
                     0,
                 ).cast("bigint").cast("double")
@@ -158,9 +174,7 @@ def gapfill_interpolate(
     engines — ROUND(double, 4) does not (its .xxxx5 ties are not
     representable and engines disagree on the stored neighbor)."""
     mu = F.round(
-        (F.sum(F.col(val_col).cast("decimal(28,6)")) * 1_000_000)
-        .cast("double")
-        / F.count(F.lit(1))
+        _sum_e6(val_col).cast("double") / F.count(F.lit(1))
     ).cast("bigint")
     sparse = (
         bucketize(df, ts_col, width_seconds)

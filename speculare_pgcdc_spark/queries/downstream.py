@@ -828,15 +828,24 @@ def q289(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("bigint").alias("p90_delay_s"),
         )
     )
-    return stats.crossJoin(F.broadcast(picks)).select(
-        "n_viewed",
-        "n_converted",
-        F.expr(
-            "CAST(n_converted * 1000000 DIV GREATEST(n_viewed, 1) "
-            "AS BIGINT)"
-        ).alias("conv_ppm"),
-        "median_delay_s",
-        "p90_delay_s",
+    return (
+        stats.crossJoin(F.broadcast(picks))
+        .select(
+            "n_viewed",
+            "n_converted",
+            F.expr(
+                "CAST(n_converted * 1000000 DIV GREATEST(n_viewed, 1) "
+                "AS BIGINT)"
+            ).alias("conv_ppm"),
+            "median_delay_s",
+            "p90_delay_s",
+        )
+        # empty-conversion SHAPE parity (round-10 advice): the global
+        # agg over an empty `conv` still yields one all-NULL row, but
+        # the oracle's `FROM rk, n` cross join with empty rk yields
+        # ZERO rows — drop the NULL row so both engines agree on any
+        # fixture with no converting user.
+        .filter(F.col("n_converted").isNotNull())
     )
 
 

@@ -100,3 +100,44 @@ def test_hll_sketch_union_within_bound(spark, duck, sf_dir):
     assert set(est) == set(exact)
     for t, ref in exact.items():
         assert abs(est[t] - ref) / max(ref, 1) <= 0.05, (t, est[t], ref)
+
+
+def test_q289_zero_conversion_shape_matches_oracle(spark, tmp_path):
+    """Round-10 advice (low): with NO converting user, the Spark
+    side's global agg used to emit one all-NULL row while the
+    oracle's `FROM rk, n` cross join over empty rk emits ZERO rows.
+    Both engines must now agree on the empty shape (zero rows)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(hours=1),
+                 t0 + dt.timedelta(hours=2)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            # views and clicks only — nobody purchases
+            "event_type": pa.array(
+                ["view", "click", "view"], pa.string()
+            ),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    spec = REGISTRY["q289_time_to_convert"]
+    sdf = spec.fn(spark, str(tmp_path))
+    assert sdf.count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    assert len(con.execute(spec.oracle).fetchall()) == 0

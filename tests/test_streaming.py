@@ -2402,3 +2402,97 @@ def test_scd2_incremental_stream_matches_batch_build(
             s.filter(F.col("valid_to").isNull()).count()
             == s.select("o_custkey").distinct().count()
         )
+
+
+def _orders_frame(spark, rows):
+    """Tiny orders-shaped frame for SCD2 contract tests:
+    rows = [(orderkey, custkey, 'YYYY-MM-DD', status, totalprice)]."""
+    return spark.createDataFrame(
+        [
+            (int(ok), int(ck), d, st, float(tp))
+            for ok, ck, d, st, tp in rows
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate string, "
+        "o_orderstatus string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+
+def test_scd2_cross_batch_equal_valid_from_ties_chain_like_one_shot(
+    spark,
+):
+    """Round-10 advice (medium): a later batch row whose valid_from
+    EQUALS the open version's but whose tie key (o_orderkey) is
+    SMALLER must slot BEFORE the open row — q281's (valid_from,
+    o_orderkey) total order — not after it. The old merge pinned the
+    open row at a hardcoded front rank, so exactly this input
+    silently diverged from the one-shot build; the state now stores
+    each open version's real tie key and re-ranks with it."""
+    from speculare_pgcdc_spark.cdc.scd2 import STATE_COLS, scd2_apply
+
+    b1 = _orders_frame(
+        spark,
+        [
+            (10, 1, "2024-01-01", "O", 1.0),
+            # open version after batch 1: key 1, orderkey 30
+            (30, 1, "2024-02-01", "F", 2.0),
+            (40, 2, "2024-03-01", "O", 9.0),
+        ],
+    )
+    b2 = _orders_frame(
+        spark,
+        [
+            # SAME valid_from as key 1's open version, SMALLER tie:
+            # one-shot order is 10 < 20 < 30
+            (20, 1, "2024-02-01", "P", 5.0),
+            (50, 2, "2024-04-01", "F", 7.0),
+        ],
+    )
+    inc = scd2_apply(scd2_apply(None, b1), b2, validate=True)
+    one_shot = scd2_apply(None, b1.unionByName(b2))
+    got = {tuple(r) for r in inc.select(*STATE_COLS).collect()}
+    want = {tuple(r) for r in one_shot.select(*STATE_COLS).collect()}
+    assert got == want
+    # and the tie really exercised the re-rank: key 1's version 2 is
+    # the LATE-arriving orderkey 20, version 3 the old open row
+    k1 = {
+        r["version"]: (r["status"], r["valid_to"] is None)
+        for r in inc.filter(F.col("o_custkey") == 1).collect()
+    }
+    assert k1[2] == ("P", False)
+    assert k1[3] == ("F", True)
+
+
+def test_scd2_late_batch_violates_contract(spark):
+    """Negative precondition test (round-10 verdict item 3): a batch
+    row with valid_from STRICTLY EARLIER than the key's open version
+    belongs before an already-closed version whose valid_to the merge
+    never rewrites. validate=True must raise; without validation the
+    documented wrong-output mode is a stale valid_to on that closed
+    version (pinned here so the failure mode stays what the module
+    docstring says it is)."""
+    import pytest as _pytest
+
+    from speculare_pgcdc_spark.cdc.scd2 import STATE_COLS, scd2_apply
+
+    b1 = _orders_frame(
+        spark,
+        [
+            (10, 1, "2024-01-01", "O", 1.0),
+            (30, 1, "2024-03-01", "F", 2.0),
+        ],
+    )
+    late = _orders_frame(spark, [(20, 1, "2024-02-01", "P", 5.0)])
+    state = scd2_apply(None, b1)
+    with _pytest.raises(ValueError, match="strictly earlier"):
+        scd2_apply(state, late, validate=True)
+    # silent mode diverges exactly as documented: version 1 keeps
+    # valid_to = 2024-03-01 (stale), one-shot closes it at 2024-02-01
+    silent = scd2_apply(state, late)
+    one_shot = scd2_apply(None, b1.unionByName(late))
+    got = {tuple(r) for r in silent.select(*STATE_COLS).collect()}
+    want = {tuple(r) for r in one_shot.select(*STATE_COLS).collect()}
+    assert got != want
+    v1_silent = silent.filter(F.col("version") == 1).collect()[0]
+    v1_shot = one_shot.filter(F.col("version") == 1).collect()[0]
+    assert str(v1_silent["valid_to"]) == "2024-03-01"
+    assert str(v1_shot["valid_to"]) == "2024-02-01"
