@@ -72,6 +72,11 @@ TIER2 = [
     "q255_group_mad_outliers",
     "q265_column_checksums",
     "q267_triangle_count",
+    # round-11 additions: the distinct-grain audience self-join and the
+    # event-grain double-window feature column — the widest new shapes
+    # in the feature-engineering batch
+    "q295_type_cooccurrence_jaccard",
+    "q299_events_since_purchase",
 ]
 
 

@@ -36,75 +36,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # Round 10. Three tiers for the driver's ~50-query budget:
+    # Round 11. Five tiers for the driver's ~50-query budget:
     #
     # (1) CHANGED THIS ROUND — re-attest after change (the r9
-    # precedent: a green row attesting superseded semantics misleads
-    # the ledger). The skew01-scale sweep exposed five cross-engine
-    # value-stability defects (q125 seconds-truncated gap, q72
-    # decimal-division rounding, q118 ROUND(cume_dist) tie, q159
-    # non-bit-identical exp, q169 round-through-double), and the
-    # registry-wide audit fixed the same rounding class in six more
-    # (q136/q144/q185/q211/q212/q227); q130 is the one-pass grouped
-    # banded-ntile rewrite and q271 adopted the per-cell candidate
-    # cap (inactive at fixture occupancy — output unchanged, plan
-    # changed). All hash-verified at 3 driver scales + 2 skew scales
-    # this round (SWEEP_r10 / SKEW_SWEEP_r10).
-    "q125_session_assignment",
+    # precedent): the gapfill bucket-mean sum now scales PER ROW
+    # before aggregating (operators/timeseries._sum_e6 — values
+    # bit-identical in-headroom, plan changed, headroom 1e26 -> 1e38).
     "q72_gapfill_locf",
-    "q118_distribution_windows",
-    "q159_compound_growth",
-    "q169_decay_engagement",
-    "q136_entropy",
-    "q144_kl_source_drift",
-    "q185_mutual_information",
-    "q211_chi_squared",
-    "q212_js_divergence",
-    "q227_mutual_information",
-    "q130_rfm_segmentation",
-    "q271_hard_negatives_ann",
-    # (2) the attestation-rotation tail (r9 verdict item 1): the 51
-    # r02/r03-era rows, oldest first — 7 r02 rows, then q02-q18,
-    # q37-q38, q55-q60, then q81-q95; whatever the budget cannot
-    # reach falls to the round-11 front (all are sweep-green at five
-    # fixture configurations this round).
-    "q39_dedup_distinct",
-    "q39_dedup_first_per_key",
-    "q40_pandas_udf",
-    "q40_python_udf",
-    "q41_grouped_agg_udaf",
-    "q41_grouped_map_zscore",
-    "q54_approx_distinct",
-    "q02_json_extract",
-    "q03_projection",
-    "q04_filter_predicates",
-    "q05_dsl_eq",
-    "q05_dsl_in",
-    "q06_explode",
-    "q07_join_agg",
-    "q08_full_join",
-    "q08_left_join",
-    "q08_right_join",
-    "q09_semi_join",
-    "q10_anti_join",
-    "q11_cross_join",
-    "q12_range_join",
-    "q13_asof_join",
-    "q14_interval_join",
-    "q15_groupby_agg",
-    "q16_count_distinct",
-    "q16_distinct",
-    "q17_rollup",
-    "q18_having",
-    "q37_tumbling_window",
-    "q38_session_window",
-    "q55_sliding_window",
-    "q56_tpch_q3_shipping_priority",
-    "q57_tpch_q5_local_supplier",
-    "q58_tpch_q10_returned_items",
-    "q59_tpch_q12_late_lines",
-    "q60_tpch_q18_large_orders",
-    "q81_cdc_pipeline_v2",
+    "q73_gapfill_interpolate",
+    # (2) NEVER driver-attested: the round-10 downstream-consumer
+    # batch (SWEEP_r10 + SKEW_SWEEP_r10 green, no CORRECTNESS row —
+    # r10 verdict item 1). q289 additionally changed this round
+    # (empty-conversion shape guard; value unchanged on non-empty
+    # fixtures).
+    "q281_scd2_intervals",
+    "q282_last_touch_attribution",
+    "q283_l_diversity",
+    "q284_mmr_diversified_topk",
+    "q285_ngram_diversity",
+    "q286_char_bigram_entropy",
+    "q287_poisson_bootstrap_ci",
+    "q288_count_min_sketch",
+    "q289_time_to_convert",
+    "q290_markov_transitions",
+    "q291_source_label_gini",
+    # (3) the r3-era rows — 7 rounds stale, the oldest attested block
+    # (r10 verdict item 1; the r10 budget ended exactly at q81).
     "q82_repetition_signal",
     "q83_label_centroids",
     "q84_pii_redaction",
@@ -119,19 +76,60 @@ SWEEP_FIRST = [
     "q93_canonical_dedup",
     "q94_asof_tolerance",
     "q95_weighted_sampling",
-    # (3) NEW this round (q281-q291, the downstream-consumer batch) —
-    # first driver attestation when the budget reaches here.
-    "q281_scd2_intervals",
-    "q282_last_touch_attribution",
-    "q283_l_diversity",
-    "q284_mmr_diversified_topk",
-    "q285_ngram_diversity",
-    "q286_char_bigram_entropy",
-    "q287_poisson_bootstrap_ci",
-    "q288_count_min_sketch",
-    "q289_time_to_convert",
-    "q290_markov_transitions",
-    "q291_source_label_gini",
+    # (4) NEW this round: the feature-engineering batch (q292-q299),
+    # oracle-green at 3 driver scales + skew01 in the r11 sweeps.
+    "q292_group_ols_trend",
+    "q293_balanced_lang_subsample",
+    "q294_freshness_audit",
+    "q295_type_cooccurrence_jaccard",
+    "q296_fano_burstiness",
+    "q297_hapax_legomena",
+    "q298_embedding_norm_outliers",
+    "q299_events_since_purchase",
+    # (5) the r5-era rotation block (r10 verdict item 4: keep the "no
+    # attested row older than ~5 rounds" invariant): all 40 rows last
+    # attested in round 5, oldest tier next in line — the driver
+    # budget reaches as far as it reaches; the remainder leads r12.
+    "q101_tpch_q4_order_priority",
+    "q102_tpch_q6_forecast_revenue",
+    "q103_tpch_q7_volume_shipping",
+    "q113_tpch_q22_dormant_customers",
+    "q164_frame_sampling",
+    "q178_silhouette",
+    "q183_knn_accuracy",
+    "q175_image_resize_standin",
+    "q143_segment_dedup",
+    "q145_degree_distribution",
+    "q146_triangle_count",
+    "q147_zscore_outliers",
+    "q148_iqr_outliers",
+    "q149_value_share",
+    "q154_embedding_quantization",
+    "q155_pmi_cooccurrence",
+    "q161_sequence_packing",
+    "q162_pps_systematic_sample",
+    "q163_pareto_frontier",
+    "q173_salted_join",
+    "q171_table_profile",
+    "q172_source_overlap",
+    "q186_dup_cluster_sizes",
+    "q152_quality_rules",
+    "q153_scd2_history",
+    "q156_new_users_curve",
+    "q158_rolling_distinct_users",
+    "q160_bucketed_join",
+    "q167_conversion_latency",
+    "q168_burst_detection",
+    "q170_banded_percent_rank",
+    "q181_seasonal_profile",
+    "q182_windowed_funnel",
+    "q180_ab_significance",
+    "q179_orc_roundtrip",
+    "q177_cusum_changepoints",
+    "q174_run_length_encoding",
+    "q165_schema_evolution",
+    "q166_partition_pruning",
+    "q157_csv_roundtrip",
 ]
 
 
@@ -178,6 +176,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus_pipeline,
         corpus_metrics,
         downstream,
+        featureeng,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

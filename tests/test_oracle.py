@@ -141,3 +141,55 @@ def test_q289_zero_conversion_shape_matches_oracle(spark, tmp_path):
         f"read_parquet('{tmp_path}/events.parquet')"
     )
     assert len(con.execute(spec.oracle).fetchall()) == 0
+
+
+def test_q298_gate_fires_on_planted_outlier(spark, tmp_path):
+    """The sf fixtures' synthetic embeddings are tight (0 outliers at
+    every driver scale — the hash pins the all-false decision
+    surface), so the gate's FIRING side needs a planted fixture: 63
+    unit-ish vectors + one exploded-norm vector must flag exactly the
+    plant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[0.1 * ((i + j) % 3)] * 8 for i, j in
+            ((i, 0) for i in range(63))]
+    vecs.append([25.0] * 8)  # the plant: norm^2 = 5000 vs <= 0.32
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 64, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = (
+        REGISTRY["q298_embedding_norm_outliers"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    flagged = [r.vec_id for r in out if r.is_outlier]
+    assert flagged == [63]
+    assert len(out) == 64
+
+
+def test_q293_balance_and_determinism(spark, sf_dir):
+    """Balanced subsample properties: every language lands EXACTLY
+    min-count rows; two runs pick byte-identical doc_ids (md5 seed,
+    no RNG state)."""
+    fn = REGISTRY["q293_balanced_lang_subsample"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_lang = Counter(r.lang for r in a)
+    assert len(set(per_lang.values())) == 1  # all equal
+    import duckdb
+
+    con = duckdb.connect()
+    m = con.execute(
+        "SELECT MIN(n) FROM (SELECT COUNT(*) n FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY lang)"
+    ).fetchone()[0]
+    assert set(per_lang.values()) == {m}

@@ -1514,3 +1514,104 @@ def test_q290_markov_single_lag_window(q):
     assert broadcast_hash_join_count(df) == 1
     wl = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wl and all("user_id" in ln for ln in wl)
+
+
+# ---------------------------------------------------------------- round 11
+
+
+def test_q292_ols_single_agg_pass(q):
+    """Group OLS: one scan, one partial+final aggregate — no join, no
+    window, nothing in Python (the sufficient-statistics contract)."""
+    df = q("q292_group_ols_trend")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q293_balanced_sample_rank_is_banded(q):
+    """Balanced subsample: lang is LOW-cardinality, so every rank
+    window must carry the md5-prefix band (__b) — a plain per-lang
+    window would serialize each language's sort at 100 TB. The
+    min-count scalar arrives by broadcast, never a shuffled join."""
+    df = q("q293_balanced_lang_subsample")
+    p = plan_string(df)
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl
+    for ln in wl:
+        assert "__b" in ln, f"unbanded window: {ln[:120]}"
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
+def test_q294_freshness_watermark_broadcasts(q):
+    """Freshness audit: the 1-row corpus watermark reaches the scan by
+    broadcast (BroadcastNestedLoopJoin for the literal cross join);
+    no sort-merge machinery, no window, no Python."""
+    df = q("q294_freshness_audit")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q295_cooccurrence_counts_broadcast(q):
+    """Type co-occurrence: the per-type distinct counts join the
+    constant-sized pair table as BROADCASTS (two of them); the only
+    shuffled join is the user-keyed self-join of the distinct grain."""
+    df = q("q295_type_cooccurrence_jaccard")
+    p = plan_string(df)
+    assert broadcast_hash_join_count(df) >= 2
+    assert "CartesianProduct" not in p
+    assert not has_python_eval(df)
+
+
+def test_q296_fano_no_window_no_shuffle_join(q):
+    """Fano factor: sparse-count identity — two combinable aggregates
+    and a 1-row span broadcast; the dense grid must NOT materialize
+    (no window, no explode, no sort-merge join)."""
+    df = q("q296_fano_burstiness")
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "Explode" not in p and "Generate" not in p
+    assert "SortMergeJoin" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q297_hapax_partial_agg_no_join(q):
+    """Hapax audit: explode -> (source, word) partial+final agg ->
+    source reduce — the q44 shape; no join anywhere."""
+    df = q("q297_hapax_legomena")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q298_norm_gate_jvm_fold_and_broadcast(q):
+    """Norm outlier gate: the fold stays in JVM expressions (no Python
+    eval) and the 1-row moment frame broadcasts — no shuffled join,
+    no window."""
+    df = q("q298_embedding_norm_outliers")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q299_since_purchase_single_exchange(q):
+    """Since-purchase feature: row_number and the running purchase max
+    share ONE user_id hash exchange (same partitioning + sort); both
+    windows key on the high-cardinality user; no join, no Python."""
+    df = q("q299_events_since_purchase")
+    p = plan_string(df)
+    assert exchange_count(df, "hashpartitioning") == 1
+    assert "Join" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
