@@ -86,6 +86,13 @@ SWEEP_FIRST = [
     "q297_hapax_legomena",
     "q298_embedding_norm_outliers",
     "q299_events_since_purchase",
+    "q300_session_paths",
+    "q301_psi_drift",
+    "q302_order_inversions",
+    "q303_coverage_grid",
+    "q304_rate_cap_throttle",
+    "q305_interarrival_stats",
+    "q306_churn_last_action",
     # (5) the r5-era rotation block (r10 verdict item 4: keep the "no
     # attested row older than ~5 rounds" invariant): all 40 rows last
     # attested in round 5, oldest tier next in line — the driver
@@ -177,6 +184,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus_metrics,
         downstream,
         featureeng,
+        productops,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

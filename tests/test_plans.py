@@ -1615,3 +1615,94 @@ def test_q299_since_purchase_single_exchange(q):
     wl = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wl and all("user_id" in ln for ln in wl)
     assert not has_python_eval(df)
+
+
+def test_q300_session_paths_one_user_exchange_takeordered(q):
+    """Session paths: sessionize + in-session rank + session id all on
+    user-keyed windows (no low-card partitioning); the top-20 is
+    TakeOrdered, never a global sort; no join."""
+    df = q("q300_session_paths")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
+
+
+def test_q301_psi_normalizers_broadcast(q):
+    """PSI: the time-midpoint (1 row) and per-type totals reach the
+    bin table by broadcast; no sort-merge join, no window."""
+    df = q("q301_psi_drift")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert broadcast_hash_join_count(df) >= 1
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert not has_python_eval(df)
+
+
+def test_q302_inversions_single_exchange(q):
+    """Order inversions: one user-keyed lag window + one combinable
+    agg — exactly two hash exchanges (the window's user key and the
+    5-group type agg), no join."""
+    df = q("q302_order_inversions")
+    p = plan_string(df)
+    assert exchange_count(df, "hashpartitioning") == 2
+    assert "partial_" in p  # the type agg combines map-side
+    assert "Join" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
+
+
+def test_q303_grid_all_broadcast(q):
+    """Coverage grid: the lang x source grid and both normalizers are
+    broadcast-assembled — no shuffled join anywhere (the grid is
+    constant-sized; a SortMergeJoin here would be a plan bug)."""
+    df = q("q303_coverage_grid")
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_python_eval(df)
+
+
+def test_q304_rate_cap_composite_key_window(q):
+    """Rate cap: the rank window partitions on the COMPOSITE
+    (user, hour) key — strictly finer than user alone — and the agg
+    combines map-side; no join."""
+    df = q("q304_rate_cap_throttle")
+    p = plan_string(df)
+    assert "Join" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q305_interarrival_composite_key_window(q):
+    """Inter-arrival: lag partitions on (user, type); one exchange,
+    one combinable agg, no join."""
+    df = q("q305_interarrival_stats")
+    p = plan_string(df)
+    assert "Join" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all(
+        "user_id" in ln and "event_type" in ln for ln in wl
+    )
+    assert not has_python_eval(df)
+
+
+def test_q306_churn_watermark_broadcast(q):
+    """Churn last-action: descending user window (high-card key), the
+    corpus watermark and user total arrive by broadcast; no
+    sort-merge join."""
+    df = q("q306_churn_last_action")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
