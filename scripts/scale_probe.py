@@ -58,19 +58,25 @@ def probe(
     # balance check is the max/median DISTRIBUTION across many tasks,
     # which local AQE would otherwise coalesce back to 1-2 tasks at
     # this fixture size and hide any skew
-    spark = get_spark(
-        app_name="scale-probe",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
-                2 * 1024 * 1024
-            ),
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
-                256 * 1024
-            ),
-        },
-    )
+    extra = {
+        "spark.ui.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            2 * 1024 * 1024
+        ),
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": str(
+            256 * 1024
+        ),
+    }
+    if "--no-coalesce" in sys.argv:
+        # skew-distribution mode: AQE's post-shuffle coalescing hides
+        # per-key imbalance on fixtures small enough to fold into 1-2
+        # tasks — pin the full 32-partition shuffle so the probe sees
+        # the DISTRIBUTION the plan would have at scale (the
+        # scd2_skew_probe convention)
+        extra["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+        extra["spark.sql.shuffle.partitions"] = "32"
+    spark = get_spark(app_name="scale-probe", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -174,7 +180,7 @@ def probe(
 if __name__ == "__main__":
     # strip the --json PAIR first so its value (which may well start
     # with 'q') can never be mistaken for a query name
-    argv = sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "--no-coalesce"]
     out = None
     if "--json" in argv:
         i = argv.index("--json")
