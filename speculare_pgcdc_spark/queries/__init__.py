@@ -44,6 +44,11 @@ SWEEP_FIRST = [
     # bit-identical in-headroom, plan changed, headroom 1e26 -> 1e38).
     "q72_gapfill_locf",
     "q73_gapfill_interpolate",
+    # ... and the repetition primitive's gram-count identity (operators/
+    # textstats.repetition_counts: n_gram = max(n_tok - n + 1, 0), no
+    # gram array for the total — halves the per-sweep cold compile;
+    # values identical). Its consumers q82 (tier 3 below) and q209:
+    "q209_repetition_ratio",
     # (2) NEVER driver-attested: the round-10 downstream-consumer
     # batch (SWEEP_r10 + SKEW_SWEEP_r10 green, no CORRECTNESS row —
     # r10 verdict item 1). q289 additionally changed this round
