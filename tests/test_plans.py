@@ -1706,3 +1706,26 @@ def test_q306_churn_watermark_broadcast(q):
     wl = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wl and all("user_id" in ln for ln in wl)
     assert not has_python_eval(df)
+
+
+def test_round11_column_pruning_reaches_scan(q):
+    """Round-11 batches: every parquet scan reads ONLY the columns the
+    query touches (a 2-4 column projection that reads the whole
+    events/documents schema is wrong at 100 TB)."""
+    cases = {
+        "q292_group_ols_trend": {"event_type", "value", "ts"},
+        "q297_hapax_legomena": {"text", "source"},
+        "q298_embedding_norm_outliers": {"vec_id", "embedding"},
+        "q300_session_paths": {
+            "event_type", "event_id", "user_id", "ts"
+        },
+        "q301_psi_drift": {"event_type", "value", "ts"},
+        "q304_rate_cap_throttle": {"event_type", "event_id",
+                                   "user_id", "ts"},
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
