@@ -1,0 +1,173 @@
+"""End-to-end STREAMING dispatch bench — the reference's actual
+serving shape, measured on ours: file change feed -> readStream ->
+parse_wal2json -> normalize -> route (live subscription registry) ->
+per-subscriber fan-out -> file outbox, via Engine.watch with a real
+checkpoint. The batch CDC micro in bench.py measures the pipeline
+computation; this measures the STREAM — microbatch scheduling,
+offset commits, delivery, everything the reference's forwarder loop
+pays (src/forwarder/mod.rs:79-93, single channel, ~79k ev/s in
+BASELINE.md).
+
+Per mode (driver-side fanout_batch vs executor-side
+fanout_partitions): N_RUNS availableNow drains of the same feed with
+fresh checkpoint/outbox each, reporting wall seconds, changes/s
+(pipeline grain, the BASELINE comparator), routed rows/s, and a
+delivery-integrity check (outbox line total == routed row count).
+
+Usage: python scripts/stream_e2e_bench.py [sf_dir] [--json out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from speculare_pgcdc_spark.cdc.feedgen import (  # noqa: E402
+    feed_messages,
+    lookup_df,
+    write_feed,
+)
+from speculare_pgcdc_spark.cdc.pipeline import (  # noqa: E402
+    normalize_hypertables,
+    parse_wal2json,
+    route,
+    subscriptions_df,
+)
+from speculare_pgcdc_spark.engine import Engine  # noqa: E402
+from speculare_pgcdc_spark.session import get_spark  # noqa: E402
+from speculare_pgcdc_spark.streaming.fanout import (  # noqa: E402
+    read_outbox,
+)
+
+#: the bench.py fanout-micro subscription set (4 subs over events_a/b)
+SUBS = [
+    (1, "insert,update:events_a"),
+    (2, "*:events_b"),
+    (3, "insert,update:events_a:event_type.in.click,view"),
+    (4, "delete:events_b"),
+]
+
+N_FILES = 8
+#: (files_per_trigger, label): the 4-microbatch point shows steady
+#: per-batch cost; the 1-batch drain shows how the fixed microbatch
+#: overhead amortizes as batches grow (the production direction)
+TRIGGER_CONFIGS = [(2, "4_microbatches"), (8, "1_microbatch")]
+N_RUNS = 3
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_path = None
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+
+    spark = get_spark(app_name="stream-e2e-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_e2e_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(spark, sf_dir, feed_dir, num_files=N_FILES)
+
+    # comparator numerators (scaffolding, untimed): pipeline-grain
+    # change count and routed (change x subscriber) count
+    changes = normalize_hypertables(
+        parse_wal2json(feed_messages(spark, sf_dir)), lookup_df(spark)
+    )
+    n_changes = changes.count()
+    subs = subscriptions_df(
+        spark, SUBS, ["events_a", "events_b", "events", "orders"]
+    )
+    n_routed = route(changes, subs).count()
+
+    eng = Engine(spark=spark, sf_dir=sf_dir,
+                 tables=["events_a", "events_b", "events", "orders"])
+    for sid, q in SUBS:
+        eng.subscribe(sid, q)
+
+    report: dict = {
+        "_meta": {
+            "purpose": (
+                "streaming end-to-end dispatch (Engine.watch): "
+                "microbatch scheduling + offsets + delivery included "
+                "— the reference forwarder's serving shape"
+            ),
+            "sf_dir": sf_dir,
+            "n_feed_files": N_FILES,
+            "n_changes": n_changes,
+            "n_routed": n_routed,
+            "subscriptions": [q for _, q in SUBS],
+        },
+        "modes": {},
+    }
+
+    for (fpt, label), mode in [
+        (cfg, m)
+        for cfg in TRIGGER_CONFIGS
+        for m in ("driver", "partitions")
+    ]:
+        walls: list[float] = []
+        integrity_ok = True
+        for run in range(N_RUNS):
+            out_dir = os.path.join(work, f"out_{label}_{mode}_{run}")
+            ckpt = os.path.join(work, f"ckpt_{label}_{mode}_{run}")
+            t0 = time.perf_counter()
+            q = eng.watch(
+                feed_dir,
+                out_dir,
+                ckpt,
+                lookup=lookup_df(spark),
+                max_files_per_trigger=fpt,
+                exactly_once=True,
+                available_now=True,
+                mode=mode,
+            )
+            try:
+                q.awaitTermination(600)
+            finally:
+                q.stop()
+            walls.append(time.perf_counter() - t0)
+            delivered = sum(
+                len(read_outbox(out_dir, sid)) for sid, _ in SUBS
+            )
+            if delivered != n_routed:
+                integrity_ok = False
+            shutil.rmtree(out_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        best = min(walls)
+        med = sorted(walls)[len(walls) // 2]
+        report["modes"][f"{label}/{mode}"] = {
+            "wall_sec": [round(w, 2) for w in walls],
+            "best_sec": round(best, 2),
+            "median_sec": round(med, 2),
+            "changes_per_s": round(n_changes / best),
+            "changes_per_s_median": round(n_changes / med),
+            "routed_per_s": round(n_routed / best),
+            "delivery_integrity": integrity_ok,
+        }
+        print(
+            f"{label}/{mode}: best {best:.2f}s / med {med:.2f}s -> "
+            f"{round(n_changes / best)} changes/s "
+            f"({round(n_routed / best)} routed/s), "
+            f"integrity={'ok' if integrity_ok else 'FAIL'}",
+            flush=True,
+        )
+
+    shutil.rmtree(work, ignore_errors=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {out_path}")
+    if not all(m["delivery_integrity"] for m in report["modes"].values()):
+        raise SystemExit("DELIVERY INTEGRITY FAILURE")
+
+
+if __name__ == "__main__":
+    main()
