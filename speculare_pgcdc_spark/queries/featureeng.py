@@ -81,7 +81,12 @@ OLS_X0 = 1_704_000_000
     "exact integer deltas (n·Σxy−ΣxΣy etc.) cast to double ONCE and "
     "combined with identical parenthesization on both engines — no "
     "accumulation-order dependence anywhere, so the only rounding is "
-    "the accepted quotient-type class. The trend-per-cohort fit is "
+    "the accepted quotient-type class. Headroom bound (the q287/q291 "
+    "convention): the n·Σxy delta reaches DECIMAL(38,0)/HUGEINT "
+    "saturation near 1e11 rows PER GROUP at this x/y scale — both "
+    "engines fail together there (Spark nulls, DuckDB raises); "
+    "re-center OLS_X0 per epoch before that. The trend-per-cohort "
+    "fit is "
     "the drift detector behind q243/q256; this is its parametric "
     "sibling. Zero joins, zero windows, |groups| output.",
 )
