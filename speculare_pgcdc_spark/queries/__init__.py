@@ -98,6 +98,7 @@ SWEEP_FIRST = [
     "q304_rate_cap_throttle",
     "q305_interarrival_stats",
     "q306_churn_last_action",
+    "q307_vocab_growth",
     # (5) the r5-era rotation block (r10 verdict item 4: keep the "no
     # attested row older than ~5 rounds" invariant): all 40 rows last
     # attested in round 5, oldest tier next in line — the driver

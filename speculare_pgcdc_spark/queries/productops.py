@@ -573,3 +573,124 @@ def q306(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("last_action", "churned")
     )
+
+
+#: q307: documents per growth-curve checkpoint, buckets per prefix band
+VOCAB_BUCKET_DOCS = 100
+VOCAB_BAND = 64
+
+
+@register(
+    "q307_vocab_growth",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id // {VOCAB_BUCKET_DOCS} AS bucket,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        wf AS (
+            SELECT tok, MIN(bucket) AS fb
+            FROM w WHERE tok <> '' GROUP BY tok
+        ),
+        tb AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nt
+            FROM w WHERE tok <> '' GROUP BY bucket
+        ),
+        nb AS (
+            SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM wf GROUP BY fb
+        ),
+        g AS (
+            SELECT tb.bucket, tb.nt, COALESCE(nb.nv, 0) AS nv
+            FROM tb LEFT JOIN nb ON tb.bucket = nb.bucket
+        )
+        SELECT bucket,
+               CAST(SUM(nt) OVER wc AS BIGINT) AS tokens_cum,
+               CAST(SUM(nv) OVER wc AS BIGINT) AS vocab_cum,
+               CAST(SUM(nv) OVER wc * 1000000
+                    // CAST(SUM(nt) OVER wc AS HUGEINT) AS BIGINT)
+                   AS ttr_cum_ppm
+        FROM g
+        WINDOW wc AS (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING)
+        ORDER BY bucket
+    """,
+    doc="Heaps'-law vocabulary growth curve: cumulative token count, "
+    "cumulative vocabulary size (distinct words whose FIRST "
+    f"occurrence is at or before the checkpoint), and the running "
+    "type-token ratio in exact ppm, at one checkpoint per "
+    f"{VOCAB_BUCKET_DOCS} documents in doc_id order — the "
+    "corpus-size planning curve ('how much new vocabulary does the "
+    "next shard actually buy') behind tokenizer sizing and "
+    "deduplication ROI estimates (q297 reads the hapax tail at one "
+    "point; this is the whole trajectory). Cumulative distinct "
+    "WITHOUT any distinct-over-window: a word contributes at exactly "
+    "its min-bucket (one word-grain agg), so the curve is a plain "
+    "prefix SUM over bucket-grain rows — computed with the q279 "
+    f"banded prefix-COMBINE ({VOCAB_BAND}-bucket bands: per-band "
+    "sums, band-grain strict-prefix, in-band running sum) so the "
+    "only unpartitioned window is band grain; the oracle states the "
+    "plain running-sum spec the composition provably equals.",
+)
+def q307(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        table(spark, sf, "documents")
+        .select(
+            F.expr(f"doc_id DIV {VOCAB_BUCKET_DOCS}").alias("bucket"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    wf = w.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    tb = w.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    nb = wf.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    g = (
+        tb.join(nb, "bucket", "left")
+        .select(
+            "bucket",
+            "nt",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("bigint")
+            .alias("nv"),
+        )
+        .withColumn(
+            "__band", F.expr(f"bucket DIV {VOCAB_BAND}")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bsum = g.groupBy("__band").agg(
+        F.sum("nt").alias("bnt"), F.sum("nv").alias("bnv")
+    )
+    wb = Window.orderBy("__band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bsum.select(
+        "__band",
+        F.coalesce(F.sum("bnt").over(wb), F.lit(0)).alias("pnt"),
+        F.coalesce(F.sum("bnv").over(wb), F.lit(0)).alias("pnv"),
+    )
+    wi = Window.partitionBy("__band").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.join(F.broadcast(prefix), "__band")
+        .select(
+            "bucket",
+            (F.col("pnt") + F.sum("nt").over(wi)).cast("bigint")
+            .alias("tokens_cum"),
+            (F.col("pnv") + F.sum("nv").over(wi)).cast("bigint")
+            .alias("vocab_cum"),
+        )
+        .select(
+            "bucket",
+            "tokens_cum",
+            "vocab_cum",
+            F.expr(
+                "CAST(vocab_cum * 1000000 DIV tokens_cum AS BIGINT)"
+            ).alias("ttr_cum_ppm"),
+        )
+        .orderBy("bucket")
+    )

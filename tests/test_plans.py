@@ -1729,3 +1729,22 @@ def test_round11_column_pruning_reaches_scan(q):
                 f"{name}: scan reads {scan_cols - allowed} beyond "
                 f"the projection"
             )
+
+
+def test_q307_vocab_growth_banded_prefix(q):
+    """Heaps curve: the cumulative sums ride the banded prefix —
+    the ONLY unpartitioned window is band grain (carries __band in
+    its frame ordering, or partitions by it); no data-grain global
+    window; the band-prefix frame joins back by broadcast."""
+    df = q("q307_vocab_growth")
+    p = plan_string(df)
+    import re
+    for ln in p.splitlines():
+        if "Window [" not in ln:
+            continue
+        spec = re.search(r"windowspecdefinition\(([^)]*)\)", ln)
+        assert spec, ln
+        head = spec.group(1)
+        assert "__band" in head, f"unbanded window: {ln[:140]}"
+    assert "SortMergeJoin" not in p
+    assert not has_python_eval(df)
