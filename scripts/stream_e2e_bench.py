@@ -29,6 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from speculare_pgcdc_spark.cdc.feedgen import (  # noqa: E402
+    FEED_TABLES,
     feed_messages,
     lookup_df,
     write_feed,
@@ -160,12 +161,95 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- IVM mode (round-12, r11 verdict item 4): the matview
+    # consumer measured end-to-end — same feed, same microbatch
+    # scheduling, but the per-batch work is snapshot apply + touched-
+    # group view refresh + two atomic dir swaps (start_matview_query,
+    # the q97 streaming twin). Integrity: the final view must equal a
+    # full recompute of the final snapshot.
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.catalog import table as cat_table
+    from speculare_pgcdc_spark.cdc.apply import start_matview_query
+    from speculare_pgcdc_spark.cdc.pipeline import (
+        normalize_hypertables as _norm,
+        parse_wal2json as _parse,
+    )
+    from speculare_pgcdc_spark.streaming.source import file_change_feed
+
+    ivm_cols = {"event_id": "bigint", "event_type": "string",
+                "value": "double"}
+
+    def ivm_aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sv"),
+        ]
+
+    base = cat_table(spark, sf_dir, "events").select(
+        *[F.col(c).cast(t).alias(c) for c, t in ivm_cols.items()]
+    )
+    for fpt, label in TRIGGER_CONFIGS:
+        walls = []
+        integrity_ok = True
+        for run in range(N_RUNS):
+            snap = os.path.join(work, f"ivm_snap_{label}_{run}")
+            mv = os.path.join(work, f"ivm_mv_{label}_{run}")
+            ckpt = os.path.join(work, f"ivm_ckpt_{label}_{run}")
+            base.write.parquet(snap)
+            base.groupBy("event_type").agg(*ivm_aggs()).write.parquet(mv)
+            stream = _norm(
+                _parse(file_change_feed(
+                    spark, feed_dir, max_files_per_trigger=fpt
+                )),
+                lookup_df(spark),
+            )
+            t0 = time.perf_counter()
+            q = start_matview_query(
+                stream, snap, mv, ckpt, "event_id", ivm_cols,
+                "event_type", ivm_aggs, tables=FEED_TABLES,
+                available_now=True,
+            )
+            try:
+                q.awaitTermination(600)
+            finally:
+                q.stop()
+            walls.append(time.perf_counter() - t0)
+            got = {r["event_type"]: (r["n"], str(r["sv"])) for r in
+                   spark.read.parquet(mv).collect()}
+            full = {r["event_type"]: (r["n"], str(r["sv"])) for r in
+                    spark.read.parquet(snap)
+                    .groupBy("event_type").agg(*ivm_aggs()).collect()}
+            if got != full:
+                integrity_ok = False
+            for d in (snap, mv, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
+        best = min(walls)
+        med = sorted(walls)[len(walls) // 2]
+        report["modes"][f"{label}/ivm_matview"] = {
+            "wall_sec": [round(w, 2) for w in walls],
+            "best_sec": round(best, 2),
+            "median_sec": round(med, 2),
+            "changes_per_s": round(n_changes / best),
+            "changes_per_s_median": round(n_changes / med),
+            "view_integrity": integrity_ok,
+        }
+        print(
+            f"{label}/ivm_matview: best {best:.2f}s / med {med:.2f}s "
+            f"-> {round(n_changes / best)} changes/s, "
+            f"integrity={'ok' if integrity_ok else 'FAIL'}",
+            flush=True,
+        )
+
     shutil.rmtree(work, ignore_errors=True)
     if out_path:
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
         print(f"wrote {out_path}")
-    if not all(m["delivery_integrity"] for m in report["modes"].values()):
+    if not all(
+        m.get("delivery_integrity", m.get("view_integrity"))
+        for m in report["modes"].values()
+    ):
         raise SystemExit("DELIVERY INTEGRITY FAILURE")
 
 

@@ -234,3 +234,93 @@ def start_apply_query(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_matview_query(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    matview_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    columns: dict[str, str],
+    group_col: str,
+    agg_cols_fn,
+    tables: list[str] | None = None,
+    query_name: str = "cdc-matview",
+    available_now: bool = False,
+):
+    """Maintain a parquet snapshot AND an incrementally-refreshed
+    aggregate view from the live change stream — the streaming twin of
+    q97's batch IVM (touched_groups + refresh_aggregates per
+    microbatch, only touched groups recomputed, every other view row
+    carried forward).
+
+    ``agg_cols_fn`` is a zero-arg callable returning the aliased
+    aggregate expressions (Column objects aren't reusable across
+    microbatch plans, so the view definition is re-built per batch).
+
+    Recovery doctrine matches :func:`start_apply_query`: checkpointed
+    offsets give at-least-once batch delivery; apply is idempotent and
+    the view refresh recomputes from the post-apply snapshot, so a
+    replayed batch converges both artifacts. The snapshot swaps first,
+    the view second — a crash between the swaps leaves a stale view
+    whose touched groups are exactly the replayed batch's groups, so
+    the replay re-syncs it.
+    """
+    import os
+    import shutil
+
+    spark = changes_stream.sparkSession
+    ordered = [key_col, *[c for c in columns if c != key_col]]
+
+    def _recover(d: str) -> None:
+        old = f"{d}.old"
+        if not os.path.exists(d) and os.path.exists(old):
+            os.rename(old, d)
+        elif os.path.exists(old):
+            shutil.rmtree(old)
+
+    def _commit(d: str, batch_id: int) -> None:
+        old = f"{d}.old"
+        tmp = f"{d}.b{batch_id}.tmp"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(snapshot_dir)
+        _recover(matview_dir)
+        base = spark.read.parquet(snapshot_dir)
+        mv_old = spark.read.parquet(matview_dir)
+        new_snapshot = apply_changes(
+            base, batch_df, key_col, columns, tables
+        ).localCheckpoint(eager=True)
+        groups = touched_groups(
+            base, batch_df, key_col, group_col, tables=tables
+        )
+        mv_new = refresh_aggregates(
+            mv_old, new_snapshot, groups, group_col, agg_cols_fn()
+        )
+        # BOTH tmp writes land before either directory swaps — the
+        # view plan reads the PRE-swap snapshot (touched_groups'
+        # old-group join) and the pre-swap view, so swapping the
+        # snapshot first would pull files out from under a lazy scan
+        new_snapshot.select(*ordered).write.mode("overwrite").parquet(
+            f"{snapshot_dir}.b{batch_id}.tmp"
+        )
+        mv_new.select(*mv_old.columns).write.mode("overwrite").parquet(
+            f"{matview_dir}.b{batch_id}.tmp"
+        )
+        _commit(snapshot_dir, batch_id)
+        _commit(matview_dir, batch_id)
+
+    writer = (
+        changes_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

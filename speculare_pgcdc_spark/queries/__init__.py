@@ -36,113 +36,110 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # Round 11. Five tiers for the driver's ~50-query budget:
+    # Round 12. The round's whole sweep order serves the rotation
+    # invariant ("no attested row older than ~5 rounds"): 79 rows are
+    # now at r5/r6 against a ~50-row driver budget, so tiers are:
     #
     # (1) CHANGED THIS ROUND — re-attest after change (the r9
-    # precedent): the gapfill bucket-mean sum now scales PER ROW
-    # before aggregating (operators/timeseries._sum_e6 — values
-    # bit-identical in-headroom, plan changed, headroom 1e26 -> 1e38).
-    "q72_gapfill_locf",
-    "q73_gapfill_interpolate",
-    # ... and the repetition primitive's gram-count identity (operators/
-    # textstats.repetition_counts: n_gram = max(n_tok - n + 1, 0), no
-    # gram array for the total — halves the per-sweep cold compile;
-    # values identical). Its consumers q82 (tier 3 below) and q209:
-    "q209_repetition_ratio",
-    # (2) NEVER driver-attested: the round-10 downstream-consumer
-    # batch (SWEEP_r10 + SKEW_SWEEP_r10 green, no CORRECTNESS row —
-    # r10 verdict item 1). q289 additionally changed this round
-    # (empty-conversion shape guard; value unchanged on non-empty
-    # fixtures).
-    "q281_scd2_intervals",
-    "q282_last_touch_attribution",
-    "q283_l_diversity",
-    "q284_mmr_diversified_topk",
-    "q285_ngram_diversity",
-    "q286_char_bigram_entropy",
-    "q287_poisson_bootstrap_ci",
-    "q288_count_min_sketch",
-    "q289_time_to_convert",
-    "q290_markov_transitions",
-    "q291_source_label_gini",
-    # (3) the r3-era rows — 7 rounds stale, the oldest attested block
-    # (r10 verdict item 1; the r10 budget ended exactly at q81).
-    "q82_repetition_signal",
-    "q83_label_centroids",
-    "q84_pii_redaction",
-    "q85_kmeans_clusters",
-    "q86_dup_components",
-    "q87_contamination",
-    "q88_chunking",
-    "q89_source_mixing",
-    "q90_token_budget",
-    "q91_cluster_neardup",
-    "q92_window_dup_signal",
-    "q93_canonical_dedup",
-    "q94_asof_tolerance",
-    "q95_weighted_sampling",
-    # (4) NEW this round: the feature-engineering batch (q292-q299),
-    # oracle-green at 3 driver scales + skew01 in the r11 sweeps.
-    "q292_group_ols_trend",
-    "q293_balanced_lang_subsample",
-    "q294_freshness_audit",
-    "q295_type_cooccurrence_jaccard",
-    "q296_fano_burstiness",
-    "q297_hapax_legomena",
-    "q298_embedding_norm_outliers",
-    "q299_events_since_purchase",
-    "q300_session_paths",
-    "q301_psi_drift",
+    # precedent): q302's all-NULL-ptu group now reports 0 (coalesce)
+    # instead of NULL, per r11 ADVICE; value unchanged on the driver
+    # fixtures (every event_type has at least one adjacent pair) but
+    # the plan changed, so it leads.
     "q302_order_inversions",
-    "q303_coverage_grid",
-    "q304_rate_cap_throttle",
-    "q305_interarrival_stats",
-    "q306_churn_last_action",
-    "q307_vocab_growth",
-    # (5) the r5-era rotation block (r10 verdict item 4: keep the "no
-    # attested row older than ~5 rounds" invariant): all 40 rows last
-    # attested in round 5, oldest tier next in line — the driver
-    # budget reaches as far as it reaches; the remainder leads r12.
-    "q101_tpch_q4_order_priority",
-    "q102_tpch_q6_forecast_revenue",
-    "q103_tpch_q7_volume_shipping",
-    "q113_tpch_q22_dormant_customers",
-    "q164_frame_sampling",
-    "q178_silhouette",
-    "q183_knn_accuracy",
-    "q175_image_resize_standin",
+    # (2) NEW this round (round-12 batch, never attested):
+    "q308_boilerplate_trailers",
+    "q309_order_total_audit",
+    "q310_entry_exit_matrix",
+    "q311_dormancy_reactivation",
+    "q312_zonemap_skipping",
+    "q313_t_closeness",
+    "q314_brier_decomposition",
+    "q315_sequential_pattern_support",
+    # (3) the r5-era block — 7 rounds stale, the r11 verdict's top
+    # item (34 rows; the exact `latest-round == 5` set in the
+    # cumulative ledger):
     "q143_segment_dedup",
     "q145_degree_distribution",
     "q146_triangle_count",
     "q147_zscore_outliers",
     "q148_iqr_outliers",
     "q149_value_share",
+    "q152_quality_rules",
+    "q153_scd2_history",
     "q154_embedding_quantization",
     "q155_pmi_cooccurrence",
+    "q156_new_users_curve",
+    "q157_csv_roundtrip",
+    "q158_rolling_distinct_users",
+    "q160_bucketed_join",
     "q161_sequence_packing",
     "q162_pps_systematic_sample",
     "q163_pareto_frontier",
-    "q173_salted_join",
-    "q171_table_profile",
-    "q172_source_overlap",
-    "q186_dup_cluster_sizes",
-    "q152_quality_rules",
-    "q153_scd2_history",
-    "q156_new_users_curve",
-    "q158_rolling_distinct_users",
-    "q160_bucketed_join",
+    "q165_schema_evolution",
+    "q166_partition_pruning",
     "q167_conversion_latency",
     "q168_burst_detection",
     "q170_banded_percent_rank",
+    "q171_table_profile",
+    "q172_source_overlap",
+    "q173_salted_join",
+    "q174_run_length_encoding",
+    "q175_image_resize_standin",
+    "q177_cusum_changepoints",
+    "q179_orc_roundtrip",
+    "q180_ab_significance",
     "q181_seasonal_profile",
     "q182_windowed_funnel",
-    "q180_ab_significance",
-    "q179_orc_roundtrip",
-    "q177_cusum_changepoints",
-    "q174_run_length_encoding",
-    "q165_schema_evolution",
-    "q166_partition_pruning",
-    "q157_csv_roundtrip",
+    "q183_knn_accuracy",
+    "q186_dup_cluster_sizes",
+    # (4) the r6-era block, oldest-first fill: 45 rows at r6 turn 6
+    # rounds old this round; the driver budget reaches as far as it
+    # reaches and the remainder leads r13.
+    "q96_cdc_apply",
+    "q97_cdc_incremental_matview",
+    "q98_funnel",
+    "q99_retention_cohorts",
+    "q100_heavy_hitters",
+    "q104_tpch_q8_market_share",
+    "q105_tpch_q9_product_profit",
+    "q106_tpch_q13_custdist",
+    "q107_tpch_q14_promo_revenue",
+    "q108_tpch_q15_top_supplier",
+    "q109_tpch_q16_supplier_variety",
+    "q110_tpch_q17_small_qty_revenue",
+    "q111_tpch_q19_disjunctive_pred",
+    "q112_tpch_q21_waiting_suppliers",
+    "q114_ewma",
+    "q115_fuzzy_match",
+    "q116_stats_aggregates",
+    "q117_unpivot",
+    "q119_sequence_transitions",
+    "q120_histogram",
+    "q121_pagerank",
+    "q122_tfidf",
+    "q123_bigram_lm_score",
+    "q124_market_basket",
+    "q127_time_weighted_avg",
+    "q128_ohlc_bars",
+    "q129_grouping_sets",
+    "q131_ratio_to_report",
+    "q132_mad_robust_stats",
+    "q133_topn_per_group",
+    "q134_percent_change",
+    "q135_benford_digits",
+    "q137_gini_coefficient",
+    "q138_containment",
+    "q139_charset_stats",
+    "q140_winsorized_mean",
+    "q141_ngram_novelty",
+    "q142_effective_sources",
+    "q150_min_cost_supplier",
+    "q151_dominant_supplier",
+    "q176_weighted_median",
+    "q184_lorenz_deciles",
+    "q187_zipf_regression",
+    "q188_train_split",
+    "q189_skew_profile",
 ]
 
 
@@ -191,6 +188,7 @@ def load_all() -> dict[str, QuerySpec]:
         downstream,
         featureeng,
         productops,
+        dataops,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -307,8 +307,10 @@ def q302(spark: SparkSession, sf: str) -> DataFrame:
         r.groupBy("event_type")
         .agg(
             F.count("ptu").cast("bigint").alias("n_pairs"),
-            F.sum((F.col("ptu") > F.col("tu")).cast("int"))
-            .cast("bigint").alias("n_inversions"),
+            F.coalesce(
+                F.sum((F.col("ptu") > F.col("tu")).cast("int")),
+                F.lit(0),
+            ).cast("bigint").alias("n_inversions"),
         )
         .select(
             "event_type",

@@ -117,3 +117,109 @@ def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
             f"{name}: value mismatch; first diffs (row, spark, duckdb): "
             f"{diffs}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Digest comparator (round-12: the collect-free mode for outputs too
+# large to toPandas — r11's q72/q73 100x gap was a comparator limit,
+# not an engine defect). Both engines reduce the SAME canonical row
+# rendering to q196's order-free digest-sum (48-bit md5 prefix, SUM
+# mod 1e18) entirely engine-side; Python compares ONE (n, checksum)
+# row per engine. Doubles enter the rendering FLOOR-scaled to 1e-8
+# integers (double->string formatting is not engine-stable, integer
+# rendering is — the q196 rule), so the digest attests doubles to
+# 1e-8; exact-collect compare remains the primary mode where the
+# output fits.
+# ---------------------------------------------------------------------------
+
+_DIGEST_MOD = 1_000_000_000_000_000_000  # 1e18, as q196
+
+
+def _spark_canon_expr(name, dtype):
+    d = dtype.lower()
+    q = f"`{name}`"
+    if d in ("double", "float"):
+        inner = f"CAST(FLOOR({q} * 100000000) AS BIGINT)"
+    elif d.startswith("timestamp"):
+        inner = f"unix_micros(CAST({q} AS TIMESTAMP))"
+    elif d == "boolean":
+        inner = f"CAST({q} AS INT)"
+    else:  # integral, decimal, string
+        inner = q
+    return f"COALESCE(CAST({inner} AS STRING), '␀')"
+
+
+def _duck_canon_expr(name, dtype):
+    d = dtype.lower()
+    q = f'"{name}"'
+    if d in ("double", "float", "real"):
+        inner = f"CAST(FLOOR({q} * 100000000) AS BIGINT)"
+    elif d.startswith("timestamp"):
+        inner = f"epoch_us(CAST({q} AS TIMESTAMP))"
+    elif d == "boolean":
+        inner = f"CAST({q} AS INTEGER)"
+    else:
+        inner = q
+    return f"COALESCE(CAST({inner} AS VARCHAR), '␀')"
+
+
+def spark_digest(spark_df):
+    """(n_rows, checksum) of a DataFrame, computed executor-side."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(spark_df.columns, key=lambda c: c.lower())
+    dtypes = dict(spark_df.dtypes)
+    rendered = ", ".join(_spark_canon_expr(c, dtypes[c]) for c in cols)
+    d = F.expr(
+        f"CAST(conv(substring(md5(concat_ws('|', {rendered})), 1, 12),"
+        " 16, 10) AS DECIMAL(38,0))"
+    )
+    row = spark_df.select(d.alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("d") % _DIGEST_MOD).cast("long").alias("checksum"),
+    ).collect()[0]
+    return int(row["n"]), int(row["checksum"] or 0)
+
+
+def duck_digest(duck_con, oracle_sql):
+    """(n_rows, checksum) of an oracle query, computed inside DuckDB
+    (a lazy view — nothing materializes into Python)."""
+    duck_con.execute(
+        f"CREATE OR REPLACE TEMP VIEW __digest_q AS ({oracle_sql})"
+    )
+    desc = duck_con.execute("DESCRIBE __digest_q").fetchall()
+    cols = sorted((r[0] for r in desc), key=lambda c: c.lower())
+    types = {r[0]: r[1] for r in desc}
+    rendered = ", ".join(_duck_canon_expr(c, types[c]) for c in cols)
+    n, checksum = duck_con.execute(
+        "SELECT COUNT(*), "
+        "COALESCE(SUM(CAST(CAST(concat('0x', substr(md5("
+        f"concat_ws('|', {rendered})), 1, 12)) AS BIGINT) AS HUGEINT))"
+        f" % {_DIGEST_MOD}, 0) FROM __digest_q"
+    ).fetchone()
+    duck_con.execute("DROP VIEW __digest_q")
+    return int(n), int(checksum)
+
+
+def assert_oracle_digest_match(spark_df, duck_con, oracle_sql, name=""):
+    """Collect-free oracle compare: column names must match, then both
+    engines' (row count, order-free row-digest sum) must agree."""
+    s_cols = sorted(c.lower() for c in spark_df.columns)
+    d_cols = sorted(
+        r[0].lower()
+        for r in duck_con.execute(
+            f"DESCRIBE (SELECT * FROM ({oracle_sql}))"
+        ).fetchall()
+    )
+    assert s_cols == d_cols, (
+        f"{name}: column-name mismatch spark={s_cols} duckdb={d_cols}"
+    )
+    sn, sd = spark_digest(spark_df)
+    dn, dd = duck_digest(duck_con, oracle_sql)
+    assert sn == dn, (
+        f"{name}: row-count mismatch spark={sn} duckdb={dn}"
+    )
+    assert sd == dd, (
+        f"{name}: digest mismatch over {sn} rows "
+        f"(spark={sd} duckdb={dd})"
+    )

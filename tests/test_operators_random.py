@@ -844,3 +844,48 @@ def test_q196_checksum_localizes_single_row_divergence(spark, sf_dir):
     assert diverged == [7 % CHECKSUM_BUCKETS]
     b = diverged[0]
     assert source[b][0] == bad[b][0]  # same row count, different sum
+
+
+def test_q302_all_null_ptu_group_reports_zero_not_null(spark, sf_dir):
+    """r11 ADVICE item: an event_type whose every row is its user's
+    FIRST event (ptu NULL for the whole group) must report
+    n_inversions = 0 — matching the oracle's SUM(CASE..ELSE 0) — not
+    NULL from SUM over an all-NULL column."""
+    import datetime as dt
+
+    import speculare_pgcdc_spark.queries.productops as po
+    from speculare_pgcdc_spark.queries import load_all
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 'solo': one event per user -> lag over user_id is NULL always
+        (1, 101, "solo", t0),
+        (2, 102, "solo", t0),
+        # 'busy': user 3 has 2 adjacent pairs, 1 inverted; user 4's
+        # single event contributes no pair
+        (3, 201, "busy", t0 + dt.timedelta(seconds=10)),
+        (3, 202, "busy", t0),  # later event_id, EARLIER ts: inversion
+        (3, 203, "busy", t0 + dt.timedelta(seconds=20)),
+        (4, 204, "busy", t0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, "
+        "ts timestamp")
+
+    real_table = po.table
+    try:
+        po.table = lambda s, sf, name: events
+        out = {r.event_type: r for r in
+               load_all()["q302_order_inversions"].fn(
+                   spark, sf_dir).collect()}
+    finally:
+        po.table = real_table
+
+    solo = out["solo"]
+    assert solo.n_pairs == 0
+    assert solo.n_inversions == 0          # was NULL before the fix
+    assert solo.inversion_ppm == 0
+    busy = out["busy"]
+    assert busy.n_pairs == 2
+    assert busy.n_inversions == 1
+    assert busy.inversion_ppm == 500000

@@ -193,3 +193,68 @@ def test_q293_balance_and_determinism(spark, sf_dir):
         f"read_parquet('{sf_dir}/documents.parquet') GROUP BY lang)"
     ).fetchone()[0]
     assert set(per_lang.values()) == {m}
+
+
+class TestDigestComparator:
+    """Round-12: the collect-free digest comparator (the 100x-sweep
+    mode for outputs that exceed driver collect limits) must agree
+    with the full comparator where both run, and must DETECT count
+    and single-value divergence — a comparator that can't fail is
+    not evidence."""
+
+    def test_digest_matches_where_full_compare_passes(
+        self, spark, duck, sf_dir
+    ):
+        from tests.conftest import assert_oracle_digest_match
+
+        for name in (
+            "q72_gapfill_locf",       # double column (FLOOR-scaled)
+            "q73_gapfill_interpolate",  # nullable double ends
+            "q15_groupby_agg",        # decimal money aggregates
+            "q310_entry_exit_matrix",  # strings + bigints
+        ):
+            spec = REGISTRY[name]
+            assert_oracle_digest_match(
+                spec.fn(spark, sf_dir), duck, spec.oracle, name=name
+            )
+
+    def test_digest_detects_row_count_divergence(
+        self, spark, duck, sf_dir
+    ):
+        from tests.conftest import assert_oracle_digest_match
+
+        spec = REGISTRY["q72_gapfill_locf"]
+        clipped = (
+            f"SELECT * FROM ({spec.oracle}) "
+            "WHERE NOT (user_id = 1 AND bucket % 97 = 3)"
+        )
+        with pytest.raises(AssertionError, match="row-count mismatch"):
+            assert_oracle_digest_match(
+                spec.fn(spark, sf_dir), duck, clipped, name="q72-clip"
+            )
+
+    def test_digest_detects_single_value_divergence(
+        self, spark, duck, sf_dir
+    ):
+        from tests.conftest import assert_oracle_digest_match
+
+        spec = REGISTRY["q72_gapfill_locf"]
+        corrupted = (
+            "SELECT user_id, bucket, "
+            "CASE WHEN user_id = 1 AND bucket % 97 = 3 "
+            "THEN c + 1 ELSE c END AS c, v_locf "
+            f"FROM ({spec.oracle})"
+        )
+        with pytest.raises(AssertionError, match="digest mismatch"):
+            assert_oracle_digest_match(
+                spec.fn(spark, sf_dir), duck, corrupted, name="q72-corrupt"
+            )
+
+    def test_digest_null_vs_zero_distinguished(self, spark, duck, sf_dir):
+        """NULL and 0 must render differently (the sentinel, not
+        concat_ws's silent null-skip, carries the null)."""
+        from tests.conftest import duck_digest
+
+        n0, d0 = duck_digest(duck, "SELECT CAST(NULL AS BIGINT) AS x")
+        n1, d1 = duck_digest(duck, "SELECT CAST(0 AS BIGINT) AS x")
+        assert n0 == n1 == 1 and d0 != d1

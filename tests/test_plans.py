@@ -1748,3 +1748,118 @@ def test_q307_vocab_growth_banded_prefix(q):
         assert "__band" in head, f"unbanded window: {ln[:140]}"
     assert "SortMergeJoin" not in p
     assert not has_python_eval(df)
+
+
+def test_round12_column_pruning_reaches_scan(q):
+    """Round-12 batch: every parquet scan reads ONLY the columns the
+    query touches."""
+    cases = {
+        "q308_boilerplate_trailers": {"doc_id", "source", "text"},
+        "q309_order_total_audit": {
+            "l_orderkey", "l_extendedprice", "l_discount", "l_tax",
+            "o_orderkey", "o_totalprice",
+        },
+        "q311_dormancy_reactivation": {
+            "event_type", "user_id", "ts", "event_id",
+        },
+        "q312_zonemap_skipping": {"ts", "value"},
+        "q313_t_closeness": {"lang", "source", "n_chars"},
+        "q314_brier_decomposition": {"lang", "n_chars"},
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
+
+
+def test_q308_trailers_single_shuffle_no_join(q):
+    """Trailer clusters: pure scan-time string exprs into ONE hash agg
+    on the md5 key + TakeOrdered; no join, no window, JVM-only."""
+    df = q("q308_boilerplate_trailers")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q309_audit_key_joins_only(q):
+    """Order-total audit: the lineitem rollup is partial+final on
+    l_orderkey and the orders join rides the same key; no window,
+    no python."""
+    df = q("q309_order_total_audit")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q310_entry_exit_one_user_exchange(q):
+    """Entry/exit matrix: sessionize + min_by/max_by ride the user
+    exchange; the 1-row total arrives by broadcast, not a sort-merge
+    join."""
+    df = q("q310_entry_exit_matrix")
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
+
+
+def test_q311_dormancy_single_window_no_join(q):
+    """Dormancy: one lag window on the user key, one small agg; no
+    join anywhere."""
+    df = q("q311_dormancy_reactivation")
+    p = plan_string(df)
+    assert "Join" not in p
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)
+
+
+def test_q312_zonemap_two_level_agg(q):
+    """Zone-map audit: bucket-grain partial agg then a 1-row fold —
+    no join, no window, map-side combine present."""
+    df = q("q312_zonemap_skipping")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q313_tcloseness_group_grain_windows(q):
+    """t-closeness: every cumsum window partitions on the
+    (lang, source) group key; band dim and global-band counts arrive
+    by broadcast."""
+    df = q("q313_t_closeness")
+    p = plan_string(df)
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all(
+        "lang" in ln and "source" in ln for ln in wl
+    )
+    assert not has_python_eval(df)
+
+
+def test_q314_brier_no_window_no_python(q):
+    """Brier decomposition: two scan passes + broadcast 1-row folds;
+    no window, no sort-merge join, JVM-only integer arithmetic."""
+    df = q("q314_brier_decomposition")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "SortMergeJoin" not in p
+    assert not has_python_eval(df)
+
+
+def test_q315_pattern_join_session_grain(q):
+    """Sequential patterns: the pair join keys on (user_id, sess) —
+    session grain, fan-out bounded by the type vocabulary; windows
+    only on the user key; no python."""
+    df = q("q315_sequential_pattern_support")
+    p = plan_string(df)
+    wl = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert wl and all("user_id" in ln for ln in wl)
+    assert not has_python_eval(df)

@@ -2496,3 +2496,94 @@ def test_scd2_late_batch_violates_contract(spark):
     v1_shot = one_shot.filter(F.col("version") == 1).collect()[0]
     assert str(v1_silent["valid_to"]) == "2024-03-01"
     assert str(v1_shot["valid_to"]) == "2024-02-01"
+
+
+def test_streaming_matview_incremental_refresh(spark, tmp_path):
+    """start_matview_query (round-12, the q97 IVM's streaming twin):
+    snapshot AND aggregate view maintained per microbatch; after the
+    drain the view equals a full recompute of the final snapshot, a
+    poisoned untouched-group row proves carry-forward (not recompute),
+    and a second drain with no new input is a no-op."""
+    from speculare_pgcdc_spark.cdc.apply import start_matview_query
+    from speculare_pgcdc_spark.cdc.pipeline import parse_wal2json
+
+    feed_dir = str(tmp_path / "feed")
+    snap = str(tmp_path / "snapshot")
+    mv = str(tmp_path / "matview")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id bigint, grp string, v bigint",
+    )
+    base.write.parquet(snap)
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    # the initial view: a full aggregate of the base, with group 'c'
+    # POISONED — if the refresh recomputes untouched groups the poison
+    # heals and the carry-forward property is disproven
+    base.groupBy("grp").agg(*aggs()).withColumn(
+        "sv",
+        F.when(F.col("grp") == "c", F.lit(999)).otherwise(F.col("sv")),
+    ).write.parquet(mv)
+
+    def chg(kind, id_, grp=None, v=None):
+        if kind == "delete":
+            return {"change": [{
+                "kind": "delete", "table": "t",
+                "oldkeys": {"keynames": ["id"], "keyvalues": [id_]},
+            }]}
+        return {"change": [{
+            "kind": kind, "table": "t",
+            "columnnames": ["id", "grp", "v"],
+            "columnvalues": [id_, grp, v],
+        }]}
+
+    batches = [
+        [chg("update", 1, "a", 11), chg("insert", 5, "b", 50)],
+        [chg("delete", 3), chg("update", 5, "b", 55)],
+    ]
+    for i, msgs in enumerate(batches):
+        with open(f"{feed_dir}/f{i}.json", "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+
+    def drain():
+        stream = parse_wal2json(
+            file_change_feed(spark, feed_dir)
+        ).withColumn("table_name", F.col("table"))
+        q = start_matview_query(
+            stream, snap, mv, ckpt, "id", cols, "grp", aggs
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    # final state: 1->(a,11), 2->(a,20), 4->(c,40), 5->(b,55)
+    got_mv = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got_mv == {"a": (2, 31), "b": (1, 55), "c": (1, 999)}, got_mv
+    # 'c' kept the poison (carried forward, never touched); the other
+    # groups equal a full recompute of the final snapshot
+    recomputed = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(snap)
+        .groupBy("grp").agg(*aggs()).collect()
+    }
+    assert recomputed == {"a": (2, 31), "b": (1, 55), "c": (1, 40)}
+
+    drain()  # no new files: both artifacts unchanged
+    again = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert again == got_mv
