@@ -48,7 +48,15 @@ def skew(spark, src: str, dst: str, alpha: float = 1.1) -> None:
 
     os.makedirs(dst, exist_ok=True)
     for t in COPY:
-        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        s, d = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
+        # a source table may be a flat file (driver fixtures) or a
+        # parquet dir (make_scale_fixture / any Spark writer)
+        if os.path.isdir(s):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            shutil.copytree(s, d)
+        else:
+            shutil.copy(s, d)
 
     ev = spark.read.parquet(f"{src}/events.parquet")
     n_users = int(ev.agg(F.max("user_id")).first()[0]) + 1
