@@ -889,3 +889,126 @@ def test_q302_all_null_ptu_group_reports_zero_not_null(spark, sf_dir):
     assert busy.n_pairs == 2
     assert busy.n_inversions == 1
     assert busy.inversion_ppm == 500000
+
+
+class TestDataopsEdgeSemantics:
+    """Round-12 batch: constructed-fixture pins for the semantics the
+    sf fixtures can't isolate (band boundaries, degenerate sessions,
+    zero-EMD identity, pattern ordering)."""
+
+    def _run(self, spark, sf_dir, qname, tables):
+        import speculare_pgcdc_spark.queries.dataops as dm
+        from speculare_pgcdc_spark.queries import load_all
+
+        real = dm.table
+        try:
+            dm.table = lambda s, sf, name: tables[name]
+            return load_all()[qname].fn(spark, sf_dir).collect()
+        finally:
+            dm.table = real
+
+    def test_q309_band_boundaries_and_no_lineitems(self, spark, sf_dir):
+        # one order reconciling exactly (1.0x), one at 1.5x, one with
+        # no lineitems at all
+        orders = spark.createDataFrame(
+            [(1, 100.00), (2, 200.00), (3, 50.00)],
+            "o_orderkey bigint, o_totalprice double",
+        )
+        li = spark.createDataFrame(
+            [
+                # order 1: 100.00 exactly (no disc/tax)
+                (1, 100.00, 0.0, 0.0),
+                # order 2: recomputed 300.00 = 1.5x of stated 200
+                (2, 300.00, 0.0, 0.0),
+            ],
+            "l_orderkey bigint, l_extendedprice double, "
+            "l_discount double, l_tax double",
+        )
+        rows = {
+            r.ratio_band: r
+            for r in self._run(
+                spark, sf_dir, "q309_order_total_audit",
+                {"orders": orders, "lineitem": li},
+            )
+        }
+        assert set(rows) == {"0.9x_to_1.1x", "1.1x_to_2x",
+                             "no_lineitems"}
+        assert rows["0.9x_to_1.1x"].n_orders == 1
+        assert rows["0.9x_to_1.1x"].recomputed_total_c == 10000
+        assert rows["1.1x_to_2x"].recomputed_total_c == 30000
+        assert rows["no_lineitems"].stated_total_c == 5000
+        assert rows["no_lineitems"].recomputed_total_c == 0
+
+    def test_q310_single_event_sessions_bounce(self, spark, sf_dir):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        H = dt.timedelta(hours=2)  # > the 30-min session gap
+        events = spark.createDataFrame(
+            [
+                # user 1: two 1-event sessions (bounces)
+                (1, 1, "view", t0),
+                (2, 1, "view", t0 + H),
+                # user 2: one 2-event session view->click
+                (3, 2, "view", t0),
+                (4, 2, "click", t0 + dt.timedelta(minutes=1)),
+            ],
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp",
+        )
+        rows = {
+            (r.entry_type, r.exit_type): r
+            for r in self._run(
+                spark, sf_dir, "q310_entry_exit_matrix",
+                {"events": events},
+            )
+        }
+        assert rows[("view", "view")].n_sessions == 2
+        assert rows[("view", "view")].n_single == 2
+        assert rows[("view", "click")].n_sessions == 1
+        assert rows[("view", "click")].n_single == 0
+        # exact ppm over 3 sessions
+        assert rows[("view", "view")].share_ppm == 666666
+        assert rows[("view", "click")].share_ppm == 333333
+
+    def test_q313_identical_distributions_zero_emd(self, spark, sf_dir):
+        # two groups with IDENTICAL n_chars distributions -> both
+        # match the global distribution exactly -> EMD 0 for both
+        docs = spark.createDataFrame(
+            [("en", "s1", 10), ("en", "s1", 100),
+             ("en", "s2", 10), ("en", "s2", 100)],
+            "lang string, source string, n_chars bigint",
+        )
+        rows = self._run(
+            spark, sf_dir, "q313_t_closeness", {"documents": docs}
+        )
+        assert len(rows) == 2
+        assert all(r.emd_ppm == 0 for r in rows)
+        assert all(r.n_docs == 2 for r in rows)
+
+    def test_q315_ordering_is_first_occurrence(self, spark, sf_dir):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        M = dt.timedelta(minutes=1)
+        # one session: A B A -> (A,B) supported, (B,A) NOT (B's first
+        # occurrence is after A's first occurrence only)
+        events = spark.createDataFrame(
+            [
+                (1, 1, "A", t0),
+                (2, 1, "B", t0 + M),
+                (3, 1, "A", t0 + 2 * M),
+            ],
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp",
+        )
+        rows = {
+            (r.first_type, r.then_type): r
+            for r in self._run(
+                spark, sf_dir, "q315_sequential_pattern_support",
+                {"events": events},
+            )
+        }
+        assert set(rows) == {("A", "B")}
+        assert rows[("A", "B")].n_sessions == 1
+        assert rows[("A", "B")].support_ppm == 1000000
