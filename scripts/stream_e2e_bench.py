@@ -241,6 +241,82 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- SCD2 mode (round-12): the versioned-dimension consumer —
+    # orders-shaped history drained chunk-by-chunk through
+    # start_scd2_query (state dir atomically swapped per microbatch).
+    # Basis: orders rows/s. Structural integrity per run: total
+    # versions == orders rows (q281 assigns one version per order) and
+    # open versions == distinct keys; exact one-shot parity is pinned
+    # in tests/test_streaming.py.
+    from speculare_pgcdc_spark.cdc.scd2 import start_scd2_query
+
+    orders = cat_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    scd2_feed = os.path.join(work, "scd2_feed")
+    os.makedirs(scd2_feed)
+    import glob as _glob
+
+    dates = sorted(r.d for r in orders.select(
+        F.col("o_orderdate").alias("d")).distinct().collect())
+    n_chunks = 4
+    bounds = [dates[(i + 1) * len(dates) // n_chunks - 1]
+              for i in range(n_chunks)]
+    lo = None
+    t_base = 1_700_000_000
+    for i, hi in enumerate(bounds):
+        c = orders.filter(F.col("o_orderdate") <= F.lit(hi))
+        if lo is not None:
+            c = c.filter(F.col("o_orderdate") > F.lit(lo))
+        lo = hi
+        tmp_out = os.path.join(work, f"scd2_chunk{i}")
+        c.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = os.path.join(scd2_feed, f"{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (t_base + i, t_base + i))
+
+    walls = []
+    integrity_ok = True
+    for run in range(N_RUNS):
+        state_dir = os.path.join(work, f"scd2_state_{run}")
+        ckpt = os.path.join(work, f"scd2_ck_{run}")
+        src = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(scd2_feed)
+        )
+        t0 = time.perf_counter()
+        q = start_scd2_query(src, state_dir, ckpt, available_now=True)
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
+        walls.append(time.perf_counter() - t0)
+        st = spark.read.parquet(state_dir)
+        n_versions = st.count()
+        n_open = st.filter(F.col("valid_to").isNull()).count()
+        if n_versions != n_orders or n_open != n_keys:
+            integrity_ok = False
+        for d in (state_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+    best = min(walls)
+    med = sorted(walls)[len(walls) // 2]
+    report["modes"][f"{n_chunks}_microbatches/scd2_dimension"] = {
+        "wall_sec": [round(w, 2) for w in walls],
+        "best_sec": round(best, 2),
+        "median_sec": round(med, 2),
+        "orders_rows_per_s": round(n_orders / best),
+        "orders_rows_per_s_median": round(n_orders / med),
+        "view_integrity": integrity_ok,
+    }
+    print(
+        f"{n_chunks}_microbatches/scd2_dimension: best {best:.2f}s / "
+        f"med {med:.2f}s -> {round(n_orders / best)} orders rows/s, "
+        f"integrity={'ok' if integrity_ok else 'FAIL'}",
+        flush=True,
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     if out_path:
         with open(out_path, "w") as f:

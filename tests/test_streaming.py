@@ -2587,3 +2587,86 @@ def test_streaming_matview_incremental_refresh(spark, tmp_path):
         for r in spark.read.parquet(mv).collect()
     }
     assert again == got_mv
+
+
+def test_start_scd2_query_swaps_state_in_place(spark, sf_dir, tmp_path):
+    """start_scd2_query (round-12, the packaged SCD2 streaming
+    consumer): the in-place atomically-swapped state dir converges to
+    the one-shot q281 build over the full history, and a second drain
+    with no new input leaves it unchanged."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.cdc.scd2 import (
+        STATE_COLS,
+        start_scd2_query,
+    )
+    from speculare_pgcdc_spark.queries import load_all
+
+    orders = t(spark, sf_dir, "orders")
+    expected = {
+        tuple(r)
+        for r in load_all()["q281_scd2_intervals"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    dates = sorted(
+        r.d
+        for r in orders.select(
+            F.col("o_orderdate").alias("d")
+        ).distinct().collect()
+    )
+    d1 = dates[len(dates) // 3]
+    d2 = dates[2 * len(dates) // 3]
+    chunks = [
+        orders.filter(F.col("o_orderdate") <= F.lit(d1)),
+        orders.filter(
+            (F.col("o_orderdate") > F.lit(d1))
+            & (F.col("o_orderdate") <= F.lit(d2))
+        ),
+        orders.filter(F.col("o_orderdate") > F.lit(d2)),
+    ]
+
+    feed = tmp_path / "scd2q_feed"
+    os.makedirs(feed)
+    t0 = 1_700_000_000
+    for i, c in enumerate(chunks):
+        tmp_out = str(tmp_path / f"scd2q_chunk{i}")
+        c.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = str(feed / f"{i:05d}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    state_dir = str(tmp_path / "scd2q_state")
+    ckpt = str(tmp_path / "scd2q_ck")
+
+    def drain():
+        src = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = start_scd2_query(
+            src, state_dir, ckpt, validate=True, available_now=True
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    drain()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(*STATE_COLS).collect()
+    }
+    assert got == expected
+
+    drain()  # no new files -> unchanged
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(*STATE_COLS).collect()
+    }
+    assert again == expected
