@@ -240,3 +240,68 @@ class Engine:
             available_now=available_now,
             mode=mode,
         )
+
+    def watch_snapshot(
+        self,
+        feed_dir: str,
+        snapshot_dir: str,
+        checkpoint_dir: str,
+        key_col: str,
+        columns: dict,
+        lookup: Optional[DataFrame] = None,
+        tables: Optional[list] = None,
+        max_files_per_trigger: int = 1,
+        available_now: bool = False,
+    ):
+        """Maintain a queryable parquet snapshot from the change feed
+        (cdc/apply.start_apply_query behind the facade) — the
+        reference-consumer shape one step past fan-out: every real
+        deployment's next stop after receiving changes is applying
+        them somewhere queryable."""
+        from speculare_pgcdc_spark.cdc.apply import start_apply_query
+        from speculare_pgcdc_spark.streaming.source import (
+            file_change_feed,
+        )
+
+        src = file_change_feed(
+            self.spark, feed_dir,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return start_apply_query(
+            self._changes(src, lookup), snapshot_dir, checkpoint_dir,
+            key_col, columns, tables=tables,
+            available_now=available_now,
+        )
+
+    def watch_matview(
+        self,
+        feed_dir: str,
+        snapshot_dir: str,
+        matview_dir: str,
+        checkpoint_dir: str,
+        key_col: str,
+        columns: dict,
+        group_col: str,
+        agg_cols_fn: Callable,
+        lookup: Optional[DataFrame] = None,
+        tables: Optional[list] = None,
+        max_files_per_trigger: int = 1,
+        available_now: bool = False,
+    ):
+        """Maintain snapshot + incrementally-refreshed aggregate view
+        from the change feed (cdc/apply.start_matview_query behind the
+        facade — the q97 IVM consumer as a one-call streaming query)."""
+        from speculare_pgcdc_spark.cdc.apply import start_matview_query
+        from speculare_pgcdc_spark.streaming.source import (
+            file_change_feed,
+        )
+
+        src = file_change_feed(
+            self.spark, feed_dir,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        return start_matview_query(
+            self._changes(src, lookup), snapshot_dir, matview_dir,
+            checkpoint_dir, key_col, columns, group_col, agg_cols_fn,
+            tables=tables, available_now=available_now,
+        )

@@ -163,3 +163,45 @@ def test_end_to_end_watch_db(spark, tmp_path):
         q.stop()
     with open(os.path.join(out_dir, "7", "outbox.jsonl")) as f:
         assert len([ln for ln in f if ln.strip()]) == 2
+
+
+def test_engine_watch_matview_facade(spark, tmp_path):
+    """Round-12 facade: eng.watch_matview maintains snapshot + IVM
+    view from a file feed in one call (the q97 consumer without
+    touching cdc internals)."""
+    from pyspark.sql import functions as F
+
+    feed_dir = str(tmp_path / "feed")
+    snap = str(tmp_path / "snap")
+    mv = str(tmp_path / "mv")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id bigint, grp string, v bigint"
+    )
+    base.write.parquet(snap)
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    base.groupBy("grp").agg(*aggs()).write.parquet(mv)
+    with open(os.path.join(feed_dir, "f0.json"), "w") as f:
+        f.write(json.dumps({"change": [{
+            "kind": "insert", "table": "t",
+            "columnnames": ["id", "grp", "v"],
+            "columnvalues": [3, "a", 5],
+        }]}) + "\n")
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    q = eng.watch_matview(
+        feed_dir, snap, mv, str(tmp_path / "ck"),
+        "id", cols, "grp", aggs, available_now=True,
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {r["grp"]: (r["n"], r["sv"])
+           for r in spark.read.parquet(mv).collect()}
+    assert got == {"a": (2, 15), "b": (1, 20)}
