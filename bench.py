@@ -77,6 +77,11 @@ TIER2 = [
     # in the feature-engineering batch
     "q295_type_cooccurrence_jaccard",
     "q299_events_since_purchase",
+    # round-12 additions: the sessionize + session-key pair join (the
+    # widest new shuffle chain) and the 60M-row-at-100x lineitem
+    # rollup + orderkey reconciliation join
+    "q315_sequential_pattern_support",
+    "q309_order_total_audit",
 ]
 
 
