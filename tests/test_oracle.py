@@ -258,3 +258,96 @@ class TestDigestComparator:
         n0, d0 = duck_digest(duck, "SELECT CAST(NULL AS BIGINT) AS x")
         n1, d1 = duck_digest(duck, "SELECT CAST(0 AS BIGINT) AS x")
         assert n0 == n1 == 1 and d0 != d1
+
+
+class TestDigestComparatorFuzz:
+    """Hypothesis fuzz of the round-12 digest comparator — it is now
+    load-bearing verification infrastructure (the 100x sweep's only
+    check on >2M-row outputs), so its two invariants get adversarial
+    data: (1) identical physical data digests identically through BOTH
+    engines' rendering paths; (2) a value perturbation is detected."""
+
+    @staticmethod
+    def _strategy():
+        from hypothesis import strategies as st
+
+        # '␀' is the comparator's null sentinel; '|' the field joiner.
+        # Exclude only the sentinel (a literal '|' in data is safe: it
+        # is joined BETWEEN rendered fields, and a collision would need
+        # two columns conspiring — covered by the fixed-seed examples
+        # in TestDigestComparator); exclude surrogates (not writable).
+        text = st.text(
+            st.characters(
+                blacklist_characters="␀",
+                blacklist_categories=("Cs",),
+            ),
+            max_size=12,
+        )
+        row = st.tuples(
+            st.one_of(st.none(), st.integers(-2**40, 2**40)),
+            st.one_of(st.none(), text),
+            # quantized doubles: the digest attests 1e-8 grain, so
+            # generate at 1e-4 to stay far from the FLOOR boundary
+            st.one_of(
+                st.none(),
+                st.integers(-10**8, 10**8).map(lambda i: i / 1e4),
+            ),
+            st.one_of(
+                st.none(),
+                st.integers(0, 2**41).map(lambda us: us * 1000),
+            ),
+        )
+        return st.lists(row, min_size=1, max_size=25)
+
+    def test_fuzz_identity_and_perturbation(self, spark, duck, tmp_path):
+        import datetime as dt
+
+        from hypothesis import HealthCheck, given, settings
+
+        from tests.conftest import duck_digest, spark_digest
+
+        counter = [0]
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(rows=self._strategy())
+        def run(rows):
+            counter[0] += 1
+            pdir = str(tmp_path / f"fuzz{counter[0]}")
+            sdf = spark.createDataFrame(
+                [
+                    (
+                        a,
+                        b,
+                        c,
+                        dt.datetime(1970, 1, 1)
+                        + dt.timedelta(microseconds=t)
+                        if t is not None
+                        else None,
+                    )
+                    for a, b, c, t in rows
+                ],
+                "i bigint, s string, d double, ts timestamp",
+            )
+            sdf.write.mode("overwrite").parquet(pdir)
+            frame = spark.read.parquet(pdir)
+            sn, sd = spark_digest(frame)
+            dn, dd = duck_digest(
+                duck, f"SELECT * FROM read_parquet('{pdir}/*.parquet')"
+            )
+            assert (sn, sd) == (dn, dd), (rows, sn, sd, dn, dd)
+
+            # perturbation: shift every non-null bigint by 1 — if any
+            # exists, the digest MUST move (same row count)
+            if any(a is not None for a, _, _, _ in rows):
+                pn, pd = duck_digest(
+                    duck,
+                    "SELECT i + 1 AS i, s, d, ts FROM "
+                    f"read_parquet('{pdir}/*.parquet')",
+                )
+                assert pn == sn and pd != sd
+
+        run()
