@@ -84,6 +84,17 @@ TIER2 = [
     "q309_order_total_audit",
 ]
 
+#: the tier-2 set as of the PREVIOUS round (r12 verdict item 5):
+#: tier-2 grows most rounds, so cross-round comparisons of
+#: tier2_total conflate growth with regression. tier2_comparable_total
+#: is computed over the intersection of the current set with this
+#: snapshot, so a judge can diff it round-over-round; per-query
+#: min+median for every tier-2 query ride the BENCH_DETAIL artifact
+#: for attribution. INVARIANT: new-round queries are appended via
+#: `TIER2 += [...]` BELOW this line, never added to the literal above,
+#: so the snapshot always equals the prior round's set.
+TIER2_PREV_ROUND = tuple(TIER2)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -251,6 +262,12 @@ def main() -> None:
         if any(timings[n] is None for n in TIER2)
         else round(sum(timings[n] for n in TIER2), 3)
     )
+    tier2_comparable = [n for n in TIER2 if n in set(TIER2_PREV_ROUND)]
+    tier2_comparable_total = (
+        None
+        if any(timings[n] is None for n in tier2_comparable)
+        else round(sum(timings[n] for n in tier2_comparable), 3)
+    )
     # CDC micro-bench: change events through parse->explode->normalize
     # per second (the BASELINE.md ~79k events/s comparator; reference
     # forwards one message at a time on one channel). Measured on the
@@ -412,9 +429,7 @@ def main() -> None:
     # line that survives any front-truncation. Parsers that read the
     # last JSON line get the headline; parsers that scan all lines get
     # the detail too.
-    print(
-        json.dumps(
-            {
+    detail = {
                 "metric": "headline_suite_detail",
                 "value": total,
                 "unit": "sec",
@@ -438,9 +453,28 @@ def main() -> None:
                 "cdc_diag": cdc_diag,
                 "errors": errors,
                 "sf": float(sf) if sf else sf_dir,
-            }
-        )
+                "tier2": TIER2,
+                "tier2_per_query": {n: timings.get(n) for n in TIER2},
+                "tier2_per_query_median": {
+                    n: medians.get(n) for n in TIER2
+                },
+                "tier2_comparable": tier2_comparable,
+                "tier2_comparable_total": tier2_comparable_total,
+    }
+    # the stdout detail line gets tail-truncated by the driver's
+    # capture (r12 verdict item 4: the ratio map was cut mid-JSON), so
+    # the FULL detail dict also lands in a committed file artifact
+    detail_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    try:
+        with open(detail_out, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as ex:
+        errors["bench_detail_write"] = f"{type(ex).__name__}: {ex}"[:200]
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -458,6 +492,8 @@ def main() -> None:
                     else round(sum(medians[n] for n in tier1), 3)
                 ),
                 "tier2_total": tier2_total,
+                "tier2_comparable_total": tier2_comparable_total,
+                "tier2_comparable_n": len(tier2_comparable),
                 "cdc_events_per_s": cdc_events_per_s,
                 "cdc_events_per_s_median": cdc_events_per_s_median,
                 "cdc_q35_events_per_s": cdc_q35_events_per_s,

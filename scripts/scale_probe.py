@@ -41,6 +41,22 @@ BANDED = [
 #: stages below this task count are excluded from the balance ratio
 MIN_TASKS = 8
 
+#: stages whose MEDIAN task is below this are "micro": their max/med
+#: ratio measures scheduler/page-cache jitter, not data skew (the
+#: SCALING.md §6m q96 scan-jitter class — observed ratios 2-5x on
+#: stages whose absolute max is still tens of ms)
+MICRO_MED_MS = 50
+
+
+def _classify(med_ms: float, shuffle_read_max_b: int) -> str:
+    """Stage class for the balance doctrine (r12 verdict item 6):
+    only SHUFFLE-FED stages with non-micro medians measure plan skew;
+    scan stages inherit file-split jitter and micro stages inherit
+    scheduling jitter. Emitted per stage so probe artifacts carry the
+    classification instead of per-round prose."""
+    fed = "shuffle-fed" if shuffle_read_max_b > 0 else "scan"
+    return f"{fed}-micro" if med_ms < MICRO_MED_MS else fed
+
 
 def _api(base: str, path: str):
     with urllib.request.urlopen(f"{base}{path}", timeout=30) as r:
@@ -156,18 +172,34 @@ def probe(
                     "task_max_ms": round(max_ms),
                     "ratio": ratio,
                     "shuffle_read_max_b": int(sh_max),
+                    "class": _classify(med_ms, int(sh_max)),
                 }
             )
+        # the skew headline: worst ratio over SHUFFLE-FED non-micro
+        # stages only (the class the balance doctrine is about);
+        # worst_ratio keeps every class for cross-round comparability
+        worst_fed = max(
+            (
+                st["ratio"]
+                for st in stages
+                if st["class"] == "shuffle-fed"
+                and st["tasks"] >= MIN_TASKS
+                and st["ratio"] is not None
+            ),
+            default=None,
+        )
         results[name] = {
             "wall_sec": wall,
             "worst_ratio": worst or None,
+            "worst_ratio_shuffle_fed": worst_fed,
             "stages": stages,
         }
         big = [st for st in stages if st["tasks"] >= MIN_TASKS]
         print(
             f"{name:36s} {wall:7.2f}s  stages={len(stages):2d}  "
             f"worst max/med={worst or float('nan'):.2f} "
-            f"(over {len(big)} stages with >= {MIN_TASKS} tasks)",
+            f"(shuffle-fed {worst_fed if worst_fed else float('nan'):.2f}; "
+            f"over {len(big)} stages with >= {MIN_TASKS} tasks)",
             flush=True,
         )
 

@@ -241,6 +241,80 @@ def main() -> None:
             flush=True,
         )
 
+    # ---- Banded IVM mode (round-13, r12 verdict item 3): the
+    # partition-confined matview consumer. The snapshot lives in the
+    # key-banded layout (write_banded_snapshot) and each batch
+    # rewrites ONLY the bands containing changed keys. Locality
+    # source: a txn-CONTIGUOUS feed (write_feed contiguous=True) —
+    # the WAL-faithful ordering, since a real replication feed
+    # arrives in commit order with sequence-adjacent keys. The legacy
+    # ivm_matview rows above keep the round-robin feed for
+    # cross-round comparability; feed order cannot help the legacy
+    # consumer anyway (it rewrites the full snapshot regardless), so
+    # banded-vs-legacy isolates the banding win.
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_banded_snapshot,
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    feed_dir_contig = os.path.join(work, "feed_contig")
+    write_feed(spark, sf_dir, feed_dir_contig, num_files=N_FILES,
+               contiguous=True)
+    for fpt, label in TRIGGER_CONFIGS:
+        walls = []
+        integrity_ok = True
+        for run in range(N_RUNS):
+            snap = os.path.join(work, f"ivmb_snap_{label}_{run}")
+            mv = os.path.join(work, f"ivmb_mv_{label}_{run}")
+            ckpt = os.path.join(work, f"ivmb_ckpt_{label}_{run}")
+            write_banded_snapshot(base, snap, "event_id", n_bands=32)
+            base.groupBy("event_type").agg(*ivm_aggs()).write.parquet(mv)
+            stream = _norm(
+                _parse(file_change_feed(
+                    spark, feed_dir_contig, max_files_per_trigger=fpt
+                )),
+                lookup_df(spark),
+            )
+            t0 = time.perf_counter()
+            q = start_matview_query_banded(
+                stream, snap, mv, ckpt, "event_id", ivm_cols,
+                "event_type", ivm_aggs, tables=FEED_TABLES,
+                available_now=True,
+            )
+            try:
+                q.awaitTermination(600)
+            finally:
+                q.stop()
+            walls.append(time.perf_counter() - t0)
+            final_snap = read_banded_snapshot(spark, snap)
+            got = {r["event_type"]: (r["n"], str(r["sv"])) for r in
+                   spark.read.parquet(mv).collect()}
+            full = {r["event_type"]: (r["n"], str(r["sv"])) for r in
+                    final_snap.groupBy("event_type")
+                    .agg(*ivm_aggs()).collect()}
+            if got != full:
+                integrity_ok = False
+            for d in (snap, mv, ckpt):
+                shutil.rmtree(d, ignore_errors=True)
+        best = min(walls)
+        med = sorted(walls)[len(walls) // 2]
+        report["modes"][f"{label}/ivm_matview_banded"] = {
+            "wall_sec": [round(w, 2) for w in walls],
+            "best_sec": round(best, 2),
+            "median_sec": round(med, 2),
+            "changes_per_s": round(n_changes / best),
+            "changes_per_s_median": round(n_changes / med),
+            "view_integrity": integrity_ok,
+            "feed": "txn-contiguous (WAL order)",
+        }
+        print(
+            f"{label}/ivm_matview_banded: best {best:.2f}s / med "
+            f"{med:.2f}s -> {round(n_changes / best)} changes/s, "
+            f"integrity={'ok' if integrity_ok else 'FAIL'}",
+            flush=True,
+        )
+
     # ---- SCD2 mode (round-12): the versioned-dimension consumer —
     # orders-shaped history drained chunk-by-chunk through
     # start_scd2_query (state dir atomically swapped per microbatch).

@@ -218,11 +218,37 @@ def _build_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def write_feed(
-    spark: SparkSession, sf_dir: str, out_dir: str, num_files: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_files: int = 8,
+    contiguous: bool = False,
 ) -> str:
     """Materialize the feed as JSON-lines text files (streaming-source
-    fixture for readStream tests)."""
-    feed_messages(spark, sf_dir).repartition(num_files).write.mode(
-        "overwrite"
-    ).text(out_dir)
+    fixture for readStream tests).
+
+    ``contiguous=True`` splits files by txn RANGE instead of round-
+    robin — the WAL-faithful ordering (a real replication feed arrives
+    in commit order, so consecutive messages carry sequence-adjacent
+    keys). The banded IVM consumer's rewrite confinement is
+    proportional to exactly this locality; the default round-robin
+    split is kept for cross-round comparability of the dispatch
+    numbers."""
+    feed = feed_messages(spark, sf_dir)
+    if contiguous:
+        # txn order == the first change's event_id when present (the
+        # columnvalues are [event_id, ...]); a delete-only message
+        # falls back to its oldkeys value. Both are JSON numbers.
+        key = F.coalesce(
+            F.get_json_object("payload", "$.change[0].columnvalues[0]"),
+            F.get_json_object(
+                "payload", "$.change[0].oldkeys.keyvalues[0]"
+            ),
+        ).cast("bigint")
+        feed = feed.repartitionByRange(
+            num_files, key
+        ).sortWithinPartitions(key)
+    else:
+        feed = feed.repartition(num_files)
+    feed.write.mode("overwrite").text(out_dir)
     return out_dir

@@ -204,6 +204,35 @@ def scd2_apply(
     )
 
 
+def _recover_state(state_dir: str) -> None:
+    """Crash recovery for the swapped state dir (the start_apply_query
+    doctrine): missing live dir + surviving .old -> restore; stale
+    .old next to a live dir -> garbage."""
+    import os
+    import shutil
+
+    old = f"{state_dir}.old"
+    if not os.path.exists(state_dir) and os.path.exists(old):
+        os.rename(old, state_dir)
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _finalize_swap(state_dir: str, tmp: str) -> None:
+    """Atomically promote the staged state dir (module-level so the
+    crash-injection tests can intercept the exact post-swap /
+    pre-checkpoint window the idempotency marker exists for)."""
+    import os
+    import shutil
+
+    old = f"{state_dir}.old"
+    if os.path.exists(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def start_scd2_query(
     changes_stream: DataFrame,
     state_dir: str,
@@ -220,27 +249,43 @@ def start_scd2_query(
 
     Each microbatch reads the prior state parquet (None on the very
     first batch — an absent dir), runs :func:`scd2_apply`, and swaps
-    the dir atomically (tmp write -> rename, the start_apply_query
-    recovery doctrine: a replayed batch re-merges the same rows into
-    the pre-batch state, and the merge's open-slice rewrite converges).
+    the dir atomically (tmp write -> rename).
+
+    Replay idempotency (round-12 advice): unlike the snapshot apply,
+    ``scd2_apply`` is NOT idempotent — re-merging a batch into the
+    POST-merge state re-enters every row beside the version it already
+    created (same valid_from/_tie), duplicating versions and closing
+    the real open slice. foreachBatch is at-least-once, and a crash
+    after the state-dir swap but before Spark records the batch in its
+    commit log replays the batch against exactly that post-merge
+    state. The guard: each swapped state dir carries the batch id that
+    produced it in an ``_applied_batch_id`` marker file (written into
+    the tmp dir BEFORE the rename, so marker and data commit in the
+    same atomic swap; parquet readers ignore underscore-prefixed
+    files, the ``_SUCCESS`` convention). A replayed batch whose id
+    matches the live state's marker is a no-op. Crashes BEFORE the
+    swap replay against the pre-batch state (marker = previous batch)
+    and merge normally.
+
     ``validate=True`` forwards the ordering-precondition check, turning
     a strictly-late batch into a raised error instead of silent
     divergence from the one-shot build.
     """
     import os
-    import shutil
 
     spark = changes_stream.sparkSession
-    old = f"{state_dir}.old"
 
-    def recover() -> None:
-        if not os.path.exists(state_dir) and os.path.exists(old):
-            os.rename(old, state_dir)
-        elif os.path.exists(old):
-            shutil.rmtree(old)
+    def _applied_batch_id() -> int | None:
+        marker = os.path.join(state_dir, "_applied_batch_id")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
+        return None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        recover()
+        _recover_state(state_dir)
+        if os.path.exists(state_dir) and _applied_batch_id() == batch_id:
+            return  # crash landed after the swap: batch already merged
         prev = (
             spark.read.parquet(state_dir)
             if os.path.exists(state_dir)
@@ -249,11 +294,9 @@ def start_scd2_query(
         out = scd2_apply(prev, batch_df, validate=validate)
         tmp = f"{state_dir}.b{batch_id}.tmp"
         out.select(*STORED_COLS).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_dir):
-            os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        with open(os.path.join(tmp, "_applied_batch_id"), "w") as f:
+            f.write(str(batch_id))
+        _finalize_swap(state_dir, tmp)
 
     writer = (
         changes_stream.writeStream.foreachBatch(process)

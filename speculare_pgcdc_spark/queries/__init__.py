@@ -36,67 +36,30 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # Round 12. The round's whole sweep order serves the rotation
-    # invariant ("no attested row older than ~5 rounds"): 79 rows are
-    # now at r5/r6 against a ~50-row driver budget, so tiers are:
+    # Round 13. Rotation invariant (restated per r12 verdict item 2,
+    # see BASELINE.md "Attestation rotation"): oldest-first rotation
+    # with a full cycle every ceil(324/50)+1 = 8 rounds; SWEEP_r{N}
+    # (3-scale, committed) is the interim proof for rows the driver
+    # budget doesn't reach. Tiers:
     #
-    # (1) CHANGED THIS ROUND — re-attest after change (the r9
-    # precedent): q302's all-NULL-ptu group now reports 0 (coalesce)
-    # instead of NULL, per r11 ADVICE; value unchanged on the driver
-    # fixtures (every event_type has at least one adjacent pair) but
-    # the plan changed, so it leads.
-    "q302_order_inversions",
-    # (2) NEW this round (round-12 batch, never attested):
-    "q308_boilerplate_trailers",
-    "q309_order_total_audit",
-    "q310_entry_exit_matrix",
-    "q311_dormancy_reactivation",
-    "q312_zonemap_skipping",
-    "q313_t_closeness",
-    "q314_brier_decomposition",
-    "q315_sequential_pattern_support",
-    # (3) the r5-era block — 7 rounds stale, the r11 verdict's top
-    # item (34 rows; the exact `latest-round == 5` set in the
-    # cumulative ledger):
-    "q143_segment_dedup",
-    "q145_degree_distribution",
-    "q146_triangle_count",
-    "q147_zscore_outliers",
-    "q148_iqr_outliers",
-    "q149_value_share",
-    "q152_quality_rules",
-    "q153_scd2_history",
-    "q154_embedding_quantization",
-    "q155_pmi_cooccurrence",
-    "q156_new_users_curve",
-    "q157_csv_roundtrip",
-    "q158_rolling_distinct_users",
-    "q160_bucketed_join",
-    "q161_sequence_packing",
-    "q162_pps_systematic_sample",
-    "q163_pareto_frontier",
-    "q165_schema_evolution",
-    "q166_partition_pruning",
-    "q167_conversion_latency",
-    "q168_burst_detection",
-    "q170_banded_percent_rank",
-    "q171_table_profile",
-    "q172_source_overlap",
-    "q173_salted_join",
-    "q174_run_length_encoding",
-    "q175_image_resize_standin",
-    "q177_cusum_changepoints",
-    "q179_orc_roundtrip",
-    "q180_ab_significance",
-    "q181_seasonal_profile",
-    "q182_windowed_funnel",
-    "q183_knn_accuracy",
-    "q186_dup_cluster_sizes",
-    # (4) the r6-era block, oldest-first fill: 45 rows at r6 turn 6
-    # rounds old this round; the driver budget reaches as far as it
-    # reaches and the remainder leads r13.
+    # (1) CHANGED THIS ROUND (the r9 precedent — re-attest after
+    # change): q96/q97 ride apply_changes/touched_groups, whose
+    # internals were restructured into latest_changes + apply_latest
+    # (+ the latest-based group derivation) for the banded IVM
+    # consumer. Values unchanged (oracle-tested), plans re-shaped.
     "q96_cdc_apply",
     "q97_cdc_incremental_matview",
+    # (2) NEW this round (round-13 batch, never attested):
+    "q316_band_layout_audit",
+    "q317_reciprocal_rank_fusion",
+    "q318_decayed_value",
+    "q319_bytes_per_token_by_lang",
+    "q320_oov_rate",
+    "q321_srm_check",
+    "q322_dedup_waterfall",
+    "q323_generalization_ladder",
+    # (3) the r6-era block, 7 rounds stale (38 rows, the exact
+    # `latest-round == 6` set in the cumulative ledger):
     "q98_funnel",
     "q99_retention_cohorts",
     "q100_heavy_hitters",
@@ -140,6 +103,53 @@ SWEEP_FIRST = [
     "q187_zipf_regression",
     "q188_train_split",
     "q189_skew_profile",
+    # (4) the r7-era block, oldest-first fill (44 rows at r7; the
+    # ~50-row driver budget reaches into the front of this tier and
+    # the remainder leads r14):
+    "q190_embedding_dim_profile",
+    "q191_split_leakage",
+    "q192_compaction_plan",
+    "q193_join_size_estimate",
+    "q194_exact_global_median",
+    "q195_weighted_topk_sample",
+    "q196_table_checksum",
+    "q197_incremental_ingest",
+    "q198_rank_auc",
+    "q199_calibration_bins",
+    "q200_hll_user_sketch",
+    "q201_bm25_topk",
+    "q203_ndcg_at_k",
+    "q204_mrr",
+    "q205_threshold_sweep",
+    "q206_cohens_kappa",
+    "q207_autocorrelation",
+    "q208_theil_sen_trend",
+    "q210_ks_test",
+    "q213_kaplan_meier",
+    "q214_negative_sampling",
+    "q215_normalized_dedup",
+    "q216_inverted_index",
+    "q217_token_fertility",
+    "q218_cohort_ltv",
+    "q219_state_at_purchase",
+    "q220_referential_integrity",
+    "q221_welch_ttest",
+    "q222_decile_lift",
+    "q223_last_touch_attribution",
+    "q224_qq_quantiles",
+    "q225_lww_replica_merge",
+    "q226_neyman_allocation",
+    "q228_null_safe_join",
+    "q229_array_set_ops",
+    "q230_streak_islands",
+    "q231_mode_per_group",
+    "q232_max_drawdown",
+    "q233_stratified_exact_sample",
+    "q234_holt_forecast",
+    "q235_lag_cross_correlation",
+    "q236_holt_winters_seasonal",
+    "q237_blocklist_scrub",
+    "q238_snapshot_diff",
 ]
 
 
@@ -189,6 +199,7 @@ def load_all() -> dict[str, QuerySpec]:
         featureeng,
         productops,
         dataops,
+        dataops2,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -135,11 +135,31 @@ def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
 _DIGEST_MOD = 1_000_000_000_000_000_000  # 1e18, as q196
 
 
+# Doubles are FLOOR-scaled to 1e-8 integers before rendering. Two
+# guards (round-12 advice) keep the scaled value identical cross-engine
+# at the edges: (1) float/real columns are cast to DOUBLE FIRST — Spark
+# would otherwise multiply in single precision while DuckDB promotes;
+# (2) the scaled double is clamped to +/-9.2e18 (inside BIGINT range,
+# exactly representable as a double) BEFORE the BIGINT cast — above
+# that, Spark's non-ANSI cast silently saturates while DuckDB raises,
+# so without the clamp a |x| > ~9.2e10 value either crashes the oracle
+# side or diverges. Clamped values compare equal iff both sides clamp
+# identically, which the shared constant guarantees.
+_F64_CLAMP = "9200000000000000000.0"  # 9.2e18, exact in float64
+
+
+def _clamped_scale(expr: str) -> str:
+    return (
+        f"CAST(FLOOR(LEAST(GREATEST(CAST({expr} AS DOUBLE) * 100000000,"
+        f" -{_F64_CLAMP}), {_F64_CLAMP})) AS BIGINT)"
+    )
+
+
 def _spark_canon_expr(name, dtype):
     d = dtype.lower()
     q = f"`{name}`"
     if d in ("double", "float"):
-        inner = f"CAST(FLOOR({q} * 100000000) AS BIGINT)"
+        inner = _clamped_scale(q)
     elif d.startswith("timestamp"):
         inner = f"unix_micros(CAST({q} AS TIMESTAMP))"
     elif d == "boolean":
@@ -153,7 +173,7 @@ def _duck_canon_expr(name, dtype):
     d = dtype.lower()
     q = f'"{name}"'
     if d in ("double", "float", "real"):
-        inner = f"CAST(FLOOR({q} * 100000000) AS BIGINT)"
+        inner = _clamped_scale(q)
     elif d.startswith("timestamp"):
         inner = f"epoch_us(CAST({q} AS TIMESTAMP))"
     elif d == "boolean":

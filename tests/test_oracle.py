@@ -259,6 +259,54 @@ class TestDigestComparator:
         n1, d1 = duck_digest(duck, "SELECT CAST(0 AS BIGINT) AS x")
         assert n0 == n1 == 1 and d0 != d1
 
+    def test_digest_large_double_clamped_both_engines(
+        self, spark, duck, tmp_path
+    ):
+        """Round-13 advice pin: |x|*1e8 beyond BIGINT range used to
+        saturate silently in Spark's non-ANSI cast while DuckDB RAISED
+        on the overflowing cast. Both renderers now clamp the scaled
+        double to +/-9.2e18 first, so a huge double digests — and
+        digests identically — through both paths."""
+        from tests.conftest import duck_digest, spark_digest
+
+        pdir = str(tmp_path / "bigdouble")
+        spark.createDataFrame(
+            [(1e12,), (-3.5e14,), (2.5,), (None,)], "x double"
+        ).write.mode("overwrite").parquet(pdir)
+        sn, sd = spark_digest(spark.read.parquet(pdir))
+        dn, dd = duck_digest(
+            duck, f"SELECT * FROM read_parquet('{pdir}/*.parquet')"
+        )
+        assert (sn, sd) == (dn, dd)
+        # clamping must not blur the sub-clamp values: perturb the 2.5
+        pn, pd = duck_digest(
+            duck,
+            "SELECT CASE WHEN x = 2.5 THEN 2.6 ELSE x END AS x FROM "
+            f"read_parquet('{pdir}/*.parquet')",
+        )
+        assert pn == sn and pd != sd
+
+    def test_digest_float32_column_matches_cross_engine(
+        self, spark, duck, tmp_path
+    ):
+        """Round-13 advice pin: 'float'/'real' columns are cast to
+        DOUBLE before scaling in BOTH renderers — Spark's float*int
+        would otherwise multiply in single precision while DuckDB
+        promotes, diverging below the 1e-8 attestation grain."""
+        from tests.conftest import duck_digest, spark_digest
+
+        pdir = str(tmp_path / "f32")
+        spark.createDataFrame(
+            [(0.1,), (123.456,), (-7.25,), (None,)], "x double"
+        ).selectExpr("CAST(x AS FLOAT) AS x").write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        sn, sd = spark_digest(spark.read.parquet(pdir))
+        dn, dd = duck_digest(
+            duck, f"SELECT * FROM read_parquet('{pdir}/*.parquet')"
+        )
+        assert (sn, sd) == (dn, dd)
+
 
 class TestDigestComparatorFuzz:
     """Hypothesis fuzz of the round-12 digest comparator — it is now

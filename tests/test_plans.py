@@ -1863,3 +1863,128 @@ def test_q315_pattern_join_session_grain(q):
     wl = [ln for ln in p.splitlines() if "Window [" in ln]
     assert wl and all("user_id" in ln for ln in wl)
     assert not has_python_eval(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 batch (q316-q323)
+# ---------------------------------------------------------------------------
+
+
+def test_round13_column_pruning_reaches_scan(q):
+    """Round-13 batch: every parquet scan reads ONLY the columns the
+    query touches (q320's scans sit behind its localCheckpoint, so it
+    is asserted only if a parquet scan is visible)."""
+    cases = {
+        "q316_band_layout_audit": {
+            "o_orderkey", "o_custkey", "o_totalprice",
+        },
+        "q317_reciprocal_rank_fusion": {
+            "source", "doc_id", "n_chars", "text",
+        },
+        "q318_decayed_value": {"user_id", "value", "ts"},
+        "q319_bytes_per_token_by_lang": {"text"},
+        "q320_oov_rate": {"source", "text"},
+        "q321_srm_check": {"event_type", "user_id"},
+        "q322_dedup_waterfall": {"doc_id", "n_chars", "text"},
+        "q323_generalization_ladder": {
+            "o_orderdate", "o_orderpriority",
+        },
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
+
+
+def test_q316_band_audit_single_agg_broadcast_totals(q):
+    """Band-layout audit: one hash agg on the computed band key, the
+    totals join is a broadcast of ONE row, top-20 via TakeOrdered; no
+    window, JVM-only."""
+    df = q("q316_band_layout_audit")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert "Broadcast" in p
+    assert not has_python_eval(df)
+
+
+def test_q317_rrf_windows_share_one_source_exchange(q):
+    """RRF: all three row_number windows are partitioned by source, so
+    they ride ONE hashpartitioning exchange (re-sorts, no re-shuffle);
+    no join, no Python."""
+    df = q("q317_reciprocal_rank_fusion")
+    p = plan_string(df)
+    assert exchange_count(df, "hashpartitioning") == 1
+    assert "Join" not in p
+    assert not has_python_eval(df)
+
+
+def test_q318_decay_broadcast_anchor_one_agg(q):
+    """Decayed value: the corpus-max anchor joins as a broadcast single
+    row (nested-loop, keyless), then ONE user-keyed hash agg; decay is
+    scan-time integer shifts — no window, no Python."""
+    df = q("q318_decayed_value")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q319_bytes_per_token_single_shuffle_no_join(q):
+    """Tokenizer compression audit: scan-time classify + length exprs
+    into one small-key agg; no join, no window, no explode."""
+    df = q("q319_bytes_per_token_by_lang")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "Generate" not in p  # counts via size(), never explode
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q320_oov_vocab_join_is_broadcast(q):
+    """OOV audit: the (source, tok) grain is checkpointed once; the
+    vocab membership join is a broadcast of VOCAB_K rows; no window,
+    no Python."""
+    df = q("q320_oov_rate")
+    p = plan_string(df)
+    assert broadcast_hash_join_count(df) == 1
+    assert "Window [" not in p
+    assert not has_python_eval(df)
+
+
+def test_q321_srm_two_exchanges_no_join(q):
+    """SRM: distinct on (type, user) then the per-type rollup — two
+    hash exchanges, assignment is scan-time md5; no join, no window."""
+    df = q("q321_srm_check")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert exchange_count(df, "hashpartitioning") == 2
+    assert not has_python_eval(df)
+
+
+def test_q322_waterfall_md5_windows_no_explode(q):
+    """Dedup waterfall: three min-windows on md5 fingerprint keys + a
+    4-key rollup + broadcast totals; no explode (fingerprints are
+    whole-string), no Python."""
+    df = q("q322_dedup_waterfall")
+    p = plan_string(df)
+    assert "Window [" in p
+    assert "Generate" not in p
+    assert "Broadcast" in p
+    assert not has_python_eval(df)
+
+
+def test_q323_ladder_union_of_aggs_no_window(q):
+    """Generalization ladder: four class-grain aggs reduced to single
+    rows and unioned — no window, no join, no Python."""
+    df = q("q323_generalization_ladder")
+    p = plan_string(df)
+    assert "Union" in p
+    assert "Window [" not in p
+    assert "Join" not in p
+    assert not has_python_eval(df)

@@ -9,6 +9,7 @@ results are deterministic.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 
@@ -2670,3 +2671,358 @@ def test_start_scd2_query_swaps_state_in_place(spark, sf_dir, tmp_path):
         .select(*STATE_COLS).collect()
     }
     assert again == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-13: banded (partition-confined) IVM + the two crash-window
+# fixes from the round-12 advice. All three consumers share the
+# at-least-once foreachBatch model; these tests pin the exact crash
+# windows the recovery doctrines claim to cover.
+# ---------------------------------------------------------------------------
+
+
+def _mv_chg(kind, id_, grp=None, v=None):
+    if kind == "delete":
+        return {"change": [{
+            "kind": "delete", "table": "t",
+            "oldkeys": {"keynames": ["id"], "keyvalues": [id_]},
+        }]}
+    return {"change": [{
+        "kind": kind, "table": "t",
+        "columnnames": ["id", "grp", "v"],
+        "columnvalues": [id_, grp, v],
+    }]}
+
+
+def _mv_stream(spark, feed_dir):
+    return parse_wal2json(
+        file_change_feed(spark, feed_dir)
+    ).withColumn("table_name", F.col("table"))
+
+
+def test_streaming_matview_banded_confined_rewrite(spark, tmp_path):
+    """start_matview_query_banded: same end state as the full-rewrite
+    consumer (view == recompute, poison proves carry-forward), AND the
+    rewrite is physically confined — a band no batch touches keeps its
+    exact parquet files (names + mtimes) across the drain."""
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_banded_snapshot,
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    feed_dir = str(tmp_path / "feedb")
+    snap = str(tmp_path / "snapb")
+    mv = str(tmp_path / "mvb")
+    ckpt = str(tmp_path / "ckptb")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40),
+         (100, "c", 400)],
+        "id bigint, grp string, v bigint",
+    )
+    # key range 1..100 over 32 bands -> width 4: ids 1-3 band 0,
+    # ids 4-5 band 1, id 100 band 25 (never touched below)
+    width = write_banded_snapshot(base, snap, "id", n_bands=32)
+    assert width == 4
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    base.groupBy("grp").agg(*aggs()).withColumn(
+        "sv",
+        F.when(F.col("grp") == "c", F.lit(999)).otherwise(F.col("sv")),
+    ).write.parquet(mv)
+
+    batches = [
+        [_mv_chg("update", 1, "a", 11), _mv_chg("insert", 5, "b", 50)],
+        [_mv_chg("delete", 3), _mv_chg("update", 5, "b", 55)],
+    ]
+    for i, msgs in enumerate(batches):
+        with open(f"{feed_dir}/f{i}.json", "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+
+    untouched_band = os.path.join(snap, "band=25")
+    before = {
+        p: os.path.getmtime(os.path.join(untouched_band, p))
+        for p in os.listdir(untouched_band)
+    }
+
+    q = start_matview_query_banded(
+        _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+        "grp", aggs, available_now=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    after = {
+        p: os.path.getmtime(os.path.join(untouched_band, p))
+        for p in os.listdir(untouched_band)
+    }
+    assert after == before  # band 25 physically untouched
+
+    got_snap = {
+        (r["id"], r["grp"], r["v"])
+        for r in read_banded_snapshot(spark, snap).collect()
+    }
+    assert got_snap == {
+        (1, "a", 11), (2, "a", 20), (4, "c", 40), (5, "b", 55),
+        (100, "c", 400),
+    }
+    got_mv = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    # 'c' keeps the poison (carried forward — neither c-row changed)
+    assert got_mv == {"a": (2, 31), "b": (1, 55), "c": (2, 999)}, got_mv
+
+
+def test_matview_commit_order_crash_between_commits(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 advice pin (apply.py): crash AFTER the matview commit
+    but BEFORE the snapshot commit, then replay. The view must
+    converge — in particular the OLD group of a delete and of a
+    group-moving update must disappear, which is exactly what the old
+    snapshot-first commit order lost forever."""
+    from speculare_pgcdc_spark.cdc import apply as apply_mod
+    from speculare_pgcdc_spark.cdc.apply import start_matview_query
+
+    feed_dir = str(tmp_path / "feedc")
+    snap = str(tmp_path / "snapc")
+    mv = str(tmp_path / "mvc")
+    ckpt = str(tmp_path / "ckptc")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, grp string, v bigint",
+    )
+    base.write.parquet(snap)
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    base.groupBy("grp").agg(*aggs()).write.parquet(mv)
+
+    # one batch: delete id1 (old group 'a') + move id2 'b' -> 'd'
+    with open(f"{feed_dir}/f0.json", "w") as f:
+        f.write(json.dumps(_mv_chg("delete", 1)) + "\n")
+        f.write(json.dumps(_mv_chg("update", 2, "d", 20)) + "\n")
+
+    real_commit = apply_mod._swap_commit
+
+    def crash_on_snapshot(d, batch_id):
+        if d == snap:
+            raise RuntimeError("injected crash between commits")
+        real_commit(d, batch_id)
+
+    monkeypatch.setattr(apply_mod, "_swap_commit", crash_on_snapshot)
+    q = start_matview_query(
+        _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+        "grp", aggs, available_now=True,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+
+    # the crash window: view is post-batch, snapshot still pre-batch
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == \
+        {1, 2, 3}
+    monkeypatch.setattr(apply_mod, "_swap_commit", real_commit)
+
+    q = start_matview_query(
+        _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+        "grp", aggs, available_now=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_mv = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got_mv == {"c": (1, 30), "d": (1, 20)}, got_mv
+    recomputed = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(snap)
+        .groupBy("grp").agg(*aggs()).collect()
+    }
+    assert got_mv == recomputed
+
+
+def test_banded_matview_partial_band_commit_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Banded consumer crash doctrine: view committed, then only SOME
+    touched bands swapped before the crash. The replay applies the
+    batch against the mixed snapshot — already-swapped bands re-apply
+    as no-ops — and both artifacts converge."""
+    from speculare_pgcdc_spark.cdc import apply as apply_mod
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_banded_snapshot,
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    feed_dir = str(tmp_path / "feedd")
+    snap = str(tmp_path / "snapd")
+    mv = str(tmp_path / "mvd")
+    ckpt = str(tmp_path / "ckptd")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (4, "c", 40), (100, "c", 400)],
+        "id bigint, grp string, v bigint",
+    )
+    write_banded_snapshot(base, snap, "id", n_bands=32)  # width 4
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    base.groupBy("grp").agg(*aggs()).write.parquet(mv)
+
+    # one batch touching bands 0 (delete id1) and 1 (update id4)
+    with open(f"{feed_dir}/f0.json", "w") as f:
+        f.write(json.dumps(_mv_chg("delete", 1)) + "\n")
+        f.write(json.dumps(_mv_chg("update", 4, "c", 44)) + "\n")
+
+    real_bands = apply_mod._commit_bands
+
+    def partial_commit(root, tmp, bands):
+        real_bands(root, tmp, bands[:1])  # band 0 lands, tmp dropped
+        raise RuntimeError("injected crash mid-band-commit")
+
+    monkeypatch.setattr(apply_mod, "_commit_bands", partial_commit)
+    q = start_matview_query_banded(
+        _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+        "grp", aggs, available_now=True,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+
+    mixed = {r["id"] for r in read_banded_snapshot(spark, snap).collect()}
+    assert mixed == {2, 4, 100}  # band 0 post-batch, band 1 pre-batch
+    monkeypatch.setattr(apply_mod, "_commit_bands", real_bands)
+
+    q = start_matview_query_banded(
+        _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+        "grp", aggs, available_now=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got_snap = {
+        (r["id"], r["grp"], r["v"])
+        for r in read_banded_snapshot(spark, snap).collect()
+    }
+    assert got_snap == {(2, "a", 20), (4, "c", 44), (100, "c", 400)}
+    got_mv = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got_mv == {"a": (1, 20), "c": (2, 444)}, got_mv
+
+
+def test_scd2_replay_after_swap_is_noop(spark, tmp_path, monkeypatch):
+    """Round-12 advice pin (scd2.py): scd2_apply is NOT idempotent, so
+    a crash after the state swap but before the checkpoint commit used
+    to re-merge the batch into the POST-merge state on replay,
+    duplicating every version. The _applied_batch_id marker makes the
+    replayed batch a no-op; final state equals the one-shot build."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from speculare_pgcdc_spark.cdc import scd2 as scd2_mod
+    from speculare_pgcdc_spark.cdc.scd2 import (
+        STATE_COLS,
+        scd2_apply,
+        start_scd2_query,
+    )
+
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderdate date, "
+        "o_orderstatus string, o_totalprice double"
+    )
+    c0 = spark.createDataFrame(
+        [(1, 7, _dt.date(2024, 1, 1), "O", 10.0),
+         (2, 7, _dt.date(2024, 2, 1), "O", 11.0),
+         (3, 9, _dt.date(2024, 1, 15), "O", 30.0)],
+        schema,
+    )
+    c1 = spark.createDataFrame(
+        [(4, 7, _dt.date(2024, 3, 1), "F", 12.0),
+         (5, 9, _dt.date(2024, 2, 15), "F", 31.0)],
+        schema,
+    )
+    one_shot = {
+        tuple(r)
+        for r in scd2_apply(None, c0.unionByName(c1))
+        .select(*STATE_COLS).collect()
+    }
+
+    feed = tmp_path / "scd2r_feed"
+    os.makedirs(feed)
+    t0 = 1_700_000_000
+    for i, c in enumerate([c0, c1]):
+        tmp_out = str(tmp_path / f"scd2r_chunk{i}")
+        c.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = str(feed / f"{i:05d}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    state_dir = str(tmp_path / "scd2r_state")
+    ckpt = str(tmp_path / "scd2r_ck")
+
+    real_swap = scd2_mod._finalize_swap
+
+    def swap_then_crash(sd, tmp):
+        real_swap(sd, tmp)
+        raise RuntimeError("injected crash after swap")
+
+    def drain():
+        src = (
+            spark.readStream.schema(c0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = start_scd2_query(src, state_dir, ckpt, available_now=True)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # batch 0: state swaps, THEN the crash lands — Spark never records
+    # the batch as committed, so the restart must replay it
+    monkeypatch.setattr(scd2_mod, "_finalize_swap", swap_then_crash)
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+    assert os.path.exists(os.path.join(state_dir, "_applied_batch_id"))
+
+    monkeypatch.setattr(scd2_mod, "_finalize_swap", real_swap)
+    drain()  # replays batch 0 (no-op via marker), then batch 1
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(*STATE_COLS).collect()
+    }
+    assert got == one_shot
+    # no duplicated versions: one row per order
+    assert spark.read.parquet(state_dir).count() == 5
