@@ -95,6 +95,13 @@ TIER2 = [
 #: so the snapshot always equals the prior round's set.
 TIER2_PREV_ROUND = tuple(TIER2)
 
+# round-13 additions: the triple-md5-window dedup waterfall and the
+# token-grain OOV coverage audit — the heaviest new shapes this round
+TIER2 += [
+    "q322_dedup_waterfall",
+    "q320_oov_rate",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()

@@ -254,22 +254,41 @@ def main() -> None:
     # banded-vs-legacy isolates the banding win.
     from speculare_pgcdc_spark.cdc.apply import (
         read_banded_snapshot,
+        seed_band_partials,
         start_matview_query_banded,
         write_banded_snapshot,
     )
 
+    def ivm_merges():
+        return [
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sv").cast("decimal(38,6)").alias("sv"),
+        ]
+
     feed_dir_contig = os.path.join(work, "feed_contig")
     write_feed(spark, sf_dir, feed_dir_contig, num_files=N_FILES,
                contiguous=True)
-    for fpt, label in TRIGGER_CONFIGS:
+    for (fpt, label), partials in [
+        (cfg, p) for cfg in TRIGGER_CONFIGS for p in (False, True)
+    ]:
+        suffix = "ivm_matview_banded_partials" if partials \
+            else "ivm_matview_banded"
         walls = []
         integrity_ok = True
         for run in range(N_RUNS):
             snap = os.path.join(work, f"ivmb_snap_{label}_{run}")
             mv = os.path.join(work, f"ivmb_mv_{label}_{run}")
+            parts = os.path.join(work, f"ivmb_parts_{label}_{run}")
             ckpt = os.path.join(work, f"ivmb_ckpt_{label}_{run}")
             write_banded_snapshot(base, snap, "event_id", n_bands=32)
             base.groupBy("event_type").agg(*ivm_aggs()).write.parquet(mv)
+            kwargs = {}
+            if partials:
+                seed_band_partials(
+                    spark, snap, "event_type", ivm_aggs, parts
+                )
+                kwargs = {"merge_cols_fn": ivm_merges,
+                          "partials_dir": parts}
             stream = _norm(
                 _parse(file_change_feed(
                     spark, feed_dir_contig, max_files_per_trigger=fpt
@@ -280,7 +299,7 @@ def main() -> None:
             q = start_matview_query_banded(
                 stream, snap, mv, ckpt, "event_id", ivm_cols,
                 "event_type", ivm_aggs, tables=FEED_TABLES,
-                available_now=True,
+                available_now=True, **kwargs,
             )
             try:
                 q.awaitTermination(600)
@@ -295,11 +314,11 @@ def main() -> None:
                     .agg(*ivm_aggs()).collect()}
             if got != full:
                 integrity_ok = False
-            for d in (snap, mv, ckpt):
+            for d in (snap, mv, parts, ckpt):
                 shutil.rmtree(d, ignore_errors=True)
         best = min(walls)
         med = sorted(walls)[len(walls) // 2]
-        report["modes"][f"{label}/ivm_matview_banded"] = {
+        report["modes"][f"{label}/{suffix}"] = {
             "wall_sec": [round(w, 2) for w in walls],
             "best_sec": round(best, 2),
             "median_sec": round(med, 2),
@@ -309,7 +328,7 @@ def main() -> None:
             "feed": "txn-contiguous (WAL order)",
         }
         print(
-            f"{label}/ivm_matview_banded: best {best:.2f}s / med "
+            f"{label}/{suffix}: best {best:.2f}s / med "
             f"{med:.2f}s -> {round(n_changes / best)} changes/s, "
             f"integrity={'ok' if integrity_ok else 'FAIL'}",
             flush=True,

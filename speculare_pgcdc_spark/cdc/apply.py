@@ -513,6 +513,26 @@ def _commit_bands(root: str, tmp: str, bands: list[int]) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def seed_band_partials(
+    spark: SparkSession,
+    snapshot_root: str,
+    group_col: str,
+    agg_cols_fn,
+    partials_dir: str,
+) -> None:
+    """Seed the per-(band, group) partial-aggregate state for
+    :func:`start_matview_query_banded`'s partial-maintenance mode from
+    an already-banded snapshot. The partials frame is tiny (bands x
+    groups rows), so it coalesces to one file."""
+    snap = spark.read.parquet(snapshot_root)
+    (
+        snap.groupBy(BAND_COL, group_col)
+        .agg(*agg_cols_fn())
+        .coalesce(1)
+        .write.parquet(partials_dir)
+    )
+
+
 def start_matview_query_banded(
     changes_stream: DataFrame,
     snapshot_dir: str,
@@ -525,25 +545,55 @@ def start_matview_query_banded(
     tables: list[str] | None = None,
     query_name: str = "cdc-matview-banded",
     available_now: bool = False,
+    merge_cols_fn=None,
+    partials_dir: str | None = None,
 ):
     """Partition-confined twin of :func:`start_matview_query`: the
     snapshot lives in the banded layout (seed with
     :func:`write_banded_snapshot`), and each microbatch rewrites ONLY
-    the bands containing the batch's changed keys. Per-batch cost is
-    O(touched bands) written + one snapshot-scale SCAN (the view's
-    touched-group re-aggregate — irreducible while deletes carry no
-    values to subtract), never a snapshot-scale WRITE.
+    the bands containing the batch's changed keys.
 
-    Recovery doctrine: the view commits FIRST, then bands swap one at
-    a time. A crash mid-band-commit replays the batch against a MIXED
-    snapshot — already-swapped bands re-apply as no-ops (latest-per-
-    key apply is idempotent), not-yet-swapped bands apply normally, so
-    the snapshot converges; the old group of a delete/move in an
-    already-swapped band is no longer derivable, but that group's view
-    row was already committed correct and the refresh carries it
-    forward untouched. The view-first order is load-bearing for
-    exactly that case (the round-12 advice on the unbanded consumer).
+    Two view-maintenance modes:
+
+    * **Scan refresh** (default): the view's touched groups are
+      re-aggregated from the full new snapshot. Per-batch cost is
+      O(touched bands) WRITTEN + one snapshot-scale SCAN. Works for
+      ANY aggregate shape (including non-decomposable ones — exact
+      medians, mode), because the refresh recomputes from rows.
+    * **Band-partial maintenance** (pass ``merge_cols_fn`` +
+      ``partials_dir``, seed with :func:`seed_band_partials`): the
+      consumer keeps per-(band, group) ALGEBRAIC partials; each batch
+      recomputes partials only for the touched bands (from the
+      already-materialized new band content — deletes need no
+      subtraction because the partial is rebuilt, not adjusted) and
+      re-merges the tiny partials frame into the view.
+      ``agg_cols_fn`` computes the partial exprs over rows;
+      ``merge_cols_fn`` combines partials (the classic partial/merge
+      split Spark's own partial_sum model uses — e.g. partial
+      [count->n, sum(v)->sv] merges as [sum(n)->n, sum(sv)->sv]).
+      Per-batch cost is O(touched bands) — NO snapshot-scale scan or
+      write anywhere, the shape that stays flat as the snapshot grows
+      (IVM_SCALE_PROBE_r13: the scan-refresh mode's residual growth
+      is exactly the view scan this mode removes).
+
+    Recovery doctrine: the view commits FIRST, then partials (if
+    any), then bands swap one at a time. A crash mid-band-commit
+    replays the batch against a MIXED snapshot — already-swapped
+    bands re-apply as no-ops (latest-per-key apply is idempotent),
+    not-yet-swapped bands apply normally, so the snapshot converges;
+    the old group of a delete/move in an already-swapped band is no
+    longer derivable, but that group's view row was already committed
+    correct and the refresh carries it forward untouched (scan mode) /
+    its partial was already committed recomputed (partial mode, any
+    commit order converges since partials rebuild from new_t). The
+    view-first order is load-bearing for exactly that case (the
+    round-12 advice on the unbanded consumer).
     """
+    if (merge_cols_fn is None) != (partials_dir is None):
+        raise ValueError(
+            "partial-maintenance mode needs BOTH merge_cols_fn and "
+            "partials_dir (seed the latter with seed_band_partials)"
+        )
     spark = changes_stream.sparkSession
     ordered = [key_col, *[c for c in columns if c != key_col]]
     key_t = columns.get(key_col, "bigint")
@@ -562,6 +612,8 @@ def start_matview_query_banded(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _recover_bands(snapshot_dir)
         _swap_recover(matview_dir)
+        if partials_dir is not None:
+            _swap_recover(partials_dir)
         snap = _snap(snapshot_dir)
         mv_old = spark.read.parquet(matview_dir)
         # ONE parse of the batch (eager, batch-key-bounded); band
@@ -592,14 +644,34 @@ def start_matview_query_banded(
             .repartition(max(len(bands), 1), F.col(BAND_COL))
             .localCheckpoint(eager=True)
         )
-        untouched = snap.filter(
-            ~F.col(BAND_COL).isin(bands)
-        ).select(*ordered)
-        full_new = untouched.unionByName(new_t.select(*ordered))
-        groups = touched_groups_latest(base_t, lat, key_col, group_col)
-        mv_new = refresh_aggregates(
-            mv_old, full_new, groups, group_col, agg_cols_fn()
-        )
+        if partials_dir is not None:
+            # band-partial maintenance: touched bands' partials are
+            # REBUILT from the new band content (no delete
+            # subtraction), untouched bands' carry forward; the view
+            # is a merge of the tiny partials frame — nothing here
+            # scans or writes at snapshot scale
+            parts_old = spark.read.parquet(partials_dir)
+            new_parts = new_t.groupBy(BAND_COL, group_col).agg(
+                *agg_cols_fn()
+            )
+            parts_new = parts_old.filter(
+                ~F.col(BAND_COL).isin(bands)
+            ).unionByName(new_parts.select(*parts_old.columns))
+            mv_new = parts_new.groupBy(group_col).agg(
+                *merge_cols_fn()
+            )
+        else:
+            untouched = snap.filter(
+                ~F.col(BAND_COL).isin(bands)
+            ).select(*ordered)
+            full_new = untouched.unionByName(new_t.select(*ordered))
+            groups = touched_groups_latest(
+                base_t, lat, key_col, group_col
+            )
+            mv_new = refresh_aggregates(
+                mv_old, full_new, groups, group_col, agg_cols_fn()
+            )
+            parts_new = None
         tmp = f"{snapshot_dir}.b{batch_id}.tmp"
         (
             new_t.write.partitionBy(BAND_COL)
@@ -609,7 +681,13 @@ def start_matview_query_banded(
         mv_new.select(*mv_old.columns).write.mode("overwrite").parquet(
             f"{matview_dir}.b{batch_id}.tmp"
         )
+        if parts_new is not None:
+            parts_new.coalesce(1).write.mode("overwrite").parquet(
+                f"{partials_dir}.b{batch_id}.tmp"
+            )
         _swap_commit(matview_dir, batch_id)
+        if parts_new is not None:
+            _swap_commit(partials_dir, batch_id)
         _commit_bands(snapshot_dir, tmp, bands)
 
     writer = (

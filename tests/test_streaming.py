@@ -3026,3 +3026,129 @@ def test_scd2_replay_after_swap_is_noop(spark, tmp_path, monkeypatch):
     assert got == one_shot
     # no duplicated versions: one row per order
     assert spark.read.parquet(state_dir).count() == 5
+
+
+def test_banded_matview_partials_mode(spark, tmp_path, monkeypatch):
+    """Band-partial maintenance (round-13): the view is merged from
+    per-(band, group) partials, touched bands' partials rebuilt from
+    the new band content — no snapshot-scale scan. End state equals a
+    full recompute (including after an injected mid-band-commit
+    crash + replay), untouched bands keep their physical files."""
+    from speculare_pgcdc_spark.cdc import apply as apply_mod
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_banded_snapshot,
+        seed_band_partials,
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    feed_dir = str(tmp_path / "feedp")
+    snap = str(tmp_path / "snapp")
+    mv = str(tmp_path / "mvp")
+    parts = str(tmp_path / "partsp")
+    ckpt = str(tmp_path / "ckptp")
+    os.makedirs(feed_dir)
+    cols = {"id": "bigint", "grp": "string", "v": "bigint"}
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40),
+         (100, "c", 400)],
+        "id bigint, grp string, v bigint",
+    )
+    write_banded_snapshot(base, snap, "id", n_bands=32)  # width 4
+
+    def aggs():
+        return [
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+        ]
+
+    def merges():
+        return [
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sv").cast("bigint").alias("sv"),
+        ]
+
+    seed_band_partials(spark, snap, "grp", aggs, parts)
+    base.groupBy("grp").agg(*aggs()).write.parquet(mv)
+
+    batches = [
+        [_mv_chg("update", 1, "a", 11), _mv_chg("insert", 5, "b", 50)],
+        [_mv_chg("delete", 3), _mv_chg("update", 5, "d", 55)],
+    ]
+    for i, msgs in enumerate(batches):
+        with open(f"{feed_dir}/f{i}.json", "w") as f:
+            for m in msgs:
+                f.write(json.dumps(m) + "\n")
+
+    untouched_band = os.path.join(snap, "band=25")
+    before = {
+        p: os.path.getmtime(os.path.join(untouched_band, p))
+        for p in os.listdir(untouched_band)
+    }
+
+    # inject a crash after the FIRST band of the first processed
+    # batch commits, then let the replay converge everything
+    real_bands = apply_mod._commit_bands
+    crashed = []
+
+    def partial_commit(root, tmp, bands):
+        if not crashed:
+            crashed.append(True)
+            real_bands(root, tmp, bands[:1])
+            raise RuntimeError("injected crash mid-band-commit")
+        real_bands(root, tmp, bands)
+
+    monkeypatch.setattr(apply_mod, "_commit_bands", partial_commit)
+
+    def drain():
+        return start_matview_query_banded(
+            _mv_stream(spark, feed_dir), snap, mv, ckpt, "id", cols,
+            "grp", aggs, available_now=True,
+            merge_cols_fn=merges, partials_dir=parts,
+        )
+
+    q = drain()
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+    q.stop()
+    q = drain()
+    q.processAllAvailable()
+    q.stop()
+
+    after = {
+        p: os.path.getmtime(os.path.join(untouched_band, p))
+        for p in os.listdir(untouched_band)
+    }
+    assert after == before  # band 25 physically untouched
+
+    final = read_banded_snapshot(spark, snap)
+    got_snap = {
+        (r["id"], r["grp"], r["v"]) for r in final.collect()
+    }
+    assert got_snap == {
+        (1, "a", 11), (2, "a", 20), (4, "c", 40), (5, "d", 55),
+        (100, "c", 400),
+    }
+    got_mv = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(mv).collect()
+    }
+    full = {
+        r["grp"]: (r["n"], r["sv"])
+        for r in final.groupBy("grp").agg(*aggs()).collect()
+    }
+    assert got_mv == full == {
+        "a": (2, 31), "c": (2, 440), "d": (1, 55),
+    }, (got_mv, full)
+    # partials state equals a per-band recompute of the final snapshot
+    got_parts = {
+        (r["band"], r["grp"]): (r["n"], r["sv"])
+        for r in spark.read.parquet(parts).collect()
+    }
+    want_parts = {
+        (r["band"], r["grp"]): (r["n"], r["sv"])
+        for r in spark.read.parquet(snap)
+        .groupBy("band", "grp").agg(*aggs()).collect()
+    }
+    assert got_parts == want_parts
