@@ -428,21 +428,33 @@ def band_of(key_col: str, band_width: int):
 
 
 def write_banded_snapshot(
-    df: DataFrame, root: str, key_col: str, n_bands: int = 32
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    n_bands: int = 32,
+    band_width: int | None = None,
 ) -> int:
     """Seed the banded layout: parquet partitioned by ``band=<i>`` with
     band_width sized so the CURRENT key range spans ``n_bands`` bands
     (keys inserted later simply grow new band dirs). The chosen width
     is persisted in a ``_band_width`` marker (underscore-prefixed ->
     invisible to parquet readers) so consumers band identically
-    forever — a re-derived width would silently re-home every key."""
-    lo, hi = df.agg(
-        F.min(F.col(key_col).cast("bigint")),
-        F.max(F.col(key_col).cast("bigint")),
-    ).first()
-    if lo is None:  # empty seed: one-row-per-band width of 1
-        width = 1
+    forever — a re-derived width would silently re-home every key.
+    Pass ``band_width`` explicitly to pin it (required for an EMPTY
+    seed, e.g. a from-scratch SCD2 state, where no key range exists to
+    derive it from)."""
+    if band_width is not None:
+        width = band_width
     else:
+        lo, hi = df.agg(
+            F.min(F.col(key_col).cast("bigint")),
+            F.max(F.col(key_col).cast("bigint")),
+        ).first()
+        if lo is None:
+            raise ValueError(
+                "empty seed frame: pass band_width explicitly (no key "
+                "range to derive it from)"
+            )
         width = max(1, (int(hi) - min(int(lo), 0)) // n_bands + 1)
     (
         df.withColumn(BAND_COL, band_of(key_col, width))
@@ -614,7 +626,10 @@ def start_matview_query_banded(
         _swap_recover(matview_dir)
         if partials_dir is not None:
             _swap_recover(partials_dir)
-        snap = _snap(snapshot_dir)
+        # scan-refresh mode needs the whole snapshot (untouched bands
+        # feed the view re-aggregate); partial mode never does, and
+        # building the frame costs a full-root partition discovery
+        snap = _snap(snapshot_dir) if partials_dir is None else None
         mv_old = spark.read.parquet(matview_dir)
         # ONE parse of the batch (eager, batch-key-bounded); band
         # discovery, the merge, and the group derivation all read the
@@ -630,7 +645,29 @@ def start_matview_query_banded(
         )
         if not bands:
             return
-        base_t = snap.filter(F.col(BAND_COL).isin(bands)).drop(BAND_COL)
+        live_paths = [
+            os.path.join(snapshot_dir, f"{BAND_COL}={b}")
+            for b in bands
+            if os.path.isdir(
+                os.path.join(snapshot_dir, f"{BAND_COL}={b}")
+            )
+        ]
+        if partials_dir is not None:
+            # partial mode never scans untouched bands, so the base
+            # read targets ONLY the touched band dirs — full-root
+            # partition discovery lists every band and becomes the
+            # dominant fixed cost once bands number in the hundreds
+            base_t = (
+                spark.read.option("basePath", snapshot_dir)
+                .parquet(*live_paths)
+                .drop(BAND_COL)
+                if live_paths
+                else spark.createDataFrame([], schema_str)
+            )
+        else:
+            base_t = snap.filter(
+                F.col(BAND_COL).isin(bands)
+            ).drop(BAND_COL)
         # bounded by the touched bands, not the snapshot; eager so the
         # write and the view plan never re-read pre-swap band dirs.
         # The checkpoint materializes POST band-clustering (one hash

@@ -3152,3 +3152,111 @@ def test_banded_matview_partials_mode(spark, tmp_path, monkeypatch):
         .groupBy("band", "grp").agg(*aggs()).collect()
     }
     assert got_parts == want_parts
+
+
+def test_scd2_banded_state_parity_and_partial_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """start_scd2_query_banded (round-13): the key-banded SCD2 state
+    converges to the one-shot q281 build over the full history, only
+    the bands containing a batch's keys are rewritten, and a crash
+    that commits SOME bands (with their per-band _applied_batch_id
+    markers) replays to the same parity — the marker skips re-merging
+    the already-swapped bands, whose re-merge would duplicate
+    versions because scd2_apply is not idempotent."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.cdc import apply as apply_mod
+    from speculare_pgcdc_spark.cdc.apply import write_banded_snapshot
+    from speculare_pgcdc_spark.cdc.scd2 import (
+        STATE_COLS,
+        STORED_COLS,
+        scd2_apply,
+        start_scd2_query_banded,
+    )
+    from speculare_pgcdc_spark.queries import load_all
+
+    orders = t(spark, sf_dir, "orders")
+    expected = {
+        tuple(r)
+        for r in load_all()["q281_scd2_intervals"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    dates = sorted(
+        r.d
+        for r in orders.select(
+            F.col("o_orderdate").alias("d")
+        ).distinct().collect()
+    )
+    d1 = dates[len(dates) // 2]
+    chunks = [
+        orders.filter(F.col("o_orderdate") <= F.lit(d1)),
+        orders.filter(F.col("o_orderdate") > F.lit(d1)),
+    ]
+
+    feed = tmp_path / "scd2b_feed"
+    os.makedirs(feed)
+    t0 = 1_700_000_000
+    for i, c in enumerate(chunks):
+        tmp_out = str(tmp_path / f"scd2b_chunk{i}")
+        c.coalesce(1).write.parquet(tmp_out)
+        part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+        dst = str(feed / f"{i:05d}.parquet")
+        _shutil.copy(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    state_dir = str(tmp_path / "scd2b_state")
+    ckpt = str(tmp_path / "scd2b_ck")
+    # seed: EMPTY banded state, explicit width over the custkey range
+    max_ck = orders.agg(F.max("o_custkey")).first()[0]
+    empty = scd2_apply(None, orders).filter(F.lit(False)).select(
+        *STORED_COLS
+    )
+    write_banded_snapshot(
+        empty, state_dir, "o_custkey",
+        band_width=max(1, int(max_ck) // 8 + 1),
+    )
+
+    real_bands = apply_mod._commit_bands
+    crashed = []
+
+    def partial_commit(root, tmp, bands):
+        if not crashed and len(bands) > 1:
+            crashed.append(True)
+            real_bands(root, tmp, bands[: len(bands) // 2])
+            raise RuntimeError("injected crash mid-band-commit")
+        real_bands(root, tmp, bands)
+
+    monkeypatch.setattr(apply_mod, "_commit_bands", partial_commit)
+
+    def drain():
+        src = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = start_scd2_query_banded(
+            src, state_dir, ckpt, validate=True, available_now=True
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="injected crash"):
+        drain()
+    # crash window: some bands carry batch 0, some are still empty
+    drain()  # replay batch 0 (marked bands skipped), then batch 1
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(*STATE_COLS).collect()
+    }
+    assert got == expected
+    # no duplicated versions anywhere: one row per order
+    assert spark.read.parquet(state_dir).count() == orders.count()
