@@ -550,3 +550,55 @@ def test_ensure_feed_hot_recovers_dropped_cache(spark, sf_dir):
     assert ensure_feed_hot(spark, sf_dir) is True  # dropped: rebuilt
     assert feed.is_cached
     assert ensure_feed_hot(spark, sf_dir) is False
+
+
+def test_write_banded_snapshot_empty_seed_requires_width(spark, tmp_path):
+    """An empty seed frame has no key range to derive band_width from:
+    the implicit derivation must refuse (a silently-chosen width of 1
+    would explode one dir per key later), the explicit width must work
+    and persist to the _band_width marker."""
+    import pytest as _pytest
+
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_band_width,
+        write_banded_snapshot,
+    )
+
+    empty = spark.createDataFrame([], "id bigint, v string")
+    with _pytest.raises(ValueError, match="band_width"):
+        write_banded_snapshot(empty, str(tmp_path / "e1"), "id")
+    w = write_banded_snapshot(
+        empty, str(tmp_path / "e2"), "id", band_width=1000
+    )
+    assert w == 1000
+    assert read_band_width(str(tmp_path / "e2")) == 1000
+
+
+def test_banded_matview_partial_mode_args_validated(spark, tmp_path):
+    """merge_cols_fn and partials_dir come together or not at all —
+    half-configured partial maintenance must fail loudly at start,
+    not silently fall back to the scan refresh."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.cdc.apply import (
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    snap = str(tmp_path / "vsnap")
+    base = spark.createDataFrame([(1, "a", 1)], "id bigint, g string, v bigint")
+    write_banded_snapshot(base, snap, "id", band_width=10)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    for kwargs in (
+        {"merge_cols_fn": lambda: [F.sum("v").alias("v")]},
+        {"partials_dir": str(tmp_path / "parts")},
+    ):
+        with _pytest.raises(ValueError, match="partial-maintenance"):
+            start_matview_query_banded(
+                stream, snap, str(tmp_path / "mv"),
+                str(tmp_path / "ck"), "id", {"id": "bigint"},
+                "g", lambda: [F.sum("v").alias("v")], **kwargs,
+            )
