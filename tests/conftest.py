@@ -149,10 +149,17 @@ _F64_CLAMP = "9200000000000000000.0"  # 9.2e18, exact in float64
 
 
 def _clamped_scale(expr: str) -> str:
-    return (
+    # NULL must short-circuit BEFORE the clamp: GREATEST/LEAST skip
+    # NULL args in both engines, so without the CASE a NULL double
+    # would render as the clamp constant (-9.2e18) instead of falling
+    # through to the COALESCE '␀' sentinel — and a Spark NULL vs an
+    # oracle -1e12 divergence would silently hash-match (round-14
+    # advice fix, pinned by test_digest_null_double_sentinel).
+    clamped = (
         f"CAST(FLOOR(LEAST(GREATEST(CAST({expr} AS DOUBLE) * 100000000,"
         f" -{_F64_CLAMP}), {_F64_CLAMP})) AS BIGINT)"
     )
+    return f"CASE WHEN ({expr}) IS NULL THEN NULL ELSE {clamped} END"
 
 
 def _spark_canon_expr(name, dtype):

@@ -286,6 +286,34 @@ class TestDigestComparator:
         )
         assert pn == sn and pd != sd
 
+    def test_digest_null_double_sentinel(self, spark, duck, tmp_path):
+        """Round-14 advice pin: GREATEST/LEAST skip NULL args in both
+        engines, so the clamp used to render a NULL double as the
+        clamp constant (-9.2e18) — making a Spark NULL hash-equal to
+        any oracle value <= -9.2e10. The CASE short-circuit keeps NULL
+        flowing to the '␀' sentinel, so NULL vs -1e12 must diverge."""
+        from tests.conftest import duck_digest, spark_digest
+
+        pdir = str(tmp_path / "nulldouble")
+        spark.createDataFrame(
+            [(None,), (1.5,)], "x double"
+        ).write.mode("overwrite").parquet(pdir)
+        sn, sd = spark_digest(spark.read.parquet(pdir))
+        # same data through duckdb: identical digest (NULL renders the
+        # same sentinel on both sides)
+        dn, dd = duck_digest(
+            duck, f"SELECT * FROM read_parquet('{pdir}/*.parquet')"
+        )
+        assert (sn, sd) == (dn, dd)
+        # the failure mode the advice found: NULL replaced by a value
+        # below the old clamp floor MUST change the digest now
+        pn, pd = duck_digest(
+            duck,
+            "SELECT COALESCE(x, -1e12) AS x FROM "
+            f"read_parquet('{pdir}/*.parquet')",
+        )
+        assert pn == sn and pd != sd
+
     def test_digest_float32_column_matches_cross_engine(
         self, spark, duck, tmp_path
     ):
