@@ -49,13 +49,23 @@ def _swap_recover(d: str) -> None:
 
 def _swap_commit(d: str, batch_id: int) -> None:
     """Atomically replace dir ``d`` with the batch's staged tmp dir."""
+    _swap_commit_tmp(d, f"{d}.b{batch_id}.tmp")
+
+
+def _swap_commit_tmp(d: str, tmp: str) -> None:
+    """The swap core, keyed on an explicit staged dir. Tolerates an
+    ABSENT live dir (the first-batch case of a from-scratch consumer,
+    e.g. SCD2 with no seeded state) — this is the ONE canonical swap
+    implementation; scd2.py delegates here instead of carrying its own
+    copy (round-14 advice)."""
     old = f"{d}.old"
-    tmp = f"{d}.b{batch_id}.tmp"
     if os.path.exists(old):
         shutil.rmtree(old)
-    os.rename(d, old)
+    if os.path.exists(d):
+        os.rename(d, old)
     os.rename(tmp, d)
-    shutil.rmtree(old)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _change_key(key_col: str):
@@ -427,26 +437,49 @@ def band_of(key_col: str, band_width: int):
     )
 
 
+#: auto band sizing target: rows per band when neither n_bands nor
+#: band_width is passed. ~500k rows keeps a band's parquet rewrite in
+#: the tens-of-MB range at typical CDC row widths — small enough that
+#: a touched-band rewrite is cheap, large enough that band COUNT (and
+#: with it per-batch band-dir bookkeeping) stays in the hundreds even
+#: at 10^9-row snapshots.
+TARGET_ROWS_PER_BAND = 500_000
+#: auto band-count clamp (4096 dirs is already generous; beyond that
+#: the per-band fixed costs dominate — see SCD2_BAND_PROBE_r13)
+MAX_AUTO_BANDS = 4096
+
+
 def write_banded_snapshot(
     df: DataFrame,
     root: str,
     key_col: str,
-    n_bands: int = 32,
+    n_bands: int | None = None,
     band_width: int | None = None,
+    target_rows_per_band: int = TARGET_ROWS_PER_BAND,
 ) -> int:
     """Seed the banded layout: parquet partitioned by ``band=<i>`` with
-    band_width sized so the CURRENT key range spans ``n_bands`` bands
+    band_width sized so the CURRENT key range spans the band count
     (keys inserted later simply grow new band dirs). The chosen width
     is persisted in a ``_band_width`` marker (underscore-prefixed ->
     invisible to parquet readers) so consumers band identically
-    forever — a re-derived width would silently re-home every key.
-    Pass ``band_width`` explicitly to pin it (required for an EMPTY
-    seed, e.g. a from-scratch SCD2 state, where no key range exists to
-    derive it from)."""
+    forever — a re-derived width would silently re-home every key;
+    ``start_*_banded`` reads the marker, the caller never re-supplies
+    the choice.
+
+    Band-count selection (round-13 verdict #5 — defaults instead of a
+    hand-picked count): when ``n_bands`` is omitted it derives from
+    the SEED SIZE as ``ceil(rows / target_rows_per_band)`` clamped to
+    [1, 4096], so a small seed gets few bands (no thousand-dir layout
+    for 60k rows) and a large one lands near the target rows/band.
+    Pass ``n_bands`` to pin a count, or ``band_width`` to pin the
+    width itself (required for an EMPTY seed, e.g. a from-scratch
+    SCD2 state, where no key range or size exists to derive from)."""
     if band_width is not None:
         width = band_width
+        part_bands = n_bands or 32
     else:
-        lo, hi = df.agg(
+        cnt, lo, hi = df.agg(
+            F.count(F.lit(1)),
             F.min(F.col(key_col).cast("bigint")),
             F.max(F.col(key_col).cast("bigint")),
         ).first()
@@ -455,11 +488,20 @@ def write_banded_snapshot(
                 "empty seed frame: pass band_width explicitly (no key "
                 "range to derive it from)"
             )
+        if n_bands is None:
+            n_bands = max(
+                1,
+                min(
+                    MAX_AUTO_BANDS,
+                    -(-int(cnt) // max(1, target_rows_per_band)),
+                ),
+            )
         width = max(1, (int(hi) - min(int(lo), 0)) // n_bands + 1)
+        part_bands = n_bands
     (
         df.withColumn(BAND_COL, band_of(key_col, width))
         # one file per band (see the consumer's small-file note)
-        .repartition(n_bands, F.col(BAND_COL))
+        .repartition(part_bands, F.col(BAND_COL))
         .write.partitionBy(BAND_COL)
         .mode("overwrite")
         .parquet(root)
@@ -484,10 +526,15 @@ def _recover_bands(root: str) -> None:
     but scoped to ``band=<i>`` subdirs; leftover batch tmp roots are
     incomplete (or fully-drained) stages — the replay regenerates
     them, so they are dropped."""
-    for entry in os.listdir(os.path.dirname(root) or "."):
-        full = os.path.join(os.path.dirname(root) or ".", entry)
-        if full.startswith(f"{root}.b") and full.endswith(".tmp"):
-            shutil.rmtree(full)
+    # match on the BASENAME: with a relative root (e.g. 'state') the
+    # joined path is './state.b5.tmp' which never startswith
+    # 'state.b', silently leaking abandoned batch tmp roots forever
+    # (round-14 advice fix, pinned by test_recover_bands_relative_root)
+    parent = os.path.dirname(root) or "."
+    base = os.path.basename(root)
+    for entry in os.listdir(parent):
+        if entry.startswith(f"{base}.b") and entry.endswith(".tmp"):
+            shutil.rmtree(os.path.join(parent, entry))
     if not os.path.isdir(root):
         return
     for entry in os.listdir(root):
@@ -543,6 +590,88 @@ def seed_band_partials(
         .coalesce(1)
         .write.parquet(partials_dir)
     )
+
+
+def _validate_mergeable(
+    spark: SparkSession,
+    snapshot_dir: str,
+    group_col: str,
+    agg_cols_fn,
+    merge_cols_fn,
+    sample_rows: int = 512,
+) -> None:
+    """Refuse a NON-ALGEBRAIC (agg_cols_fn, merge_cols_fn) spec at
+    stream start (round-13 verdict #6): band-partial maintenance is
+    correct only when merging two halves' partials equals the partial
+    of the union — a median/percentile-style spec violates that and
+    would silently diverge from the view==recompute integrity check
+    batch after batch. The probe is EMPIRICAL: over a small snapshot
+    sample, ``merge(partial(half0), partial(half1))`` must equal
+    ``merge(partial(all))`` (merge over a singleton also catches a
+    merge that isn't identity on one partial). One tiny driver-side
+    job at start; an empty seed snapshot can't disprove anything and
+    skips the probe (documented)."""
+    probe = (
+        read_banded_snapshot(spark, snapshot_dir)
+        .limit(sample_rows)
+        .localCheckpoint(eager=True)
+    )
+    if not probe.take(1):
+        return
+    halves = probe.withColumn(
+        "_h", (F.monotonically_increasing_id() % 2).cast("int")
+    )
+    merged = (
+        halves.groupBy("_h", group_col)
+        .agg(*agg_cols_fn())
+        .groupBy(group_col)
+        .agg(*merge_cols_fn())
+    )
+    expected = (
+        probe.groupBy(group_col)
+        .agg(*agg_cols_fn())
+        .groupBy(group_col)
+        .agg(*merge_cols_fn())
+    )
+
+    def _rows(df):
+        # one row per group; order by the group's string form (mixed
+        # None/float tuples don't sort directly)
+        cols = [group_col] + sorted(
+            c for c in df.columns if c != group_col
+        )
+        return [
+            tuple(row[c] for c in cols)
+            for row in sorted(
+                df.collect(), key=lambda r: str(r[group_col])
+            )
+        ]
+
+    def _cell_eq(a, b) -> bool:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return a is b
+            return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b
+
+    got, want = _rows(merged), _rows(expected)
+    ok = len(got) == len(want) and all(
+        len(g) == len(w) and all(map(_cell_eq, g, w))
+        for g, w in zip(got, want)
+    )
+    if not ok:
+        diffs = [
+            (g, w) for g, w in zip(got, want) if g != w
+        ][:3]
+        raise ValueError(
+            "band-partial maintenance requires an ALGEBRAIC "
+            "(agg_cols_fn, merge_cols_fn) pair: merging two halves' "
+            "partials diverged from the partial of the union on a "
+            f"snapshot sample (first diffs merged-vs-direct: {diffs}). "
+            "Holistic aggregates (median, exact percentile, mode) "
+            "cannot ride partials — use the scan-refresh mode (omit "
+            "merge_cols_fn/partials_dir) for those views."
+        )
 
 
 def start_matview_query_banded(
@@ -607,6 +736,10 @@ def start_matview_query_banded(
             "partials_dir (seed the latter with seed_band_partials)"
         )
     spark = changes_stream.sparkSession
+    if merge_cols_fn is not None:
+        _validate_mergeable(
+            spark, snapshot_dir, group_col, agg_cols_fn, merge_cols_fn
+        )
     ordered = [key_col, *[c for c in columns if c != key_col]]
     key_t = columns.get(key_col, "bigint")
     width = read_band_width(snapshot_dir)

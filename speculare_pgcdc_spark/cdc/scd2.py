@@ -99,7 +99,19 @@ def scd2_apply(
     one extra aggregate over the touched keys and raises ValueError on
     violation instead of silently diverging from the one-shot build.
     """
-    rows = scd2_batch_rows(batch)
+    return _scd2_apply_rows(state, scd2_batch_rows(batch), validate)
+
+
+def _scd2_apply_rows(
+    state: DataFrame | None,
+    rows: DataFrame,
+    validate: bool = False,
+) -> DataFrame:
+    """:func:`scd2_apply` on ALREADY-normalized version rows (the
+    :func:`scd2_batch_rows` schema). The banded consumer parses the
+    batch exactly once — band discovery and the merge share one
+    checkpointed rows frame (round-14 advice: the raw batch was being
+    re-parsed per pass) — so it enters here directly."""
     new = rows.select(
         "o_custkey",
         F.lit(None).cast("bigint").alias("_base_v"),
@@ -205,32 +217,24 @@ def scd2_apply(
 
 
 def _recover_state(state_dir: str) -> None:
-    """Crash recovery for the swapped state dir (the start_apply_query
-    doctrine): missing live dir + surviving .old -> restore; stale
-    .old next to a live dir -> garbage."""
-    import os
-    import shutil
+    """Crash recovery for the swapped state dir — thin module-level
+    seam over apply.py's canonical :func:`~.apply._swap_recover`
+    (round-14 advice: ONE swap/recovery implementation, not two copies
+    to keep in sync)."""
+    from speculare_pgcdc_spark.cdc.apply import _swap_recover
 
-    old = f"{state_dir}.old"
-    if not os.path.exists(state_dir) and os.path.exists(old):
-        os.rename(old, state_dir)
-    elif os.path.exists(old):
-        shutil.rmtree(old)
+    _swap_recover(state_dir)
 
 
 def _finalize_swap(state_dir: str, tmp: str) -> None:
     """Atomically promote the staged state dir (module-level so the
     crash-injection tests can intercept the exact post-swap /
-    pre-checkpoint window the idempotency marker exists for)."""
-    import os
-    import shutil
+    pre-checkpoint window the idempotency marker exists for).
+    Delegates to apply.py's :func:`~.apply._swap_commit_tmp`, which
+    tolerates the absent-live-dir first-batch case."""
+    from speculare_pgcdc_spark.cdc.apply import _swap_commit_tmp
 
-    old = f"{state_dir}.old"
-    if os.path.exists(state_dir):
-        os.rename(state_dir, old)
-    os.rename(tmp, state_dir)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _swap_commit_tmp(state_dir, tmp)
 
 
 def start_scd2_query(
@@ -362,12 +366,21 @@ def start_scd2_query_banded(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _recover_bands(state_dir)
+        # ONE parse of the batch, checkpointed: band discovery and the
+        # merge input both read this frame (round-14 advice — the
+        # latest_changes single-parse doctrine; previously the raw
+        # batch lineage ran twice per microbatch). NULL keys are
+        # dropped BEFORE banding, matching latest_changes' null-key
+        # guard: band NULL would otherwise make sorted() raise
+        # TypeError on every replay, permanently wedging the stream.
+        rows = (
+            scd2_batch_rows(batch_df)
+            .filter(F.col("o_custkey").isNotNull())
+            .withColumn("_band", band_of("o_custkey", width))
+            .localCheckpoint(eager=True)
+        )
         all_bands = sorted(
-            r[0]
-            for r in scd2_batch_rows(batch_df)
-            .select(band_of("o_custkey", width).alias("b"))
-            .distinct()
-            .collect()
+            r[0] for r in rows.select("_band").distinct().collect()
         )
         # bands already swapped by a crashed run of THIS batch are
         # post-merge: re-merging them would duplicate versions
@@ -394,10 +407,8 @@ def start_scd2_query_banded(
             )
         else:  # first batch / all-new key bands
             prev = None
-        rel = batch_df.filter(
-            band_of("o_custkey", width).isin(bands)
-        )
-        out = scd2_apply(prev, rel, validate=validate)
+        rel = rows.filter(F.col("_band").isin(bands)).drop("_band")
+        out = _scd2_apply_rows(prev, rel, validate=validate)
         tmp = f"{state_dir}.b{batch_id}.tmp"
         (
             out.select(*STORED_COLS)

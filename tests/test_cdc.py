@@ -602,3 +602,120 @@ def test_banded_matview_partial_mode_args_validated(spark, tmp_path):
                 str(tmp_path / "ck"), "id", {"id": "bigint"},
                 "g", lambda: [F.sum("v").alias("v")], **kwargs,
             )
+
+
+def test_recover_bands_relative_root_cleans_stale_tmp(tmp_path, monkeypatch):
+    """Round-14 advice pin: _recover_bands' stale-tmp sweep used to
+    compare the JOINED path ('./state.b5.tmp') against the raw root
+    prefix ('state.b'), so with a RELATIVE root it never matched and
+    abandoned batch tmp roots leaked disk forever. The basename match
+    must clean them for relative and absolute roots alike."""
+    import os
+
+    from speculare_pgcdc_spark.cdc.apply import _recover_bands
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("state/band=0")
+    os.makedirs("state.b5.tmp/band=1")
+    # an unrelated sibling must survive the sweep
+    os.makedirs("state_other.b5.tmp")
+    _recover_bands("state")
+    assert not os.path.exists("state.b5.tmp")
+    assert os.path.exists("state_other.b5.tmp")
+    assert os.path.isdir("state/band=0")
+
+    absroot = str(tmp_path / "abs_state")
+    os.makedirs(absroot)
+    os.makedirs(f"{absroot}.b2.tmp")
+    _recover_bands(absroot)
+    assert not os.path.exists(f"{absroot}.b2.tmp")
+
+
+def test_write_banded_snapshot_auto_band_count(spark, tmp_path):
+    """Round-13 verdict #5: with neither n_bands nor band_width, the
+    band count derives from seed size (ceil(rows / target)) and the
+    chosen width round-trips through the layout's _band_width marker
+    — consumers never re-supply it."""
+    import os
+
+    from speculare_pgcdc_spark.cdc.apply import (
+        read_band_width,
+        write_banded_snapshot,
+    )
+
+    n = 1000
+    df = spark.range(n).selectExpr("id", "id * 2 AS v")
+    root = str(tmp_path / "auto_bands")
+    w = write_banded_snapshot(
+        df, root, "id", target_rows_per_band=100
+    )
+    # ceil(1000/100) = 10 bands over keys 0..999 -> width 100
+    assert w == read_band_width(root)
+    dirs = [e for e in os.listdir(root) if e.startswith("band=")]
+    assert len(dirs) == 10
+    assert w == (n - 1) // 10 + 1
+    # a seed smaller than the target collapses to ONE band
+    root1 = str(tmp_path / "one_band")
+    write_banded_snapshot(
+        df.limit(50), root1, "id", target_rows_per_band=100
+    )
+    assert len(
+        [e for e in os.listdir(root1) if e.startswith("band=")]
+    ) == 1
+    # explicit n_bands still pins the count
+    root2 = str(tmp_path / "pinned")
+    write_banded_snapshot(df, root2, "id", n_bands=4)
+    assert len(
+        [e for e in os.listdir(root2) if e.startswith("band=")]
+    ) == 4
+
+
+def test_banded_matview_refuses_non_algebraic_partials(
+    spark, tmp_path
+):
+    """Round-13 verdict #6: a (agg, merge) pair where merging two
+    halves' partials diverges from the partial of the union (here:
+    per-band MAX merged by SUM — the holistic-misuse stand-in) must
+    fail LOUDLY at stream start, not silently diverge from the
+    view==recompute integrity check batch after batch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.cdc.apply import (
+        seed_band_partials,
+        start_matview_query_banded,
+        write_banded_snapshot,
+    )
+
+    snap = str(tmp_path / "na_snap")
+    base = spark.createDataFrame(
+        [(i, "g", i) for i in range(1, 9)],
+        "id bigint, g string, v bigint",
+    ).coalesce(1)
+    write_banded_snapshot(base, snap, "id", band_width=1000)
+    parts = str(tmp_path / "na_parts")
+    seed_band_partials(
+        spark, snap, "g", lambda: [F.max("v").alias("v")], parts
+    )
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+    )
+    with _pytest.raises(ValueError, match="ALGEBRAIC"):
+        start_matview_query_banded(
+            stream, snap, str(tmp_path / "na_mv"),
+            str(tmp_path / "na_ck"), "id", {"id": "bigint"}, "g",
+            agg_cols_fn=lambda: [F.max("v").alias("v")],
+            merge_cols_fn=lambda: [F.sum("v").alias("v")],
+            partials_dir=parts,
+        )
+    # the algebraic twin of the same spec must pass the probe
+    q = start_matview_query_banded(
+        stream, snap, str(tmp_path / "ok_mv"),
+        str(tmp_path / "ok_ck"), "id", {"id": "bigint"}, "g",
+        agg_cols_fn=lambda: [F.max("v").alias("v")],
+        merge_cols_fn=lambda: [F.max("v").alias("v")],
+        partials_dir=parts,
+    )
+    q.stop()

@@ -3260,3 +3260,73 @@ def test_scd2_banded_state_parity_and_partial_commit(
     assert got == expected
     # no duplicated versions anywhere: one row per order
     assert spark.read.parquet(state_dir).count() == orders.count()
+
+
+def test_scd2_banded_null_keys_dropped_not_wedged(spark, sf_dir, tmp_path):
+    """Round-14 advice pin: a batch row with NULL o_custkey used to
+    produce band NULL, and sorted([None, int, ...]) raised TypeError
+    on EVERY replay — permanently wedging the banded SCD2 stream. The
+    single-parse rows frame now drops NULL keys before banding (the
+    latest_changes null-key guard), so the stream drains and the
+    state equals the non-null one-shot build."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from speculare_pgcdc_spark.catalog import table as t
+    from speculare_pgcdc_spark.cdc.apply import write_banded_snapshot
+    from speculare_pgcdc_spark.cdc.scd2 import (
+        STATE_COLS,
+        STORED_COLS,
+        scd2_apply,
+        start_scd2_query_banded,
+    )
+
+    orders = t(spark, sf_dir, "orders").limit(200).cache()
+    # poison 1 in 5 rows with a NULL key
+    poisoned = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    clean = poisoned.filter(F.col("o_custkey").isNotNull())
+    expected = {
+        tuple(r)
+        for r in scd2_apply(None, clean).select(*STATE_COLS).collect()
+    }
+
+    feed = tmp_path / "scd2n_feed"
+    os.makedirs(feed)
+    tmp_out = str(tmp_path / "scd2n_chunk")
+    poisoned.coalesce(1).write.parquet(tmp_out)
+    part = _glob.glob(f"{tmp_out}/part-*.parquet")[0]
+    _shutil.copy(part, str(feed / "00000.parquet"))
+
+    state_dir = str(tmp_path / "scd2n_state")
+    max_ck = orders.agg(F.max("o_custkey")).first()[0]
+    empty = scd2_apply(None, orders).filter(F.lit(False)).select(
+        *STORED_COLS
+    )
+    write_banded_snapshot(
+        empty, state_dir, "o_custkey",
+        band_width=max(1, int(max_ck) // 4 + 1),
+    )
+
+    src = (
+        spark.readStream.schema(poisoned.schema)
+        .parquet(str(feed))
+    )
+    q = start_scd2_query_banded(
+        src, state_dir, str(tmp_path / "scd2n_ck"), available_now=True
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state_dir)
+        .select(*STATE_COLS).collect()
+    }
+    assert got == expected
