@@ -242,3 +242,319 @@ def test_live_postgres_poll_ack_roundtrip():
             cur.execute(f"DROP TABLE IF EXISTS {wal_t}")
             cur.execute(f"DROP TABLE IF EXISTS {ack_t}")
             con.commit()
+
+
+# ---------------------------------------------------------------------
+# Slot-managed backend (round-13 verdict #1): the relay-free path that
+# owns the logical replication slot. No server in this container — a
+# fake connection emulates the five SQL shapes the backend issues
+# (slot catalog lookup / create / drop / peek_changes / advance) with
+# real PostgreSQL semantics: peek starts past confirmed_flush_lsn,
+# upto_lsn is commit-exclusive, upto_nchanges is a ROW bound that may
+# cut inside an equal-LSN run, advance refuses backward moves.
+# ---------------------------------------------------------------------
+
+from speculare_pgcdc_spark.streaming.wal_source import (  # noqa: E402
+    PostgresSlotWalBackend,
+    int_to_pg_lsn,
+    pg_lsn_to_int,
+)
+
+
+class FakeSlotServer:
+    def __init__(self, wal_rows):
+        self.wal = sorted(wal_rows)  # [(lsn_int, payload)]
+        self.slots = {}  # name -> {plugin, temporary, confirmed_flush}
+        self.calls = []
+
+
+class _FakeCursor:
+    def __init__(self, server):
+        self.server = server
+        self._rows = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def execute(self, sql, params=()):
+        s = " ".join(sql.split())
+        srv = self.server
+        if "confirmed_flush_lsn FROM pg_replication_slots" in s:
+            slot = params[0]
+            self._rows = (
+                [(int_to_pg_lsn(srv.slots[slot]["confirmed_flush"]),)]
+                if slot in srv.slots
+                else []
+            )
+        elif "SELECT 1 FROM pg_replication_slots" in s:
+            self._rows = [(1,)] if params[0] in srv.slots else []
+        elif "pg_create_logical_replication_slot" in s:
+            name, plugin, temporary = params
+            srv.calls.append(("create", name, plugin, temporary))
+            assert name not in srv.slots, "duplicate slot create"
+            srv.slots[name] = {
+                "plugin": plugin,
+                "temporary": temporary,
+                "confirmed_flush": 0,
+            }
+            self._rows = [(name,)]
+        elif "pg_drop_replication_slot" in s:
+            srv.calls.append(("drop", params[0]))
+            assert params[0] in srv.slots, "drop of missing slot"
+            del srv.slots[params[0]]
+            self._rows = [(None,)]
+        elif "pg_logical_slot_peek_changes" in s:
+            slot, upto_lsn, nchanges = params[0], params[1], params[2]
+            srv.calls.append(("peek", slot, upto_lsn, nchanges))
+            flushed = srv.slots[slot]["confirmed_flush"]
+            rows = [(l, p) for l, p in srv.wal if l > flushed]
+            if upto_lsn is not None:
+                # commit-exclusive, as documented for the server fn
+                rows = [
+                    r for r in rows if r[0] < pg_lsn_to_int(upto_lsn)
+                ]
+            if nchanges is not None:
+                rows = rows[:nchanges]  # ROW bound: may cut in a run
+            self._rows = [
+                (int_to_pg_lsn(l), 777, p) for l, p in rows
+            ]
+        elif "pg_replication_slot_advance" in s:
+            slot, lsn = params
+            srv.calls.append(("advance", slot, lsn))
+            target = pg_lsn_to_int(lsn)
+            assert target >= srv.slots[slot]["confirmed_flush"], (
+                "server refuses backward slot advance"
+            )
+            srv.slots[slot]["confirmed_flush"] = target
+            self._rows = [(slot, lsn)]
+        else:  # pragma: no cover
+            raise AssertionError(f"unexpected SQL: {s}")
+
+    def fetchone(self):
+        return self._rows[0] if self._rows else None
+
+    def fetchall(self):
+        return list(self._rows)
+
+
+class _FakeConnection:
+    def __init__(self, server):
+        self.server = server
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def cursor(self):
+        return _FakeCursor(self.server)
+
+    def commit(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def _slot_backend(server, **kw):
+    be = PostgresSlotWalBackend("jdbc:postgresql://h/d", **kw)
+    be._connect = lambda: _FakeConnection(server)  # type: ignore
+    return be
+
+
+def test_slot_lifecycle_create_exists_drop():
+    srv = FakeSlotServer([])
+    be = _slot_backend(srv, slot="s1", temporary=True)
+    assert not be.slot_exists()
+    be.create_slot()
+    assert be.slot_exists()
+    assert srv.calls[-1] == ("create", "s1", "wal2json", True)
+    be.create_slot()  # idempotent: no second create reaches the server
+    assert [c for c in srv.calls if c[0] == "create"] == [
+        ("create", "s1", "wal2json", True)
+    ]
+    be.drop_slot()
+    assert not be.slot_exists()
+    be.drop_slot()  # idempotent
+    assert [c for c in srv.calls if c[0] == "drop"] == [("drop", "s1")]
+
+
+def test_slot_created_lazily_on_first_poll():
+    srv = FakeSlotServer([(10, "a")])
+    be = _slot_backend(srv)
+    assert not srv.slots
+    assert be.poll(0, 10) == [(10, "a")]
+    assert "speculare_pgcdc" in srv.slots
+    # create_slot=False refuses to invent a slot: peek on the missing
+    # slot is the server's error surface, not a silent empty poll
+    be2 = _slot_backend(srv, slot="absent", create_slot=False)
+    with pytest.raises(KeyError):
+        be2.poll(0, 10)
+
+
+def test_slot_poll_completes_lsn_run_at_row_bound():
+    """The WalBackend contract at the decoding interface: the row
+    budget (upto_nchanges) cuts INSIDE the lsn=20 run; the backend
+    must re-peek bounded by commit position and deliver the whole
+    run, never a prefix (a cut run strands the unsent duplicates
+    behind the advanced offset forever)."""
+    srv = FakeSlotServer(
+        [(10, "a"), (20, "b1"), (20, "b2"), (20, "b3"), (30, "c")]
+    )
+    be = _slot_backend(srv)
+    got = be.poll(0, 2)
+    assert got == [(10, "a"), (20, "b1"), (20, "b2"), (20, "b3")]
+    # and the distinct-LSN limit still applies: 2 distinct lsns, not 3
+    assert {l for l, _ in got} == {10, 20}
+    # an unbounded poll returns everything
+    assert be.poll(0, 10) == srv.wal
+    # limit=1 with the run first: the whole run, nothing else
+    assert be.poll(10, 1) == [(20, "b1"), (20, "b2"), (20, "b3")]
+
+
+def test_slot_ack_advances_confirmed_flush_monotonically():
+    srv = FakeSlotServer([(10, "a"), (20, "b"), (30, "c")])
+    be = _slot_backend(srv)
+    be.poll(0, 10)
+    be.ack(20)
+    assert be.confirmed_flush() == 20
+    n_advances = len([c for c in srv.calls if c[0] == "advance"])
+    be.ack(10)  # late/replayed ack: client-side no-op, no server call
+    assert be.confirmed_flush() == 20
+    assert (
+        len([c for c in srv.calls if c[0] == "advance"]) == n_advances
+    )
+    # acked rows are consumed from the peek horizon
+    assert be.poll(20, 10) == [(30, "c")]
+
+
+def test_slot_poll_skips_unacked_prefix_via_doubling():
+    """Offset cursor ahead of confirmed_flush (the normal one-batch
+    ack lag): the row budget is consumed by the already-delivered
+    prefix, and the doubling loop must still find the fresh rows."""
+    srv = FakeSlotServer([(l, f"p{l}") for l in range(10, 90, 10)])
+    be = _slot_backend(srv)
+    # cursor at 60, nothing acked yet: 6 stale rows before the fresh 2
+    assert be.poll(60, 1) == [(70, "p70")]
+    assert be.poll(70, 2) == [(80, "p80")]
+
+
+def test_slot_fetch_range_replays_committed_range():
+    srv = FakeSlotServer([(10, "a"), (20, "b"), (30, "c"), (40, "d")])
+    be = _slot_backend(srv)
+    assert be.fetch_range(10, 30) == [(20, "b"), (30, "c")]
+    # replay still works after the PREVIOUS batch was acked (peek
+    # horizon = confirmed_flush < start of the replayed range)
+    be.ack(10)
+    assert be.fetch_range(10, 30) == [(20, "b"), (30, "c")]
+
+
+def test_slot_backend_option_wiring_and_validation():
+    from speculare_pgcdc_spark.streaming.wal_source import (
+        _backend_from_options,
+    )
+
+    b = _backend_from_options(
+        {
+            "url": "jdbc:postgresql://h/d",
+            "slot": "my_slot",
+            "temporary": "true",
+            "plugin": "wal2json",
+        }
+    )
+    assert isinstance(b, PostgresSlotWalBackend)
+    assert b.slot == "my_slot" and b.temporary is True
+    # no slot option -> the relay-table backend, unchanged
+    assert isinstance(
+        _backend_from_options({"url": "jdbc:postgresql://h/d"}),
+        PostgresWalBackend,
+    )
+    for bad in ("has-dash", "Upper", "sp ace", "", "x;drop"):
+        with pytest.raises(ValueError, match="suspicious"):
+            PostgresSlotWalBackend("jdbc:postgresql://h/d", slot=bad)
+    with pytest.raises(ValueError, match="suspicious plugin"):
+        PostgresSlotWalBackend("jdbc:postgresql://h/d", plugin="p;x")
+
+
+def test_slot_plugin_args_ride_variadic_text_array():
+    srv = FakeSlotServer([(10, "a")])
+    seen = []
+
+    class RecordingCursor(_FakeCursor):
+        def execute(self, sql, params=()):
+            if "peek_changes" in sql:
+                seen.append((sql, params))
+                self._rows = [(int_to_pg_lsn(10), 777, "a")]
+            else:
+                super().execute(sql, params)
+
+    class RecordingConn(_FakeConnection):
+        def cursor(self):
+            return RecordingCursor(self.server)
+
+    be = PostgresSlotWalBackend(
+        "jdbc:postgresql://h/d",
+        plugin_args={"format-version": "2", "include-lsn": "true"},
+    )
+    be._connect = lambda: RecordingConn(srv)  # type: ignore
+    be.create_slot()
+    be.poll(0, 10)
+    sql, params = seen[0]
+    assert "VARIADIC %s::text[]" in sql
+    assert params[-1] == [
+        "format-version", "2", "include-lsn", "true"
+    ]
+
+
+def test_reader_ack_floor_keepalive_on_idle_stream():
+    """Round-13 verdict #3: the reference acks every 10 s on its
+    keepalive tick regardless of traffic; the reader must re-ack the
+    last COMMITTED offset on an idle poll tick once the floor
+    interval has elapsed — and never ack anything before the first
+    commit (that would fabricate progress)."""
+    stub = StubBackend([(10, "a")])
+    BACKENDS["stub-ackfloor"] = lambda o: stub
+    try:
+        r = WalPollReader(
+            {"backend": "stub-ackfloor", "ackfloor": "0"}
+        )
+    finally:
+        del BACKENDS["stub-ackfloor"]
+
+    # idle ticks BEFORE any commit: no ack at all
+    r.read({"lsn": 10})
+    r.read({"lsn": 10})
+    assert stub.acked == []
+
+    rows, end = r.read({"lsn": 0})
+    list(rows)
+    r.commit(end)
+    assert stub.acked == [10]
+
+    # idle ticks after the commit: keepalive re-acks the committed
+    # offset each tick (floor=0 -> every tick qualifies)
+    r.read(end)
+    r.read(end)
+    assert stub.acked == [10, 10, 10]
+
+
+def test_reader_ack_floor_respects_interval():
+    stub = StubBackend([(10, "a")])
+    BACKENDS["stub-ackfloor2"] = lambda o: stub
+    try:
+        r = WalPollReader(
+            {"backend": "stub-ackfloor2", "ackfloor": "3600"}
+        )
+    finally:
+        del BACKENDS["stub-ackfloor2"]
+    rows, end = r.read({"lsn": 0})
+    list(rows)
+    r.commit(end)
+    r.read(end)
+    r.read(end)
+    # one hour floor: the idle ticks must NOT re-ack
+    assert stub.acked == [10]
