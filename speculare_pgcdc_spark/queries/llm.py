@@ -1100,7 +1100,11 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     "0), how many of its distinct 8-gram windows appear in any eval-"
     "set doc (doc_id % 25 == 0), flagged at >5% overlap by integer "
     "cross-multiply. The eval gram set broadcasts (benchmarks are "
-    "small); the corpus side is one narrow explode + hash agg. "
+    "small); on the corpus side n_grams is a scan-grain size() (no "
+    "explode row shuffles for the total) and the exploded grams pass "
+    "a broadcast LEFT SEMI prefilter map-side, so only eval-matching "
+    "grams reach the hash agg (round-14: the train leg used to "
+    "shuffle every doc's gram count through the mark-and-count agg). "
     "operators/dedup.contaminated_docs.",
 )
 def q87(spark: SparkSession, sf: str) -> DataFrame:
