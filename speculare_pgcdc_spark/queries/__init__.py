@@ -36,76 +36,22 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: its original (relational -> temporal -> udf -> tpch -> cdc -> llm ->
 #: extended) order filling whatever budget remains.
 SWEEP_FIRST = [
-    # Round 13. Rotation invariant (restated per r12 verdict item 2,
-    # see BASELINE.md "Attestation rotation"): oldest-first rotation
-    # with a full cycle every ceil(324/50)+1 = 8 rounds; SWEEP_r{N}
-    # (3-scale, committed) is the interim proof for rows the driver
-    # budget doesn't reach. Tiers:
+    # Round 14. Rotation invariant (BASELINE.md "Attestation
+    # rotation"): oldest-first, full cycle every ceil(332/50)+1 = 8
+    # rounds; SWEEP_r{N} (3-scale, committed) is the interim proof for
+    # rows the driver budget doesn't reach. Tiers:
     #
-    # (1) CHANGED THIS ROUND (the r9 precedent — re-attest after
-    # change): q96/q97 ride apply_changes/touched_groups, whose
-    # internals were restructured into latest_changes + apply_latest
-    # (+ the latest-based group derivation) for the banded IVM
-    # consumer. Values unchanged (oracle-tested), plans re-shaped.
-    "q96_cdc_apply",
-    "q97_cdc_incremental_matview",
-    # (2) NEW this round (round-13 batch, never attested):
-    "q316_band_layout_audit",
-    "q317_reciprocal_rank_fusion",
-    "q318_decayed_value",
-    "q319_bytes_per_token_by_lang",
-    "q320_oov_rate",
-    "q321_srm_check",
-    "q322_dedup_waterfall",
-    "q323_generalization_ladder",
-    # (3) the r6-era block, 7 rounds stale (38 rows, the exact
-    # `latest-round == 6` set in the cumulative ledger):
-    "q98_funnel",
-    "q99_retention_cohorts",
-    "q100_heavy_hitters",
-    "q104_tpch_q8_market_share",
-    "q105_tpch_q9_product_profit",
-    "q106_tpch_q13_custdist",
-    "q107_tpch_q14_promo_revenue",
-    "q108_tpch_q15_top_supplier",
-    "q109_tpch_q16_supplier_variety",
-    "q110_tpch_q17_small_qty_revenue",
-    "q111_tpch_q19_disjunctive_pred",
-    "q112_tpch_q21_waiting_suppliers",
-    "q114_ewma",
-    "q115_fuzzy_match",
-    "q116_stats_aggregates",
-    "q117_unpivot",
-    "q119_sequence_transitions",
-    "q120_histogram",
-    "q121_pagerank",
-    "q122_tfidf",
-    "q123_bigram_lm_score",
-    "q124_market_basket",
-    "q127_time_weighted_avg",
-    "q128_ohlc_bars",
-    "q129_grouping_sets",
-    "q131_ratio_to_report",
-    "q132_mad_robust_stats",
-    "q133_topn_per_group",
-    "q134_percent_change",
-    "q135_benford_digits",
-    "q137_gini_coefficient",
-    "q138_containment",
-    "q139_charset_stats",
-    "q140_winsorized_mean",
-    "q141_ngram_novelty",
-    "q142_effective_sources",
-    "q150_min_cost_supplier",
-    "q151_dominant_supplier",
-    "q176_weighted_median",
-    "q184_lorenz_deciles",
+    # (1) the r6 trio — oldest in the ledger (7 rounds, at the
+    # bound's edge; they MUST land this round):
     "q187_zipf_regression",
     "q188_train_split",
     "q189_skew_profile",
-    # (4) the r7-era block, oldest-first fill (44 rows at r7; the
-    # ~50-row driver budget reaches into the front of this tier and
-    # the remainder leads r14):
+    # (2) CHANGED THIS ROUND: q87's corpus leg restructured (scan-
+    # grain n_grams + broadcast LEFT SEMI gram prefilter before the
+    # hash agg — r13 verdict #8); values oracle-identical, plan new.
+    "q87_contamination",
+    # (3) the r7-era block, 7 rounds stale after this round if not
+    # re-attested (44 rows = the exact latest-round==7 ledger set):
     "q190_embedding_dim_profile",
     "q191_split_leakage",
     "q192_compaction_plan",
@@ -150,6 +96,17 @@ SWEEP_FIRST = [
     "q236_holt_winters_seasonal",
     "q237_blocklist_scrub",
     "q238_snapshot_diff",
+    # (4) NEW this round (round-14 batch, never attested — the
+    # driver budget reaches ~50 rows; any overflow here carries
+    # SWEEP_r14 3-scale proof and leads r15):
+    "q324_duplicate_span_mask",
+    "q325_template_ngrams",
+    "q326_dedup_mixture_shift",
+    "q327_bpe_pair_stats",
+    "q328_vocab_coverage_curve",
+    "q329_padding_waste",
+    "q330_quantized_recall",
+    "q331_curation_funnel",
 ]
 
 
@@ -200,6 +157,7 @@ def load_all() -> dict[str, QuerySpec]:
         productops,
         dataops,
         dataops2,
+        dataops3,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -1988,3 +1988,131 @@ def test_q323_ladder_union_of_aggs_no_window(q):
     assert "Window [" not in p
     assert "Join" not in p
     assert not has_python_eval(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch (q324-q331)
+# ---------------------------------------------------------------------------
+
+
+def test_round14_column_pruning_reaches_scan(q):
+    """Round-14 batch: every parquet scan reads ONLY the columns the
+    query touches."""
+    cases = {
+        "q324_duplicate_span_mask": {"doc_id", "text"},
+        "q325_template_ngrams": {"doc_id", "text"},
+        "q326_dedup_mixture_shift": {"doc_id", "lang", "text"},
+        "q327_bpe_pair_stats": {"text"},
+        "q328_vocab_coverage_curve": {"text"},
+        "q329_padding_waste": {"text"},
+        "q330_quantized_recall": {"vec_id", "embedding"},
+        "q331_curation_funnel": {"doc_id", "n_chars", "text"},
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
+
+
+def test_q324_span_mask_gram_join_is_equi_no_allpairs(q):
+    """Duplicate-span mask: the dup-gram filter joins the gram frame
+    on the gram KEY (equi hash/broadcast, never a nested loop), the
+    coverage count rides hash aggs with map-side partials, and the
+    final ranking is TakeOrdered — no global sort, no Python."""
+    df = q("q324_duplicate_span_mask")
+    p = plan_string(df)
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q325_template_grams_one_gram_agg_takeordered(q):
+    """Template n-grams: one gram-keyed hash agg (map-side partials),
+    a 1-row broadcast total, TakeOrdered top-20 — no window, no
+    data-grain sort."""
+    df = q("q325_template_ngrams")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals join
+    assert "TakeOrderedAndProject" in p
+    assert not has_python_eval(df)
+
+
+def test_q326_mixture_shift_no_window_minby_survivor(q):
+    """Dedup mixture shift: the text column is read ONCE into the
+    checkpointed key frame; the survivor is a min_by hash agg (no
+    window at all), the lang join happens at |langs| grain, totals
+    join as a broadcast."""
+    df = q("q326_dedup_mixture_shift")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert "Broadcast" in p
+    assert not has_python_eval(df)
+
+
+def test_q327_bpe_pairs_small_key_agg_no_join(q):
+    """BPE pair stats: token explode -> in-row pair explode -> one
+    tiny-key hash agg; no join, no window, TakeOrdered."""
+    df = q("q327_bpe_pair_stats")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert "TakeOrderedAndProject" in p
+    assert not has_python_eval(df)
+
+
+def test_q328_coverage_vocab_grain_windows_only(q):
+    """Vocab coverage: the rank/cumsum windows run AFTER the token
+    agg, i.e. over vocabulary-grain rows (the q187 exception to the
+    no-global-window rule) — the corpus-grain side contributes only
+    the one token-keyed agg; thresholds and total join as
+    broadcasts."""
+    df = q("q328_vocab_coverage_curve")
+    p = plan_string(df)
+    assert "partial_" in p
+    assert "Window [" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert not has_python_eval(df)
+
+
+def test_q329_padding_waste_single_agg_scan_shape(q):
+    """Padding waste: scan-grain bucket CASE into ONE 9-key hash agg;
+    no join, no window, no explode (token counts via size())."""
+    df = q("q329_padding_waste")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q330_quantized_recall_broadcast_queries_one_pair_exchange(q):
+    """Quantized recall: the global scale and the query side join as
+    broadcasts (1-row and RECALL_Q-row); both rank windows partition
+    by query_id over the SAME pair frame so they share one
+    hashpartitioning exchange; the overlap join happens at
+    (Q x K)-row grain. JVM-only throughout."""
+    df = q("q330_quantized_recall")
+    p = plan_string(df)
+    assert p.count("BroadcastNestedLoopJoin") >= 2
+    assert "Window [" in p
+    assert not has_python_eval(df)
+
+
+def test_q331_funnel_one_scan_agg_one_dedup_window(q):
+    """Curation funnel: per-doc gate flags at scan grain feed one
+    global count agg; the dedup gate is one window over the
+    triple-gated subset; the 5-row stack joins as a broadcast — no
+    corpus-scale join, no Python."""
+    df = q("q331_curation_funnel")
+    p = plan_string(df)
+    assert p.count("Window [") == 1
+    assert "Broadcast" in p
+    assert not has_python_eval(df)
