@@ -102,6 +102,15 @@ TIER2 += [
     "q320_oov_rate",
 ]
 
+# round-14 additions: the positional duplicate-span mask (gram-DF agg
+# + dup-bounded coverage explode, the widest new shuffle chain) and
+# the quantized-recall audit (brute-force pair frame + twin rank
+# windows) — the heaviest new shapes this round
+TIER2 += [
+    "q324_duplicate_span_mask",
+    "q330_quantized_recall",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -201,6 +210,22 @@ def main() -> None:
     runs = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in specs}
     errors: dict[str, str] = dict(warm_errors)
+    # q160 split timing (r13 verdict #4): the registry fn pays TWO
+    # bucketed layout writes per call, so its per-query number against
+    # a join-only DuckDB oracle read as a 93x "regression"
+    # (BENCH_DETAIL_r13 footnote). The warm pass below builds the
+    # layout once; the timed samples then measure the JOIN leg (the
+    # recurring per-query cost the oracle actually compares to), and
+    # the layout leg is timed separately as q160_layout_sec.
+    from speculare_pgcdc_spark.queries.history import (
+        q160_build_layout,
+        q160_join_only,
+    )
+
+    timing_fn = {n: s.fn for n, s in specs.items()}
+    if "q160_bucketed_join" in timing_fn:
+        timing_fn["q160_bucketed_join"] = q160_join_only
+    layout_samples: list[float] = []
     for name, spec in specs.items():
         try:
             materialize(spec.fn(spark, sf_dir))
@@ -212,10 +237,17 @@ def main() -> None:
                 continue
             try:
                 t0 = time.perf_counter()
-                materialize(spec.fn(spark, sf_dir))
+                materialize(timing_fn[name](spark, sf_dir))
                 samples[name].append(time.perf_counter() - t0)
             except Exception as ex:  # noqa: BLE001
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+        if "q160_bucketed_join" not in errors:
+            try:
+                t0 = time.perf_counter()
+                q160_build_layout(spark, sf_dir)
+                layout_samples.append(time.perf_counter() - t0)
+            except Exception as ex:  # noqa: BLE001
+                errors["q160_layout"] = f"{type(ex).__name__}: {ex}"[:300]
     timings = {
         n: round(min(s), 3) if s else None for n, s in samples.items()
     }
@@ -467,6 +499,19 @@ def main() -> None:
                 },
                 "tier2_comparable": tier2_comparable,
                 "tier2_comparable_total": tier2_comparable_total,
+                # q160 split basis (r13 verdict #4): tier2's
+                # q160_bucketed_join number is the JOIN leg only from
+                # this round on; the layout leg (2 bucketed writes, the
+                # once-per-dataset cost) is priced here
+                "q160_layout_sec": (
+                    round(min(layout_samples), 3)
+                    if layout_samples else None
+                ),
+                "q160_layout_sec_median": (
+                    round(sorted(layout_samples)[len(layout_samples) // 2], 3)
+                    if layout_samples else None
+                ),
+                "q160_join_sec": timings.get("q160_bucketed_join"),
     }
     # the stdout detail line gets tail-truncated by the driver's
     # capture (r12 verdict item 4: the ratio map was cut mid-JSON), so

@@ -59,6 +59,21 @@ N_FILES = 8
 #: per-batch cost; the 1-batch drain shows how the fixed microbatch
 #: overhead amortizes as batches grow (the production direction)
 TRIGGER_CONFIGS = [(2, "4_microbatches"), (8, "1_microbatch")]
+#: dispatch-mode fixed-cost CURVE (r13 verdict #7): >= 3 batch sizes
+#: so the "bigger batches converge on pipeline rate" guidance carries
+#: its own curve — 8/4/2/1 microbatches over the same 8-file feed.
+#: The stateful consumers below keep the 2-point TRIGGER_CONFIGS for
+#: cross-round comparability (their per-batch cost is dir-swap bound,
+#: not scheduling bound). For the wal_poll source the equivalent
+#: batch-size knob is option("batchlimit", N) — the
+#: maxOffsetsPerTrigger analog: distinct-LSN-bounded batches, so the
+#: curve's per-microbatch fixed cost divides by the chosen limit.
+DISPATCH_TRIGGER_CONFIGS = [
+    (1, "8_microbatches"),
+    (2, "4_microbatches"),
+    (4, "2_microbatches"),
+    (8, "1_microbatch"),
+]
 N_RUNS = 3
 
 
@@ -111,7 +126,7 @@ def main() -> None:
 
     for (fpt, label), mode in [
         (cfg, m)
-        for cfg in TRIGGER_CONFIGS
+        for cfg in DISPATCH_TRIGGER_CONFIGS
         for m in ("driver", "partitions")
     ]:
         walls: list[float] = []

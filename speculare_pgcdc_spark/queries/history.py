@@ -275,14 +275,29 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     "(SCALING.md) is the same idea for range predicates.",
 )
 def q160(spark: SparkSession, sf: str) -> DataFrame:
-    loc = _scratch("spark_bucket_demo", sf)
+    q160_build_layout(spark, sf)
+    return q160_join_only(spark, sf)
+
+
+def _q160_db(sf: str) -> str:
     # per-FIXTURE database name: LOCATION is fixed at first creation,
     # so a shared name would silently write a second sf_dir's buckets
     # under the first fixture's directory (round-5 advice finding)
-    db = "bucket_demo_" + (
+    return "bucket_demo_" + (
         os.path.basename(os.path.normpath(sf))
         .replace(".", "_").replace("-", "_")
     )
+
+
+def q160_build_layout(spark: SparkSession, sf: str) -> None:
+    """The LAYOUT leg of q160: two bucketed+sorted table writes. Split
+    out (round-13 verdict #4) so bench.py can price it separately —
+    the layout is a once-per-dataset cost a warehouse amortizes over
+    every later join, and folding it into the per-query timing made
+    the join read as a 93x 'regression' against a join-only oracle
+    (BENCH_DETAIL_r13 footnote)."""
+    loc = _scratch("spark_bucket_demo", sf)
+    db = _q160_db(sf)
     # explicit LOCATION: warehouse.dir is static config on a running
     # session, and the driver's cwd must never grow a spark-warehouse
     spark.sql(
@@ -298,6 +313,13 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(tbl)
         )
+
+
+def q160_join_only(spark: SparkSession, sf: str) -> DataFrame:
+    """The JOIN leg of q160: bucket-to-bucket sort-merge over the
+    already-built layout — the per-query cost that actually recurs.
+    Requires :func:`q160_build_layout` to have run for this sf."""
+    db = _q160_db(sf)
     orders_b = spark.table(f"{db}.orders_b").select(
         "o_custkey", "o_totalprice"
     )
