@@ -48,8 +48,11 @@ SWEEP_FIRST = [
     "q189_skew_profile",
     # (2) CHANGED THIS ROUND: q87's corpus leg restructured (scan-
     # grain n_grams + broadcast LEFT SEMI gram prefilter before the
-    # hash agg — r13 verdict #8); values oracle-identical, plan new.
+    # hash agg — r13 verdict #8); q316 now derives its band width via
+    # write_banded_snapshot's auto-selection formula and reports it
+    # (r13 verdict #5) — new column, must re-attest.
     "q87_contamination",
+    "q316_band_layout_audit",
     # (3) the r7-era block, 7 rounds stale after this round if not
     # re-attested (44 rows = the exact latest-round==7 ledger set):
     "q190_embedding_dim_profile",

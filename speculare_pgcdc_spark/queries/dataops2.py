@@ -26,9 +26,14 @@ from speculare_pgcdc_spark.catalog import table
 from speculare_pgcdc_spark.operators import textstats as ts
 from speculare_pgcdc_spark.queries import register
 
-#: q316: key-band width (the banded-snapshot layout unit of
-#: cdc/apply.py:start_matview_query_banded — the audit's subject)
-BAND_W = 1024
+#: q316: target rows/band for the audited layout — the band COUNT and
+#: width now DERIVE from corpus size exactly like
+#: cdc/apply.py:write_banded_snapshot's round-14 auto-selection
+#: (ceil(rows/target) bands clamped to [1, 4096], width =
+#: (hi - min(lo, 0)) // n_bands + 1), so the audit reports the
+#: derived choice instead of a hand-pinned width
+BAND_TARGET_ROWS = 1000
+BAND_MAX_AUTO = 4096
 #: q317: the standard RRF dampening constant
 RRF_K = 60
 #: q318: decay half-life = one week, exact in microseconds
@@ -62,18 +67,29 @@ _NTOK_SQL = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
 @register(
     "q316_band_layout_audit",
     oracle=f"""
-        WITH b AS (
-            SELECT o_orderkey // {BAND_W} AS band,
+        WITH w AS (
+            SELECT LEAST({BAND_MAX_AUTO}, GREATEST(1,
+                       (COUNT(*) + {BAND_TARGET_ROWS - 1})
+                           // {BAND_TARGET_ROWS})) AS n_bands,
+                   GREATEST(1,
+                       (MAX(o_orderkey) - LEAST(MIN(o_orderkey), 0))
+                       // LEAST({BAND_MAX_AUTO}, GREATEST(1,
+                           (COUNT(*) + {BAND_TARGET_ROWS - 1})
+                               // {BAND_TARGET_ROWS})) + 1) AS width
+            FROM orders),
+        b AS (
+            SELECT o_orderkey // w.width AS band,
+                   CAST(w.width AS BIGINT) AS band_width,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
                    CAST(MIN(o_orderkey) AS BIGINT) AS key_lo,
                    CAST(MAX(o_orderkey) AS BIGINT) AS key_hi,
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS rev_e2
-            FROM orders GROUP BY 1
+            FROM orders, w GROUP BY 1, 2
         ),
         t AS (SELECT SUM(n_rows) AS total FROM b)
-        SELECT band, n_rows, n_cust, key_lo, key_hi, rev_e2,
+        SELECT band, band_width, n_rows, n_cust, key_lo, key_hi, rev_e2,
                CAST(CAST(1000000 * n_rows AS HUGEINT)
                     // CAST(t.total AS HUGEINT) AS BIGINT)
                    AS share_ppm
@@ -81,21 +97,40 @@ _NTOK_SQL = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
         ORDER BY n_rows DESC, band LIMIT 20
     """,
     doc="Banded-layout balance audit: occupancy, distinct-key spread, "
-    f"key range, and revenue mass per width-{BAND_W} key band — the "
-    "health check for the range-banded snapshot layout the "
-    "partition-confined IVM consumer maintains "
-    "(cdc/apply.py:start_matview_query_banded; a hot band means its "
-    "dir is rewritten every batch, an empty band range means wasted "
-    "pruning metadata). share_ppm is integer-exact ((1e6*n) DIV "
-    "total). Shape: ONE hash agg on the computed band key (exact DIV "
-    "keeps it unskewable only if keys are; that skew is precisely "
-    "what the audit reports) + a broadcast single-row totals join + "
-    "TakeOrdered top-20 — no window, scales as a scan.",
+    "key range, and revenue mass per key band — the health check for "
+    "the range-banded snapshot layout the partition-confined IVM "
+    "consumer maintains (cdc/apply.py:start_matview_query_banded; a "
+    "hot band means its dir is rewritten every batch, an empty band "
+    "range means wasted pruning metadata). The band width is DERIVED "
+    "exactly as write_banded_snapshot's round-14 auto-selection "
+    f"derives it — ceil(rows/{BAND_TARGET_ROWS}) bands clamped to "
+    f"[1, {BAND_MAX_AUTO}], width = span // n_bands + 1 — and "
+    "reported per row (band_width), so the audit attests the "
+    "auto-chosen layout, not a hand-pinned one. share_ppm is "
+    "integer-exact ((1e6*n) DIV total). Shape: a 1-row broadcast "
+    "width derivation, ONE hash agg on the computed band key (exact "
+    "DIV keeps it unskewable only if keys are; that skew is "
+    "precisely what the audit reports) + a broadcast single-row "
+    "totals join + TakeOrdered top-20 — no window, scales as a scan.",
 )
 def q316(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    nb = (
+        f"LEAST({BAND_MAX_AUTO}, GREATEST(1, "
+        f"(COUNT(*) + {BAND_TARGET_ROWS - 1}) DIV {BAND_TARGET_ROWS}))"
+    )
+    w = orders.agg(
+        F.expr(
+            f"GREATEST(1, (MAX(o_orderkey) - LEAST(MIN(o_orderkey), 0))"
+            f" DIV {nb} + 1)"
+        ).alias("width")
+    )
     b = (
-        table(spark, sf, "orders")
-        .groupBy(F.expr(f"o_orderkey DIV {BAND_W}").alias("band"))
+        orders.crossJoin(F.broadcast(w))
+        .groupBy(
+            F.expr("o_orderkey DIV width").alias("band"),
+            F.col("width").cast("bigint").alias("band_width"),
+        )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
@@ -110,7 +145,8 @@ def q316(spark: SparkSession, sf: str) -> DataFrame:
     return (
         b.crossJoin(F.broadcast(t))
         .select(
-            "band", "n_rows", "n_cust", "key_lo", "key_hi", "rev_e2",
+            "band", "band_width", "n_rows", "n_cust", "key_lo",
+            "key_hi", "rev_e2",
             F.expr("CAST((1000000 * n_rows) DIV total AS BIGINT)")
             .alias("share_ppm"),
         )
