@@ -93,7 +93,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .appName("scale-sweep")
         .getOrCreate()
     )
