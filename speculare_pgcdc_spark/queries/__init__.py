@@ -46,9 +46,11 @@ SWEEP_FIRST = [
     "q187_zipf_regression",
     "q188_train_split",
     "q189_skew_profile",
-    # (2) CHANGED THIS ROUND: q87's corpus leg restructured (scan-
-    # grain n_grams + broadcast LEFT SEMI gram prefilter before the
-    # hash agg — r13 verdict #8); q316 now derives its band width via
+    # (2) CHANGED THIS ROUND: q87 was A/B'd against the r13-verdict
+    # semi-join prefilter shape and REVERTED on measurement (2.8x
+    # slower — gram construction dominates; see dedup.py note), so
+    # its final plan equals r13's but it re-attests for the audit
+    # trail; q316 now derives its band width via
     # write_banded_snapshot's auto-selection formula and reports it
     # (r13 verdict #5) — new column, must re-attest.
     "q87_contamination",

@@ -1100,12 +1100,13 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     "0), how many of its distinct 8-gram windows appear in any eval-"
     "set doc (doc_id % 25 == 0), flagged at >5% overlap by integer "
     "cross-multiply. The eval gram set broadcasts (benchmarks are "
-    "small); on the corpus side n_grams is a scan-grain size() (no "
-    "explode row shuffles for the total) and the exploded grams pass "
-    "a broadcast LEFT SEMI prefilter map-side, so only eval-matching "
-    "grams reach the hash agg (round-14: the train leg used to "
-    "shuffle every doc's gram count through the mark-and-count agg). "
-    "operators/dedup.contaminated_docs.",
+    "small); the corpus side is ONE gram construction + mark-join + "
+    "hash agg whose map-side combine collapses the shuffle to doc "
+    "grain. A semi-join gram prefilter was implemented and A/B'd in "
+    "round 14 and REVERTED on measurement — 2.8x slower, because "
+    "gram construction (re-inlined by the filter/second branch) "
+    "dominates, not the shuffle (see "
+    "operators/dedup.contaminated_docs's measurement note).",
 )
 def q87(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
