@@ -111,6 +111,14 @@ TIER2 += [
     "q330_quantized_recall",
 ]
 
+# round-14 extension batch: the gram-grain novelty window (the one
+# corpus-scale shuffle of the batch) and the broadcast-chained copy
+# attribution — the two heaviest new shapes
+TIER2 += [
+    "q339_ngram_novelty",
+    "q336_copy_direction",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()

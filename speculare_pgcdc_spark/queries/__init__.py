@@ -112,6 +112,14 @@ SWEEP_FIRST = [
     "q329_padding_waste",
     "q330_quantized_recall",
     "q331_curation_funnel",
+    "q332_psi_length_drift",
+    "q333_readability_buckets",
+    "q334_embedding_anisotropy",
+    "q335_importance_ess",
+    "q336_copy_direction",
+    "q337_bitext_candidates",
+    "q338_mixture_rebalance",
+    "q339_ngram_novelty",
 ]
 
 
@@ -163,6 +171,7 @@ def load_all() -> dict[str, QuerySpec]:
         dataops,
         dataops2,
         dataops3,
+        dataops4,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -2116,3 +2116,136 @@ def test_q331_funnel_one_scan_agg_one_dedup_window(q):
     assert p.count("Window [") == 1
     assert "Broadcast" in p
     assert not has_python_eval(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension batch (q332-q339)
+# ---------------------------------------------------------------------------
+
+
+def test_round14b_column_pruning_reaches_scan(q):
+    """Round-14 extension batch: every parquet scan reads ONLY the
+    columns the query touches."""
+    cases = {
+        "q332_psi_length_drift": {"doc_id", "n_chars"},
+        "q333_readability_buckets": {"text"},
+        "q334_embedding_anisotropy": {"label", "embedding"},
+        "q335_importance_ess": {"source", "n_chars"},
+        "q336_copy_direction": {"doc_id", "source", "text"},
+        "q337_bitext_candidates": {"lang", "text"},
+        "q338_mixture_rebalance": {"source", "text"},
+        "q339_ngram_novelty": {"doc_id", "text"},
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
+
+
+def test_q332_psi_small_agg_no_window_no_explode(q):
+    """PSI drift: scan-grain bucket CASE into a tiny bucket agg with
+    map-side partials; the totals row joins back as a 1-row
+    broadcast; no window, no explode, no Python."""
+    df = q("q332_psi_length_drift")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals join
+    assert not has_python_eval(df)
+
+
+def test_q333_readability_pure_scan_agg(q):
+    """Readability tiers: all three linguistic counters are scan-grain
+    expressions (no explode — vowel groups via split+size), one 5-key
+    hash agg, 1-row broadcast total; no window, JVM-only."""
+    df = q("q333_readability_buckets")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q334_anisotropy_centroid_broadcast_no_pair_work(q):
+    """Embedding anisotropy: ONE posexplode feeds the dim-grain
+    centroid agg, the centroid returns as a 1-row broadcast, cosine
+    is scan-local, label agg on top — no vector-pair join anywhere,
+    no window, no Python."""
+    df = q("q334_embedding_anisotropy")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row centroid
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q335_ess_single_source_agg(q):
+    """Importance ESS: pure scan -> source-grain agg with map-side
+    partials; no join, no window, no explode."""
+    df = q("q335_importance_ess")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q336_copy_direction_all_joins_broadcast(q):
+    """Directional copy attribution: the multi-source key filter, the
+    origin-doc attribution, and the origin tag all join the key frame
+    as BROADCASTS (the duplicated mass is small by construction);
+    ranking is TakeOrdered top-20 — no sort-merge join, no window,
+    no corpus-scale sort."""
+    df = q("q336_copy_direction")
+    p = plan_string(df)
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window [" not in p
+    assert not has_python_eval(df)
+
+
+def test_q337_bitext_counts_only_no_pair_materialization(q):
+    """Bitext candidates: the cross-language pairing happens at
+    (lang, band)-COUNT grain (a broadcast equi-join over dozens of
+    rows), never at doc-pair grain — no Cartesian, no sort-merge,
+    no window; candidate counts are products of counts."""
+    df = q("q337_bitext_candidates")
+    p = plan_string(df)
+    assert "Cartesian" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q338_rebalance_scalar_broadcasts_only(q):
+    """Mixture rebalance: source-grain agg, then the total and the
+    rate-normalization max each join back as 1-row broadcasts; no
+    window, no explode beyond none, JVM-only."""
+    df = q("q338_mixture_rebalance")
+    p = plan_string(df)
+    assert "Window [" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q339_novelty_one_gram_window_takeordered(q):
+    """N-gram novelty: exactly ONE window (gram-partitioned MIN — the
+    first-batch attribution), batch-grain agg on top, TakeOrdered
+    over the batch axis; the gram explode feeds a distinct, no join
+    at all."""
+    df = q("q339_ngram_novelty")
+    p = plan_string(df)
+    assert p.count("Window [") == 1
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
