@@ -120,6 +120,14 @@ SWEEP_FIRST = [
     "q337_bitext_candidates",
     "q338_mixture_rebalance",
     "q339_ngram_novelty",
+    "q340_fold_balance",
+    "q341_window_chunking",
+    "q342_code_switch",
+    "q343_template_provenance",
+    "q344_rapid_repeat_audit",
+    "q345_user_concentration",
+    "q346_centroid_separation",
+    "q347_gate_redundancy",
 ]
 
 
@@ -172,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
         dataops2,
         dataops3,
         dataops4,
+        dataops5,
     )
 
     missing = [n for n in SWEEP_FIRST if n not in REGISTRY]

@@ -2249,3 +2249,129 @@ def test_q339_novelty_one_gram_window_takeordered(q):
     assert "TakeOrderedAndProject" in p
     assert "partial_" in p
     assert not has_python_eval(df)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 extension batch 2 (q340-q347)
+# ---------------------------------------------------------------------------
+
+
+def test_round14c_column_pruning_reaches_scan(q):
+    """Round-14 extension batch 2: every parquet scan reads ONLY the
+    columns the query touches."""
+    cases = {
+        "q340_fold_balance": {"doc_id", "source"},
+        "q341_window_chunking": {"source", "text"},
+        "q342_code_switch": {"lang", "text"},
+        "q343_template_provenance": {"doc_id", "source", "text"},
+        "q344_rapid_repeat_audit": {"event_id", "ts", "user_id",
+                                    "event_type"},
+        "q345_user_concentration": {"user_id", "event_type"},
+        "q346_centroid_separation": {"label", "embedding"},
+        "q347_gate_redundancy": {"n_chars", "text"},
+    }
+    for name, allowed in cases.items():
+        for scan_cols in read_schemas(q(name)):
+            assert scan_cols <= allowed, (
+                f"{name}: scan reads {scan_cols - allowed} beyond "
+                f"the projection"
+            )
+
+
+def test_q340_fold_balance_single_agg_no_join(q):
+    """Fold balance: scan-time md5 fold into one source-grain agg
+    (map-side partials); no join, no window, no explode."""
+    df = q("q340_fold_balance")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q341_chunking_pure_scan_agg(q):
+    """Window chunking: chunk counts are scan-grain CASE arithmetic
+    (the chunks are priced, never materialized — no explode), one
+    source agg."""
+    df = q("q341_window_chunking")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert "Generate" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q342_code_switch_one_scan_unpivot(q):
+    """Code switch: four contains() flags -> ONE lang agg -> explode
+    unpivot (a union form would re-scan the corpus per marker);
+    exactly one corpus exchange, no join."""
+    df = q("q342_code_switch")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q343_provenance_checkpoint_broadcast_takeordered(q):
+    """Template provenance: the top-gram list is TakeOrdered and
+    joins the checkpointed gram frame as a BROADCAST; no sort-merge,
+    no window."""
+    df = q("q343_template_provenance")
+    p = plan_string(df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window [" not in p
+    assert not has_python_eval(df)
+
+
+def test_q344_rapid_repeat_one_keyed_window(q):
+    """Rapid repeat: exactly ONE (user, type)-partitioned lag window
+    (hash-partitioned by entity — never a global sort), then a tiny
+    type agg."""
+    df = q("q344_rapid_repeat_audit")
+    p = plan_string(df)
+    assert p.count("Window [") == 1
+    assert "Join" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q345_concentration_rank_at_user_grain(q):
+    """User concentration: the rank window runs AFTER the (type,
+    user) count agg — aggregated grain, not event grain; one window,
+    no join."""
+    df = q("q345_user_concentration")
+    p = plan_string(df)
+    assert p.count("Window [") == 1
+    assert "Join" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q346_separation_model_grain_pairing(q):
+    """Centroid separation: posexplode -> (label, dim) agg, then the
+    pairing is a |labels|-row broadcast nested-loop at MODEL grain —
+    no data-grain pair work, no window."""
+    df = q("q346_centroid_separation")
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window [" not in p
+    assert "partial_" in p
+    assert not has_python_eval(df)
+
+
+def test_q347_redundancy_one_scan_no_exchange_fanout(q):
+    """Gate redundancy: three fail flags -> ONE global agg -> explode
+    unpivot; a single corpus scan, zero hash exchanges, no join."""
+    df = q("q347_gate_redundancy")
+    p = plan_string(df)
+    assert "Join" not in p
+    assert "Window [" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+    assert not has_python_eval(df)
