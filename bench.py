@@ -119,6 +119,13 @@ TIER2 += [
     "q336_copy_direction",
 ]
 
+# round-14 extension batch 2: the checkpointed gram frame + df agg +
+# broadcast provenance join — the only corpus-scale shuffle of the
+# q340-q347 batch
+TIER2 += [
+    "q343_template_provenance",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
