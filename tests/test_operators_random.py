@@ -1012,3 +1012,91 @@ class TestDataopsEdgeSemantics:
         assert set(rows) == {("A", "B")}
         assert rows[("A", "B")].n_sessions == 1
         assert rows[("A", "B")].support_ppm == 1000000
+
+
+# ---------------------------------------------------------------------------
+# Round-14 batch edge semantics (q340-q347)
+# ---------------------------------------------------------------------------
+
+
+class TestRound14BatchEdges:
+    def test_q341_chunk_formula_boundaries(self, spark):
+        """The chunk-count/overlap/pad arithmetic at the exact window
+        boundaries: W=C is one full chunk (no overlap, no pad), W=C+1
+        starts a second window, W=C+S lands the second window exactly
+        full, and the emitted-token identity
+        nc*C = W + overlap + pad holds for every W."""
+        from speculare_pgcdc_spark.queries.dataops5 import (
+            CHUNK_C as C, CHUNK_S as S,
+        )
+        import math
+
+        def expect_nc(w):
+            return 1 if w <= C else 1 + math.ceil((w - C) / S)
+
+        rows = [(i, w) for i, w in enumerate(
+            [1, C - 1, C, C + 1, C + S - 1, C + S, C + S + 1,
+             3 * C, 10 * S + C, 997])]
+        df = spark.createDataFrame(rows, "i int, w int").selectExpr(
+            "w",
+            f"CASE WHEN w <= {C} THEN 1 "
+            f"ELSE 1 + (w - {C} + {S - 1}) DIV {S} END AS nc",
+        )
+        for r in df.collect():
+            nc = expect_nc(r.w)
+            assert r.nc == nc, f"W={r.w}: nc {r.nc} != {nc}"
+            overlap = (nc - 1) * (C - S)
+            pad = nc * C - (r.w + overlap)
+            assert pad >= 0, f"W={r.w}: negative pad {pad}"
+            assert nc * C == r.w + overlap + pad
+
+    def test_q340_fold_expr_range_and_determinism(self, spark):
+        """The portable hex->int fold lands in [0, K) for every id and
+        is stable across evaluations (pure function of md5)."""
+        from speculare_pgcdc_spark.queries.dataops5 import (
+            FOLD_K, _fold_expr,
+        )
+
+        df = spark.range(0, 500).selectExpr(
+            "id", f"{_fold_expr('id')} AS fold"
+        )
+        a = {r.id: r.fold for r in df.collect()}
+        b = {r.id: r.fold for r in df.collect()}
+        assert a == b
+        assert set(a.values()) <= set(range(FOLD_K))
+        # every fold is actually populated at n=500
+        assert len(set(a.values())) == FOLD_K
+
+    def test_q347_redundancy_bounds(self, spark, sf_dir):
+        """Failure-set algebra: both <= min(a, b), and overlap_ppm is
+        the exact Jaccard of the failure sets (bounded by 1e6)."""
+        from speculare_pgcdc_spark.queries import load_all
+
+        spec = load_all()["q347_gate_redundancy"]
+        for r in spec.fn(spark, sf_dir).collect():
+            assert r.n_fail_both <= min(r.n_fail_a, r.n_fail_b)
+            assert 0 <= r.overlap_ppm <= 1_000_000
+
+    def test_q344_gap_never_negative(self, spark, sf_dir):
+        """The lag is ordered by (ts, event_id), so every gap is >= 0
+        — a negative min_gap_s would mean the window order broke."""
+        from speculare_pgcdc_spark.queries import load_all
+
+        spec = load_all()["q344_rapid_repeat_audit"]
+        for r in spec.fn(spark, sf_dir).collect():
+            assert r.min_gap_s >= 0
+            assert r.n_rapid <= r.n_pairs
+
+    def test_q346_matrix_is_upper_triangle_complete(self, spark, sf_dir):
+        """Exactly C(L,2) rows with label_a < label_b, cosines on the
+        e4 grid in [-1e4, 1e4] (no zero-norm sentinel on real data)."""
+        from speculare_pgcdc_spark.queries import load_all
+
+        spec = load_all()["q346_centroid_separation"]
+        rows = spec.fn(spark, sf_dir).collect()
+        labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+        n = len(labels)
+        assert len(rows) == n * (n - 1) // 2
+        for r in rows:
+            assert r.label_a < r.label_b
+            assert -10_000 <= r.cos_e4 <= 10_000
