@@ -80,9 +80,10 @@ _TOKS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
     "above q322's doc-grain waterfall): a token position is masked if "
     f"any {SPAN_N}-gram window covering it also occurs in ANOTHER doc; "
     "reports per-doc token count, masked tokens, and integer-exact "
-    "masked ppm, top-20 most-templated docs. Shape: the gram "
-    "doc-frequency agg is the one corpus-scale shuffle (gram-keyed, "
-    "the q87/q322 class); the coverage explode is 8x the DUP-gram "
+    "masked ppm, top-20 most-templated docs. Shape: the dup-gram "
+    "detection is ONE gram-keyed min/max agg (distinct-doc df >= 2 "
+    "<=> min != max; partials collapse map-side, the q87/q322 "
+    "class); the coverage explode is 8x the DUP-gram "
     "rows only (bounded by the duplicate mass, not the corpus), the "
     "position dedup and count are doc-grain, and the final ranking is "
     "TakeOrdered top-20 — no all-pairs, no global window.",
@@ -102,12 +103,20 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("sg"),
     ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.gm").alias("gm"))
+    # df >= 2 (distinct docs) <=> min(doc_id) != max(doc_id) over the
+    # gram's rows — exact for any data (duplicate in-doc positions
+    # cannot move min/max), and min/max partials collapse map-side to
+    # one row per (partition, gm), so the exchange ships gram-grain
+    # partials instead of the full distinct (gm, doc_id) frame the
+    # previous distinct+COUNT formulation shuffled (r14 optimization:
+    # guide §2.3 "aggregate before you shuffle" — one Exchange
+    # removed, shuffle bytes now bounded by distinct grams per map
+    # partition, skew-safe under hot boilerplate grams where a
+    # window-by-gm variant would buffer the hot gram's rows)
     dup = (
-        grams.select("gm", "doc_id")
-        .distinct()
-        .groupBy("gm")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
+        grams.groupBy("gm")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("gm")
     )
     cov = (

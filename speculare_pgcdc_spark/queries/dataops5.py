@@ -306,10 +306,12 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
     "share of the gram's df — the attribution step after q325 says "
     "'there is boilerplate': a gram concentrated in one source is a "
     "crawler artifact to fix there, one spread evenly is a "
-    "language-level template to keep. Shape: the (doc, source, gram) "
-    "distinct frame is built ONCE and checkpointed (consumed by both "
-    "the df agg and the provenance join — the q336 single-parse "
-    f"doctrine); the top-{PROV_K} list broadcasts back; output is "
+    "language-level template to keep. Shape: ONE corpus-scale "
+    "distinct agg collapses straight to (gram, source) grain "
+    "(countDistinct dedups map-side), each gram's df is a window SUM "
+    "over that already-tiny frame, and only the aggregated frame is "
+    f"checkpointed (it feeds both the top-{PROV_K} ranking and the "
+    "provenance join); the top-K list broadcasts back; output is "
     "(grams x sources) grain. The gram agg is the one corpus-scale "
     "shuffle (the q87/q325 class).",
 )
@@ -327,20 +329,40 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
                 f"{TMPL_N}), ' ')))"
             )
         ).alias("gm"),
-    ).distinct().localCheckpoint(eager=True)
+    )
+    # r14 optimization (guide §2.3/§2.4): aggregate to (gm, source)
+    # grain FIRST — countDistinct(doc_id) keeps the oracle's exact
+    # distinct-triple semantics while the planner's two-phase distinct
+    # agg dedups map-side — then derive each gram's total df as a
+    # window SUM over the already-tiny (grams x sources) frame. The
+    # previous shape checkpointed the full distinct (doc, source, gm)
+    # frame and re-shuffled it twice (df agg + provenance join); now
+    # only the aggregated frame is checkpointed (it feeds both the
+    # top-K ranking and the final join) and the corpus-scale data
+    # crosses exactly one exchange.
+    gs = (
+        g.groupBy("gm", "source")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .withColumn(
+            "df", F.sum("n_docs").over(Window.partitionBy("gm"))
+        )
+        .localCheckpoint(eager=True)
+    )
     top = (
-        g.groupBy("gm")
-        .agg(F.count(F.lit(1)).alias("df"))
+        gs.select("gm", "df")
+        .distinct()
         .orderBy(F.desc("df"), "gm")
         .limit(PROV_K)
+        .select("gm")
     )
     return (
-        g.join(F.broadcast(top), "gm")
-        .groupBy("gm", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        gs.join(F.broadcast(top), "gm")
+        .select(
+            "gm",
+            "source",
+            "n_docs",
             F.expr(
-                "CAST((1000000 * COUNT(*)) DIV MAX(df) AS BIGINT)"
+                "CAST((1000000 * n_docs) DIV df AS BIGINT)"
             ).alias("share_ppm"),
         )
         .orderBy("gm", "source")

@@ -2317,15 +2317,23 @@ def test_q342_code_switch_one_scan_unpivot(q):
 
 
 def test_q343_provenance_checkpoint_broadcast_takeordered(q):
-    """Template provenance: the top-gram list is TakeOrdered and
-    joins the checkpointed gram frame as a BROADCAST; no sort-merge,
-    no window."""
+    """Template provenance (r14 optimized shape): the corpus collapses
+    straight to (gram, source) grain through ONE distinct agg
+    (map-side partials), each gram's df is a window SUM over that
+    already-aggregated checkpointed frame (never over gram
+    occurrences), the top-gram list is TakeOrdered and joins back as
+    a BROADCAST; no sort-merge."""
     df = q("q343_template_provenance")
     p = plan_string(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
-    assert "Window [" not in p
+    # both consumers read the checkpointed (gram, source) aggregate
+    # (the window SUM ran inside the eager checkpoint): the final plan
+    # scans ExistingRDD and NEVER re-runs the gram explode (no
+    # Generate) or the corpus-scale agg downstream of the checkpoint
+    assert "ExistingRDD" in p
+    assert "Generate" not in p
     assert not has_python_eval(df)
 
 
