@@ -139,7 +139,15 @@ def binned_range_count(
     disagree on frame-bound arithmetic vs ordering comparators), so a
     NaN value fails loudly instead of returning silently wrong counts."""
     c = F.count(F.lit(1)).alias("_c")
-    d_all = df.groupBy(val_col).agg(c)
+    # r14 optimization (guide §1.2/§5): the distinct-value frame feeds
+    # FIVE consumers (prices, queries, the bins subtotal, the null
+    # branch — and pts twice via bins_cum + cum). Catalyst has no
+    # cross-DAG CSE, so the unpinned plan re-ran the scan + agg per
+    # consumer (measured: 7 source scans in the q80 physical plan).
+    # Pin it once — the frame is |distinct values| rows, the operator's
+    # own documented bounded grain, exactly the q46/q343 checkpoint
+    # doctrine.
+    d_all = df.groupBy(val_col).agg(c).localCheckpoint(eager=True)
     d = d_all.filter(F.col(val_col).isNotNull())
     null_cnt = d_all.filter(F.col(val_col).isNull()).select(
         F.col("_c").alias("_null_cnt")

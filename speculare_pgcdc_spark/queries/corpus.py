@@ -1164,9 +1164,14 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
             F.filter(F.col("arr"), lambda x: x.isin(*BM25_TERMS))
         ).alias("tok"),
     )
+    # r14 optimization (guide §1.2/§5): the (doc, term) tf frame is
+    # bounded by docs x |BM25_TERMS| and feeds both the df agg and the
+    # scoring join — unpinned, each consumer re-ran the tokenize +
+    # explode corpus lineage (3 documents scans in the plan). Pin it
+    # once; only the corpus-stats agg still reads the source.
     tf = matched.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
+    ).localCheckpoint(eager=True)
     dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -207,7 +207,23 @@ def diff_rowhash_col(price: F.Column) -> F.Column:
 )
 def q238(spark: SparkSession, sf: str) -> DataFrame:
     rowhash = diff_rowhash_col
-    orders = table(spark, sf, "orders")
+    # r14 optimization (guide §1.2/§5): the old side and BOTH new-side
+    # legs (drift + synthetic inserts) hash the same six columns —
+    # unpinned, each leg re-scanned the parquet source (3 orders scans
+    # in the plan). Pin the hashed-field projection once; the legs
+    # are map-only over it.
+    orders = (
+        table(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .localCheckpoint(eager=True)
+    )
     old = orders.select(
         F.col("o_orderkey").alias("k"),
         rowhash(F.col("o_totalprice")).alias("h"),

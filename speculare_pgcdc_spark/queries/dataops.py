@@ -787,10 +787,19 @@ def q314(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q315(spark: SparkSession, sf: str) -> DataFrame:
     s = _sessionized(spark, sf)
-    fo = s.groupBy("user_id", "sess", "event_type").agg(
-        F.min("rn").alias("first_rn")
+    # r14 optimization (guide §1.2/§5): the first-occurrence frame is
+    # (session x <=|event types|) grain and feeds BOTH self-join sides
+    # plus the session total — unpinned, each consumer re-ran the
+    # whole sessionize lineage (3 events scans in the plan). Pin it
+    # once; the session total derives from it exactly (every session
+    # contributes >= 1 first-occurrence row, so distinct (user, sess)
+    # is identical in s and fo).
+    fo = (
+        s.groupBy("user_id", "sess", "event_type")
+        .agg(F.min("rn").alias("first_rn"))
+        .localCheckpoint(eager=True)
     )
-    t = s.select("user_id", "sess").distinct().agg(
+    t = fo.select("user_id", "sess").distinct().agg(
         F.count(F.lit(1)).alias("total")
     )
     a = fo.select(

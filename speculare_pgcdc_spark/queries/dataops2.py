@@ -629,14 +629,25 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.lit("0_unique")).alias("tier"),
     )
-    t = tiered.agg(F.count(F.lit(1)).alias("total"))
+    # r14 optimization (guide §1.2/§2.4): the doc total equals
+    # SUM(n_docs) over the <=4-row tier aggregate, so derive it there
+    # with an unpartitioned window over that tiny frame — the separate
+    # count branch re-ran the whole normalize + 3-fingerprint-window
+    # lineage (2 documents scans, 6 windows in the plan).
     return (
         tiered.groupBy("tier")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("chars_total"),
         )
-        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "total",
+            F.sum("n_docs").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .select(
             "tier", "n_docs", "chars_total",
             F.expr("CAST((1000000 * n_docs) DIV total AS BIGINT)")

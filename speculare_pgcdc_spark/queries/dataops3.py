@@ -548,10 +548,18 @@ def q330(spark: SparkSession, sf: str) -> DataFrame:
             "* 127.0) / gmax) AS BIGINT))"
         ).alias("qv"),
     )
-    qs = qz.filter(F.col("vec_id") < RECALL_Q).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("ev").alias("q_ev"),
-        F.col("qv").alias("q_qv"),
+    # r14 optimization (guide §1.2/§5): the query side is RECALL_Q
+    # rows — pin it so the broadcast build does not re-run the global
+    # scale agg + quantize scan (the unpinned q330 plan re-read
+    # embeddings 8x: qs re-derived qz inside each pairs consumer)
+    qs = (
+        qz.filter(F.col("vec_id") < RECALL_Q)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("ev").alias("q_ev"),
+            F.col("qv").alias("q_qv"),
+        )
+        .localCheckpoint(eager=True)
     )
     pairs = (
         qz.crossJoin(F.broadcast(qs))
@@ -578,11 +586,21 @@ def q330(spark: SparkSession, sf: str) -> DataFrame:
     w_qt = Window.partitionBy("query_id").orderBy(
         F.desc("idot"), "vec_id"
     )
-    ranked = pairs.select(
-        "query_id",
-        "vec_id",
-        F.row_number().over(w_ex).alias("rn_ex"),
-        F.row_number().over(w_qt).alias("rn_qt"),
+    # both rank filters read ONE evaluation of the pair frame: filter
+    # to the <= 2*Q*K candidate rows first, then pin that tiny frame
+    # (unpinned, the ex and qt branches each re-ran the whole
+    # pair-construction lineage — the other half of the 8x scan)
+    ranked = (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            F.row_number().over(w_ex).alias("rn_ex"),
+            F.row_number().over(w_qt).alias("rn_qt"),
+        )
+        .filter(
+            (F.col("rn_ex") <= RECALL_K) | (F.col("rn_qt") <= RECALL_K)
+        )
+        .localCheckpoint(eager=True)
     )
     ex = ranked.filter(F.col("rn_ex") <= RECALL_K).select(
         "query_id", "vec_id"

@@ -307,10 +307,16 @@ def q294(spark: SparkSession, sf: str) -> DataFrame:
     "(inner join), documented shape on both engines. Exact-ppm DIV.",
 )
 def q295(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 optimization (guide §1.2/§5): the distinct (user, type)
+    # frame — the query's own documented bounded grain — feeds both
+    # self-join sides AND both per-type count broadcasts; unpinned,
+    # each consumer re-ran the corpus distinct (4 events scans in the
+    # plan). Pin it once.
     ut = (
         table(spark, sf, "events")
         .select("user_id", "event_type")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("nu")

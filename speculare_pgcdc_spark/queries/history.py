@@ -173,10 +173,16 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     "periods' metric.",
 )
 def q158(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 optimization (guide §1.2/§5): the distinct (user, day) frame
+    # feeds both the max-day bound and the 7-day contribution explode
+    # — unpinned, each consumer re-ran the corpus distinct (2 events
+    # scans in the plan). Pin it once; it is the query's bounded
+    # |users| x |days| grain.
     active = (
         table(spark, sf, "events")
         .select("user_id", F.col("ts").cast("date").alias("d"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bounds = active.agg(F.max("d").alias("max_d"))
     contrib = active.select(

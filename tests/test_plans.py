@@ -1855,13 +1855,19 @@ def test_q314_brier_no_window_no_python(q):
 
 
 def test_q315_pattern_join_session_grain(q):
-    """Sequential patterns: the pair join keys on (user_id, sess) —
-    session grain, fan-out bounded by the type vocabulary; windows
-    only on the user key; no python."""
+    """Sequential patterns (r14 optimized shape): the sessionize
+    window runs ONCE inside the eager checkpoint of the
+    first-occurrence frame; both self-join sides, the session total
+    and the pair join all read the checkpointed (user, sess, type)
+    grain — the final plan scans ExistingRDD, never re-runs the
+    events scan or the sessionize window; the total attaches as a
+    broadcast; no python."""
     df = q("q315_sequential_pattern_support")
     p = plan_string(df)
-    wl = [ln for ln in p.splitlines() if "Window [" in ln]
-    assert wl and all("user_id" in ln for ln in wl)
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p  # no consumer re-runs sessionize
+    assert "Window [" not in p  # the window ran inside the checkpoint
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert not has_python_eval(df)
 
 
@@ -1968,14 +1974,17 @@ def test_q321_srm_two_exchanges_no_join(q):
 
 
 def test_q322_waterfall_md5_windows_no_explode(q):
-    """Dedup waterfall: three min-windows on md5 fingerprint keys + a
-    4-key rollup + broadcast totals; no explode (fingerprints are
-    whole-string), no Python."""
+    """Dedup waterfall (r14 optimized shape): three min-windows on md5
+    fingerprint keys + a 4-key rollup; the doc total derives from the
+    <=4-row tier aggregate via an unpartitioned window over THAT tiny
+    frame, so the whole query reads documents exactly ONCE (the old
+    broadcast-count branch was a second full normalize+window pass).
+    No explode (fingerprints are whole-string), no Python."""
     df = q("q322_dedup_waterfall")
     p = plan_string(df)
     assert "Window [" in p
     assert "Generate" not in p
-    assert "Broadcast" in p
+    assert p.count("Scan parquet") == 1  # one documents pass total
     assert not has_python_eval(df)
 
 
@@ -2094,15 +2103,19 @@ def test_q329_padding_waste_single_agg_scan_shape(q):
 
 
 def test_q330_quantized_recall_broadcast_queries_one_pair_exchange(q):
-    """Quantized recall: the global scale and the query side join as
-    broadcasts (1-row and RECALL_Q-row); both rank windows partition
-    by query_id over the SAME pair frame so they share one
-    hashpartitioning exchange; the overlap join happens at
-    (Q x K)-row grain. JVM-only throughout."""
+    """Quantized recall (r14 optimized shape): the pair frame + twin
+    rank windows run ONCE inside the eager checkpoint of the
+    <=2*Q*K-row candidate frame (the query side is itself pinned
+    before its broadcast, so the broadcast build does not re-run the
+    global-scale agg); the final plan reads the checkpointed frame
+    for BOTH rank filters and joins at (Q x K) grain — ExistingRDD,
+    no embeddings re-scan, windows already evaluated. JVM-only
+    throughout."""
     df = q("q330_quantized_recall")
     p = plan_string(df)
-    assert p.count("BroadcastNestedLoopJoin") >= 2
-    assert "Window [" in p
+    assert "ExistingRDD" in p
+    assert "Scan parquet" not in p  # no consumer re-reads embeddings
+    assert "Window [" not in p  # ranks were evaluated in the checkpoint
     assert not has_python_eval(df)
 
 
