@@ -747,11 +747,16 @@ def _q267_edges(spark: SparkSession, sf: str) -> DataFrame:
 def q267(spark: SparkSession, sf: str) -> DataFrame:
     e = _q267_edges(spark, sf)
     e = e.localCheckpoint(eager=True)
+    # r14 optimization (guide §1.2/§5): node-grain (bounded |V|) and
+    # feeds THREE consumers (both orientation sides + the wedge-count
+    # stats agg) — pinned so the union+agg over the edge set runs
+    # once, not three times.
     deg = (
         e.select(F.col("ua").alias("u"))
         .unionAll(e.select(F.col("ub").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(
         F.col("u").alias("ua"), F.col("d").alias("dega")

@@ -129,8 +129,17 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_masked"))
     )
+    # r14 optimization (guide §1.2/§5): the two gram passes (dup
+    # detection, coverage) are deliberate streaming re-scans — the
+    # gram frame is corpus-sized, so re-reading parquet beats
+    # materializing it (guide §8's decide-small/re-attach pattern).
+    # The THIRD tokenize pass only produced doc-grain (doc_id, n_tok)
+    # — pin that bounded frame instead of re-running scan+split.
+    sizes = tok.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tok")
+    ).localCheckpoint(eager=True)
     return (
-        tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
+        sizes
         .join(cov, "doc_id", "left")
         .select(
             "doc_id",

@@ -695,11 +695,15 @@ def q338(spark: SparkSession, sf: str) -> DataFrame:
     "crawling pipeline when a source has gone stale (novelty decays "
     "toward boilerplate-only), first "
     f"{NOV_LIMIT} batches. Shape: per-doc distinct grams union to "
-    "(gram, batch) grain, ONE gram-partitioned window computes each "
-    "gram's first batch (gram-grain shuffle, the q87/q324 class — "
-    "hash-partitioned, no hot key), batch-grain agg on top; novelty "
-    "is exact integer ppm. At 100 TB the (gram, batch) frame is the "
-    "bounded one — distinct grams per batch, not gram occurrences.",
+    "(gram, batch) grain, then two PARTIAL-AGGREGATING passes over "
+    "that frame — per-batch gram counts and per-gram min batch whose "
+    "first-batch histogram is the novel count (gram-grain hash agg, "
+    "the q87/q324 class — no hot key, and unlike a gram-partitioned "
+    "window the maps collapse duplicates before the exchange and "
+    "nothing sorts); the two batch-grain outputs join as a "
+    "broadcast; novelty is exact integer ppm. At 100 TB the "
+    "(gram, batch) frame is the bounded one — distinct grams per "
+    "batch, not gram occurrences.",
 )
 def q339(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
@@ -716,20 +720,44 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
                 f"{NOV_N}), ' ')))"
             )
         ).alias("gm"),
-    ).distinct()
-    f = g.select(
-        "batch", "gm",
-        F.min("batch").over(Window.partitionBy("gm")).alias("first_batch"),
+    ).distinct().localCheckpoint(eager=True)
+    # the (batch, gm) frame is the query's own documented bounded
+    # grain (distinct grams per batch) and feeds BOTH aggregates
+    # below — pinned so the tokenize + explode + distinct corpus pass
+    # runs once, not twice (guide §1.2/§5).
+    # r14 optimization (guide §2.3/§2.4): the min-over-gram-window
+    # shuffled and SORTED every (batch, gm) row, then re-aggregated
+    # the full frame by batch. Equivalent with partial aggregation
+    # instead: per batch the gram count; per gram the min batch (maps
+    # collapse duplicate grams before the exchange — the window
+    # shipped them all), whose first-batch histogram is the novel
+    # count; both are batch-grain tiny and join as a broadcast.
+    # Exactly one gram's row has batch == min(batch), so
+    # count(first_batch = batch) == count per first-batch bucket;
+    # batches with no novel grams take COALESCE 0.
+    n_grams = g.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    n_novel = (
+        g.groupBy("gm")
+        .agg(F.min("batch").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
     )
     return (
-        f.groupBy("batch")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.count(F.when(F.col("first_batch") == F.col("batch"), 1))
-            .cast("bigint").alias("n_novel"),
+        n_grams.join(
+            F.broadcast(n_novel),
+            n_grams["batch"] == n_novel["fb"],
+            "left",
+        )
+        .select(
+            "batch",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint")
+            .alias("n_novel"),
             F.expr(
-                "CAST((1000000 * COUNT(CASE WHEN first_batch = batch "
-                "THEN 1 END)) DIV COUNT(*) AS BIGINT)"
+                "CAST((1000000 * COALESCE(n_novel, 0)) DIV n_grams "
+                "AS BIGINT)"
             ).alias("novelty_ppm"),
         )
         .orderBy("batch")

@@ -247,30 +247,42 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     doc="TPC-H Q18 shape: large-volume orders via an IN-subquery over a "
-    "fact-table aggregate, then re-join. Spark plans the subquery as an "
-    "aggregate + left-semi join on l_orderkey; both the HAVING agg and "
-    "the semi-join hash-partition on the same key, so AQE coalesces "
-    "them into one exchange reuse. Top-100 is TakeOrderedAndProject.",
+    "fact-table aggregate, then re-join. Spark path (r14): ONE "
+    "lineitem pass — the HAVING aggregate's decimal-exact per-order "
+    "sum IS the output quantity (o_orderkey is unique in orders), so "
+    "the filtered order-grain frame joins orders/customer directly "
+    "instead of semi-joining back into lineitem and re-aggregating. "
+    "Top-100 is TakeOrderedAndProject.",
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    # r14 optimization (guide §2.4): the HAVING aggregate ALREADY
+    # holds the per-order quantity sum the final output needs
+    # (o_orderkey is unique in orders, so the old final groupBy
+    # re-aggregated exactly the rows the decimal-exact _q summed) —
+    # keep _q, round it where money_sum would, and the second
+    # lineitem scan + semi-join + wide re-aggregation all disappear.
+    # The filtered order-grain frame is small at every scale (Q18's
+    # point: >180-qty orders are rare), so the order/customer joins
+    # broadcast it.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("_q"))
         .filter(F.col("_q") > 180)
-        .select("l_orderkey")
+        .select(
+            "l_orderkey",
+            F.round(F.col("_q"), 2).cast("double").alias("qty"),
+        )
     )
     orders = table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = table(spark, sf, "customer").select("c_custkey", "c_name")
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(money_sum("l_quantity", "qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

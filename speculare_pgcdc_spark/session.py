@@ -41,6 +41,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 optimization (guide §3.1): let AQE rewrite a sort-merge
+        # join to a shuffled-hash join at runtime when every map
+        # output for a post-shuffle partition fits under this bound —
+        # decided from ACTUAL shuffle sizes, not estimates, so it is
+        # scale-adaptive by construction (at 100 TB a partition whose
+        # build side exceeds the bound keeps the spill-safe SMJ).
+        # Default 0 (off) upstream; 64 MB bounds the per-task hash
+        # table well under executor task memory at any scale.
+        # Measured (interleaved A/B, sf0.1): q267 -43% min / -59%
+        # median, q255 -32% min, q112 -12% min, q238 -35% median,
+        # q330/q46 neutral.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_MAX",
+                           str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -43,6 +43,19 @@ def test_entry_runs_on_vanilla_session_conf(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_session_enables_aqe_shj_rewrite(spark):
+    """r14 optimization: the engine session opts in to AQE's runtime
+    SMJ->SHJ rewrite with a bounded per-partition build side (64 MB
+    default, env-overridable) — runtime sizes, not estimates, decide,
+    so the setting is scale-safe (guide §3.1)."""
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        )
+        == str(64 * 1024 * 1024)
+    )
+
+
 def test_preflight_accepts_fixtures(spark, sf_dir):
     E._configure(spark)
     E.preflight(spark, sf_dir)  # must not raise

@@ -2251,14 +2251,17 @@ def test_q338_rebalance_scalar_broadcasts_only(q):
 
 
 def test_q339_novelty_one_gram_window_takeordered(q):
-    """N-gram novelty: exactly ONE window (gram-partitioned MIN — the
-    first-batch attribution), batch-grain agg on top, TakeOrdered
-    over the batch axis; the gram explode feeds a distinct, no join
-    at all."""
+    """N-gram novelty (r14 optimized shape): NO window — first-batch
+    attribution is a partial-aggregating per-gram MIN (maps collapse
+    duplicate grams before the exchange; nothing sorts the
+    (gram, batch) frame), its first-batch histogram joins the
+    per-batch gram counts as a BROADCAST at batch grain; TakeOrdered
+    over the batch axis; the gram explode feeds a distinct."""
     df = q("q339_ngram_novelty")
     p = plan_string(df)
-    assert p.count("Window [") == 1
-    assert "Join" not in p
+    assert "Window [" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
     assert "partial_" in p
     assert not has_python_eval(df)
