@@ -142,7 +142,7 @@ def main() -> None:
             stream = normalize_hypertables(
                 parse_wal2json(file_change_feed(
                     spark, feed_dir, max_files_per_trigger=FPT
-                )),
+                ), delete_keys=True),
                 lookup_df(spark),
             )
             t0 = time.perf_counter()

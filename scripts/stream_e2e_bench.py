@@ -213,10 +213,13 @@ def main() -> None:
             ckpt = os.path.join(work, f"ivm_ckpt_{label}_{run}")
             base.write.parquet(snap)
             base.groupBy("event_type").agg(*ivm_aggs()).write.parquet(mv)
+            # delete_keys=True: the apply/matview consumer never ships
+            # a payload, so the parse emits the delete key directly and
+            # the change_json render is pruned from the microbatch plan
             stream = _norm(
                 _parse(file_change_feed(
                     spark, feed_dir, max_files_per_trigger=fpt
-                )),
+                ), delete_keys=True),
                 lookup_df(spark),
             )
             t0 = time.perf_counter()

@@ -68,7 +68,7 @@ def _swap_commit_tmp(d: str, tmp: str) -> None:
         shutil.rmtree(old)
 
 
-def _change_key(key_col: str):
+def _change_key(key_col: str, from_cols: bool = False):
     """The change's key as a string: row map for inserts/updates,
     oldkeys (v1) / identity (v2) from the raw payload for deletes.
 
@@ -77,7 +77,22 @@ def _change_key(key_col: str):
     REPLICA IDENTITY (e.g. (tenant_id, event_id)) puts key_col at an
     arbitrary index, and taking [0] would silently delete the wrong
     row. Values go through variant 'array<string>' coercion, the same
-    lenient typed-cell rule the v1/v2 parse uses for columnvalues."""
+    lenient typed-cell rule the v1/v2 parse uses for columnvalues.
+
+    ``from_cols=True``: the frame was parsed with
+    ``parse_wal2json(delete_keys=True)`` and carries the key
+    names/values pre-extracted as ``_dk_names``/``_dk_vals`` (same
+    by-name lookup, same lenient string coercion, v1 and v2 unified).
+    That path never touches ``change_json``, so Catalyst prunes the
+    to_json payload render AND this function's three re-parses out of
+    the apply lineage — parse-once instead of
+    parse -> serialize -> re-parse x3."""
+    if from_cols:
+        pos = F.array_position(F.col("_dk_names"), key_col)
+        dk = F.when(
+            pos > 0, F.try_element_at(F.col("_dk_vals"), pos.cast("int"))
+        )
+        return F.coalesce(F.try_element_at("row_str", F.lit(key_col)), dk)
     names = F.expr(
         "variant_get(try_parse_json(change_json), "
         "'$.oldkeys.keynames', 'array<string>')"
@@ -119,7 +134,9 @@ def latest_changes(
         F.col("table_name").isin(tables)
     )
     keyed = rel.select(
-        _change_key(key_col).cast(key_t).alias(key_col),
+        _change_key(key_col, "_dk_names" in changes.columns)
+        .cast(key_t)
+        .alias(key_col),
         F.struct("seq", "chg_idx").alias("_ord"),
         F.struct("kind", "row_str").alias("_chg"),
     ).filter(F.col(key_col).isNotNull())
@@ -199,7 +216,9 @@ def touched_groups(
         F.col("table_name").isin(tables)
     )
     keyed = rel.select(
-        _change_key(key_col).cast(key_type).alias(key_col),
+        _change_key(key_col, "_dk_names" in changes.columns)
+        .cast(key_type)
+        .alias(key_col),
         F.try_element_at("row_str", F.lit(group_col)).alias("_new_g"),
         "kind",
     ).filter(F.col(key_col).isNotNull())

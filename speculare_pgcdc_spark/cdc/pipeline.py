@@ -41,6 +41,7 @@ def parse_wal2json(
     payload_col: str = "payload",
     seq_col: str | None = None,
     fmt: str = "v1",
+    delete_keys: bool = False,
 ) -> DataFrame:
     """One row per change event from a frame of wal2json messages
     (R8 parse + R9 explode + R10 project/validate).
@@ -62,6 +63,18 @@ def parse_wal2json(
     dropped (mod.rs:129-134); kinds other than insert/update/delete
     (wal2json 'message'/'truncate') get flag 0 and are skipped
     (mod.rs:125-128).
+
+    ``delete_keys=True`` additionally emits ``_dk_names`` /
+    ``_dk_vals`` (array<string>): the delete's REPLICA IDENTITY key
+    names/values — v1 ``oldkeys``, v2 ``identity`` — extracted
+    DIRECTLY from the in-hand variant. Apply-side consumers
+    (cdc.apply._change_key) otherwise have to recover them by
+    re-parsing ``change_json``, which keeps the to_json render alive
+    in plans that never ship a payload; with the columns present,
+    Catalyst prunes the render out of the apply lineage entirely
+    (guide §2.3/§4: the render costs more than the rest of the
+    parse). Off by default so the dispatch path's schema — and the
+    cdc_events_per_s basis defined over it — is unchanged.
 
     Ordering: the reference forwards changes to each client in WAL
     order over one ordered channel (forwarder/mod.rs:44-72). Here the
@@ -88,7 +101,7 @@ def parse_wal2json(
             F.col(payload_col).alias("_raw"),
             F.try_parse_json(F.col(payload_col)).alias("_msg"),
         ).filter(F.col("_msg").isNotNull())
-        return _changes_v2(v2)
+        return _changes_v2(v2, delete_keys)
     v = payload_df.select(
         seq, F.try_parse_json(F.col(payload_col)).alias("_msg")
     ).filter(F.col("_msg").isNotNull())
@@ -106,6 +119,18 @@ def parse_wal2json(
     )
     typed_cells, lenient_cells = _cell_transforms("_vals", "x")
     names = F.expr("variant_get(_c, '$.columnnames', 'array<string>')")
+    dk = (
+        [
+            F.expr(
+                "variant_get(_c, '$.oldkeys.keynames', 'array<string>')"
+            ).alias("_dk_names"),
+            F.expr(
+                "variant_get(_c, '$.oldkeys.keyvalues', 'array<string>')"
+            ).alias("_dk_vals"),
+        ]
+        if delete_keys
+        else []
+    )
     pre = ch.select(
         "seq",
         "chg_idx",
@@ -115,13 +140,14 @@ def parse_wal2json(
         typed_cells.alias("_tc"),
         lenient_cells.alias("_lc"),
         F.expr("to_json(_c)").alias("change_json"),
+        *dk,
     ).filter(
         F.col("table").isNotNull()
         & F.col("kind").isNotNull()
         & F.col("kind").isin("insert", "update", "delete")
         & _valid_names("columnnames")
     )
-    return _with_row_maps(pre)
+    return _with_row_maps(pre, delete_keys)
 
 
 def _cell_transforms(arr_expr: str, value_acc: str):
@@ -154,7 +180,7 @@ def _valid_names(col: str):
     return c.isNull() | (no_null_elem & no_dupes)
 
 
-def _with_row_maps(pre: DataFrame) -> DataFrame:
+def _with_row_maps(pre: DataFrame, delete_keys: bool = False) -> DataFrame:
     """Build row_typed/row_str AFTER the validity filter (building them
     in the same projection would evaluate map_from_arrays on the very
     rows the filter exists to drop)."""
@@ -167,10 +193,11 @@ def _with_row_maps(pre: DataFrame) -> DataFrame:
         F.map_from_arrays("columnnames", "_tc").alias("row_typed"),
         F.map_from_arrays("columnnames", "_lc").alias("row_str"),
         "change_json",
+        *(["_dk_names", "_dk_vals"] if delete_keys else []),
     )
 
 
-def _changes_v2(v: DataFrame) -> DataFrame:
+def _changes_v2(v: DataFrame, delete_keys: bool = False) -> DataFrame:
     """wal2json format-2 branch: ``v`` is (seq, _raw, _msg variant) with
     one CHANGE per message, so chg_idx is always 0 — WAL order within a
     batch is carried entirely by seq. ``columns`` [{name,type,value}]
@@ -203,6 +230,22 @@ def _changes_v2(v: DataFrame) -> DataFrame:
     typed_cells, lenient_cells = _cell_transforms(
         "_cols", "variant_get(x, '$.value')"
     )
+    dk = (
+        [
+            F.expr(
+                "transform(variant_get(_msg, '$.identity',"
+                " 'array<variant>'), x -> variant_get(x, '$.name',"
+                " 'string'))"
+            ).alias("_dk_names"),
+            F.expr(
+                "transform(variant_get(_msg, '$.identity',"
+                " 'array<variant>'), x -> variant_get(x, '$.value',"
+                " 'string'))"
+            ).alias("_dk_vals"),
+        ]
+        if delete_keys
+        else []
+    )
     pre = w.select(
         "seq",
         F.lit(0).alias("chg_idx"),
@@ -212,12 +255,13 @@ def _changes_v2(v: DataFrame) -> DataFrame:
         typed_cells.alias("_tc"),
         lenient_cells.alias("_lc"),
         F.col("_raw").alias("change_json"),
+        *dk,
     ).filter(
         F.col("table").isNotNull()
         & F.col("kind").isNotNull()
         & _valid_names("columnnames")
     )
-    return _with_row_maps(pre)
+    return _with_row_maps(pre, delete_keys)
 
 
 #: hypertable lookups at or below this many rows inline as a literal

@@ -156,8 +156,12 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
     from speculare_pgcdc_spark.catalog import table
 
     feed = feed_messages(spark, sf)
+    # delete_keys=True: the apply path needs only the delete KEY, so
+    # the parse emits it directly and the change_json render (to_json
+    # on a variant — the most expensive expression in the parse) is
+    # pruned from this plan entirely
     changes = normalize_hypertables(
-        parse_wal2json(feed), lookup_df(spark)
+        parse_wal2json(feed, delete_keys=True), lookup_df(spark)
     )
     base = table(spark, sf, "events")
     return apply_changes(
@@ -221,10 +225,20 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     feed = feed_messages(spark, sf)
     # both apply_changes and touched_groups consume the parsed feed;
     # checkpoint it once so the wal2json parse (the expensive lineage)
-    # runs once, not per consumer
-    changes = normalize_hypertables(
-        parse_wal2json(feed), lookup_df(spark)
-    ).localCheckpoint(eager=False)
+    # runs once, not per consumer. The checkpoint materializes EVERY
+    # column it holds, so project to what the two consumers read —
+    # with delete_keys=True that excludes change_json, i.e. the
+    # to_json payload render never runs in this query
+    changes = (
+        normalize_hypertables(
+            parse_wal2json(feed, delete_keys=True), lookup_df(spark)
+        )
+        .select(
+            "table_name", "seq", "chg_idx", "kind", "row_str",
+            "_dk_names", "_dk_vals",
+        )
+        .localCheckpoint(eager=False)
+    )
     base = table(spark, sf, "events").select(
         *[F.col(c).cast(t).alias(c) for c, t in cols.items()]
     )

@@ -475,24 +475,41 @@ def q336(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.length("norm") >= COPY_PREFIX_W).select(
         "doc_id", "source",
         F.md5(F.expr(f"substr(norm, 1, {COPY_PREFIX_W})")).alias("fp"),
-    ).localCheckpoint(eager=True)
-    multi = (
-        k.groupBy("fp")
-        .agg(F.countDistinct("source").alias("ns"))
-        .filter(F.col("ns") >= 2)
-        .select("fp")
     )
-    km = k.join(multi, "fp")
-    o = km.groupBy("fp").agg(F.min("doc_id").alias("origin_doc"))
-    org = km.join(o, "fp").filter(
-        F.col("doc_id") == F.col("origin_doc")
-    ).select("fp", F.col("source").alias("origin"))
-    cp = km.join(org, "fp").filter(F.col("source") != F.col("origin"))
+    # one (fp, source)-grain partial aggregate replaces the old
+    # multi/o/org chain, which joined k against a FULL re-aggregation
+    # of k once per consumer (3x): per (fp, source), the doc count and
+    # the earliest doc; per fp, the source count and the origin =
+    # min_by(source, earliest-doc) — doc_id is unique, so exactly one
+    # source attains the fp's MIN(doc_id) and min_by is deterministic,
+    # equivalent to the oracle's k.doc_id = origin_doc join. The pair
+    # aggregate then reads g once: g is (fp, source)-unique, so
+    # n_keys = COUNT(*) with no countDistinct.
+    g = (
+        k.groupBy("fp", "source")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.min("doc_id").alias("md"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fpagg = (
+        g.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.min_by("source", "md").alias("origin"),
+        )
+        .filter(F.col("ns") >= 2)
+        .select("fp", "origin")
+    )
+    cp = g.join(F.broadcast(fpagg), "fp").filter(
+        F.col("source") != F.col("origin")
+    )
     return (
         cp.groupBy("origin", F.col("source").alias("copier"))
         .agg(
-            F.countDistinct("fp").cast("bigint").alias("n_keys"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("nd").cast("bigint").alias("n_docs"),
         )
         .orderBy(F.desc("n_docs"), "origin", "copier")
         .limit(20)

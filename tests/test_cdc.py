@@ -531,6 +531,48 @@ def test_apply_changes_composite_identity_delete_key_by_name(spark):
     }
 
 
+def test_apply_changes_delete_keys_fast_path_equivalent(spark):
+    """parse_wal2json(delete_keys=True) pre-extracts the REPLICA
+    IDENTITY names/values from the variant; apply must produce exactly
+    the fallback path's result (composite key at non-first position,
+    both framings) AND the plan must no longer render change_json —
+    the to_json(variant) payload render is the most expensive
+    expression in the parse and the apply path never ships a payload."""
+    from speculare_pgcdc_spark.cdc.apply import apply_changes
+
+    base = spark.createDataFrame(
+        [(2, "victim"), (7, "bystander")], "id bigint, name string"
+    )
+    v1 = (
+        '{"change":[{"kind":"delete","table":"t","oldkeys":'
+        '{"keynames":["tenant_id","id"],"keyvalues":[7,2]}}]}'
+    )
+    v2 = (
+        '{"action":"D","table":"t","identity":['
+        '{"name":"tenant_id","type":"bigint","value":7},'
+        '{"name":"id","type":"bigint","value":2}]}'
+    )
+    for fmt, payload in (("v1", v1), ("v2", v2)):
+        feed = spark.createDataFrame(
+            [(1, payload)], "lsn bigint, payload string"
+        )
+        changes = parse_wal2json(
+            feed, seq_col="lsn", fmt=fmt, delete_keys=True
+        ).withColumn("table_name", F.col("table"))
+        assert "_dk_names" in changes.columns
+        out = apply_changes(
+            base, changes, key_col="id",
+            columns={"id": "bigint", "name": "string"},
+        )
+        assert {r["id"]: r["name"] for r in out.collect()} == {
+            7: "bystander"
+        }, fmt
+        # the fast path must not keep the payload render alive
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "to_json" not in plan, fmt
+        assert "change_json" not in plan, fmt
+
+
 def test_ensure_feed_hot_recovers_dropped_cache(spark, sf_dir):
     """The bench CDC micro's cache guard (BASELINE.md round-8
     attribution): ensure_feed_hot is a no-op on a hot feed, rebuilds
