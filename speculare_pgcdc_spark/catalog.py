@@ -99,6 +99,38 @@ def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return F.broadcast(df) if name in DIM_TABLES else df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repair input under-parallelism (guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Row groups are the unit of parquet scan parallelism (SCALING.md
+    §6i: byte-range splits cannot subdivide one), and the driver
+    fixtures are single-row-group single files — so a scan-fed first
+    stage (tokenize, explode, fingerprint, partial agg) otherwise runs
+    as ONE task no matter how many cores the session has. When the
+    frame's scan parallelism is below the session's default
+    parallelism, redistribute ONCE (round-robin) right after the
+    narrow projection; a warehouse-scale table (many files / row
+    groups — SCALING.md §7.5's repartition-before-write rule) already
+    scans at least as wide as the core count, so this is a no-op
+    there. The decision derives from the ACTUAL layout vs the
+    session's parallelism, never from a local constant, and filters /
+    column pruning still pass through the round-robin exchange to the
+    scan (PushedFilters/ReadSchema unchanged — pinned in plan lints).
+
+    ONLY for order-exact downstreams (counts, min/max, distinct,
+    integer/decimal sums, md5 keys, or anything already downstream of
+    an exchange): round-robin placement varies with the core count,
+    so a float aggregate computed directly over the scan with no
+    intervening exchange must not ride this helper.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -207,9 +207,11 @@ def _changes_v2(v: DataFrame, delete_keys: bool = False) -> DataFrame:
     v1's oldkeys yields null row maps.
 
     Cost shape (profiled at sf0.1): the columns array is materialized
-    ONCE into ``_cols`` and the three cell transforms run over it —
-    repeating variant_get(_msg, '$.columns') per transform re-walks the
-    variant; and ``change_json`` is the RAW payload line verbatim (in
+    ONCE into ``_cols`` (repeating variant_get(_msg, '$.columns') per
+    transform re-walks the variant), the per-cell VALUE variants once
+    more into ``_vals`` so the typed/lenient transforms never re-walk
+    ``variant_get(x, '$.value')``; and ``change_json`` is the RAW
+    payload line verbatim (in
     v2 the message IS the change frame), because to_json on a variant
     costs more than the entire rest of the parse."""
     act = F.expr("variant_get(_msg, '$.action', 'string')")
@@ -225,11 +227,19 @@ def _changes_v2(v: DataFrame, delete_keys: bool = False) -> DataFrame:
         F.expr("variant_get(_msg, '$.columns', 'array<variant>')").alias(
             "_cols"
         ),
+    ).withColumn(
+        # materialize the VALUE variants once (r14: the typed transform
+        # walked variant_get(x, '$.value') twice per cell — inside
+        # schema_of_variant and again for the extraction — and the
+        # lenient transform a third time; CollapseProject keeps this
+        # projection separate because _vals is referenced twice and the
+        # transform is non-cheap, so the walk now runs once per cell,
+        # mirroring the v1 branch's _vals)
+        "_vals",
+        F.expr("transform(_cols, x -> variant_get(x, '$.value'))"),
     )
     names = F.expr("transform(_cols, x -> variant_get(x, '$.name', 'string'))")
-    typed_cells, lenient_cells = _cell_transforms(
-        "_cols", "variant_get(x, '$.value')"
-    )
+    typed_cells, lenient_cells = _cell_transforms("_vals", "x")
     dk = (
         [
             F.expr(

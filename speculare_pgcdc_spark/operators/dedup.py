@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (id, tok) pairs; empty tokens dropped."""
+    """Distinct (id, tok) pairs; empty tokens dropped.
+
+    r14 measurement note: a catalog.spread_scan of the input (to widen
+    the fixtures' single-task scan) was A/B'd interleaved and REVERTED
+    — single-token explode + partial-distinct is too cheap per row for
+    the extra round-robin exchange to pay (q42 +47%, q79 +43%, q46
+    +16% per-round ratio medians); the spread wins only on the heavy
+    per-row families (8-gram explode, md5 stack — see q324/q87/q265)."""
     return (
         docs.select(
             F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok")
@@ -454,15 +461,21 @@ def contaminated_docs(
     mark-and-count below is the measured optimum; its train-leg
     shuffle is bounded by docs x partitions, not grams, via the
     partial_count/partial_sum combine."""
+    from speculare_pgcdc_spark.catalog import spread_scan
     from speculare_pgcdc_spark.operators.textstats import word_ngrams
 
     t = F.coalesce(F.col(text_col), F.lit(""))
-    train = docs.select(
+    # r14: gram CONSTRUCTION dominates this operator (see the note
+    # below), and a single-row-group input scans as ONE task — spread
+    # both sides' raw projections so the tokenize + explode run at
+    # session parallelism (counts are order-exact downstream)
+    train = spread_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(t, n))).alias("_g"),
     )
     ev = (
-        eval_docs.select(
+        spread_scan(eval_docs.select(text_col))
+        .select(
             F.explode(F.array_distinct(word_ngrams(t, n))).alias("_g")
         )
         .distinct()

@@ -1148,6 +1148,10 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda x: x != "",
     )
+    # r14: catalog.spread_scan was A/B'd here and REVERTED (+26%
+    # per-round ratio median) — the term filter drops almost every
+    # token before any shuffle, so the scan stage is too cheap for
+    # the extra exchange to pay
     base = table(spark, sf, "documents").select(
         "doc_id", arr.alias("arr")
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.catalog import spread_scan, table
 from speculare_pgcdc_spark.operators import textstats as ts
 from speculare_pgcdc_spark.queries import register
 
@@ -474,7 +474,10 @@ CHECKSUM_COLUMNS = ["event_id", "user_id", "event_type", "value", "ts"]
     "the exact sum mod 1e18.",
 )
 def q265(spark: SparkSession, sf: str) -> DataFrame:
-    ev = table(spark, sf, "events").select(
+    # r14: spread the single-task scan — the 5-way stack + per-cell md5
+    # otherwise run single-core (catalog.spread_scan; counts/decimal
+    # sums are order-exact)
+    ev = spread_scan(table(spark, sf, "events")).select(
         F.col("event_id").cast("string").alias("event_id"),
         F.col("user_id").cast("string").alias("user_id"),
         F.col("event_type").alias("event_type"),

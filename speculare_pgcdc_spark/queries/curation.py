@@ -103,6 +103,9 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda x: x != "",
     )
+    # r14: catalog.spread_scan was A/B'd here and REVERTED (+32%
+    # per-round ratio median) — segment construction is array slicing
+    # over a few chunks per doc, too cheap for the extra exchange
     base = docs.select("doc_id", arr.alias("arr")).filter(
         F.size("arr") > 0
     )

@@ -408,6 +408,9 @@ def q319(spark: SparkSession, sf: str) -> DataFrame:
     f"{VOCAB_K} rows. No second pass over the corpus.",
 )
 def q320(spark: SparkSession, sf: str) -> DataFrame:
+    # r14: catalog.spread_scan was A/B'd here and REVERTED (+55%
+    # per-round ratio median) — single-token explode into a partial
+    # (source, tok) agg is too cheap for the extra exchange
     toks = table(spark, sf, "documents").select(
         "source",
         F.explode(
@@ -592,6 +595,10 @@ def q322(spark: SparkSession, sf: str) -> DataFrame:
             " +", " ",
         )
     )
+    # r14: catalog.spread_scan was A/B'd here and REVERTED (+17%
+    # per-round ratio median) — the normalize+md5 pass is lighter than
+    # it looks (one value per DOC, not per token) and the three
+    # fingerprint windows re-shuffle everything right after anyway
     n = table(spark, sf, "documents").select(
         "doc_id", "n_chars", norm.alias("norm")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.catalog import spread_scan, table
 from speculare_pgcdc_spark.queries import register
 
 #: q324: duplicate-span gram width (the ExactSubstr-style masking
@@ -90,7 +90,11 @@ _TOKS_SQL = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
 )
 def q324(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    tok = docs.select(
+    # r14: single-row-group input scans as ONE task — spread the raw
+    # projection so BOTH gram passes (tokenize + explode + agg) run at
+    # session parallelism (catalog.spread_scan; min/max/counts are
+    # order-exact)
+    tok = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_TOKS).alias("toks")
     ).filter(F.size("toks") >= SPAN_N)
     grams = tok.select(
@@ -188,7 +192,9 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q325(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    tk = docs.select(
+    # r14: spread the single-task scan before the tokenize/explode
+    # (catalog.spread_scan; counts are order-exact)
+    tk = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_TOKS).alias("toks")
     ).filter(F.size("toks") >= TMPL_N)
     total = tk.agg(F.count(F.lit(1)).alias("total"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.catalog import spread_scan, table
 from speculare_pgcdc_spark.operators.similarity import _dot
 from speculare_pgcdc_spark.queries import register
 
@@ -724,7 +724,9 @@ def q338(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q339(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    t = docs.select(
+    # r14: spread the single-task scan before the tokenize/explode
+    # (catalog.spread_scan; counts/min are order-exact)
+    t = spread_scan(docs.select("doc_id", "text")).select(
         F.expr(f"doc_id DIV {NOV_BATCH_W}").alias("batch"),
         F.expr(_TOKS).alias("toks"),
     ).filter(F.size("toks") >= NOV_N)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from speculare_pgcdc_spark.catalog import table
+from speculare_pgcdc_spark.catalog import spread_scan, table
 from speculare_pgcdc_spark.operators.similarity import _dot
 from speculare_pgcdc_spark.queries import register
 from speculare_pgcdc_spark.queries.dataops3 import _MARKERS, TMPL_N
@@ -307,8 +307,10 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
     "'there is boilerplate': a gram concentrated in one source is a "
     "crawler artifact to fix there, one spread evenly is a "
     "language-level template to keep. Shape: ONE corpus-scale "
-    "distinct agg collapses straight to (gram, source) grain "
-    "(countDistinct dedups map-side), each gram's df is a window SUM "
+    "count agg collapses straight to (gram, source) grain (COUNT(*) "
+    "== the oracle's distinct-doc count because (gm, source, doc) "
+    "is distinct by construction; partials collapse map-side), each "
+    "gram's df is a window SUM "
     "over that already-tiny frame, and only the aggregated frame is "
     f"checkpointed (it feeds both the top-{PROV_K} ranking and the "
     "provenance join); the top-K list broadcasts back; output is "
@@ -317,7 +319,11 @@ def q342(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q343(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    t = docs.select(
+    # r14: single-row-group input scans as ONE task — spread the raw
+    # projection so the tokenize + gram explode + partial agg run at
+    # session parallelism (catalog.spread_scan; counts are order-exact)
+    pre = spread_scan(docs.select("doc_id", "source", "text"))
+    t = pre.select(
         "doc_id", "source", F.expr(_TOKS).alias("toks")
     ).filter(F.size("toks") >= TMPL_N)
     g = t.select(
@@ -331,18 +337,24 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("gm"),
     )
     # r14 optimization (guide §2.3/§2.4): aggregate to (gm, source)
-    # grain FIRST — countDistinct(doc_id) keeps the oracle's exact
-    # distinct-triple semantics while the planner's two-phase distinct
-    # agg dedups map-side — then derive each gram's total df as a
-    # window SUM over the already-tiny (grams x sources) frame. The
-    # previous shape checkpointed the full distinct (doc, source, gm)
-    # frame and re-shuffled it twice (df agg + provenance join); now
-    # only the aggregated frame is checkpointed (it feeds both the
-    # top-K ranking and the final join) and the corpus-scale data
-    # crosses exactly one exchange.
+    # grain FIRST, then derive each gram's total df as a window SUM
+    # over the already-tiny (grams x sources) frame. The previous
+    # shape checkpointed the full distinct (doc, source, gm) frame
+    # and re-shuffled it twice (df agg + provenance join); now only
+    # the aggregated frame is checkpointed (it feeds both the top-K
+    # ranking and the final join) and the corpus-scale data crosses
+    # exactly one exchange. COUNT(*) == the oracle's COUNT(DISTINCT
+    # doc triples) here because (gm, source, doc_id) is distinct by
+    # construction — doc_id is unique per documents row (the fixture
+    # invariant q336's min_by determinism already rests on), source
+    # is functionally dependent on doc_id, and the per-doc gram list
+    # is array_distinct'ed before the explode — so the planner's
+    # two-phase distinct machinery (an extra corpus-scale exchange at
+    # (gm, source, doc_id) grain) is pure overhead and count's
+    # map-side partials collapse the shuffle to (gm, source) grain.
     gs = (
         g.groupBy("gm", "source")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .withColumn(
             "df", F.sum("n_docs").over(Window.partitionBy("gm"))
         )

@@ -91,6 +91,9 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     bench=True,
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
+    # r14: catalog.spread_scan was A/B'd here and REVERTED (+95%
+    # per-round ratio median) — the single-token explode collapses
+    # map-side so cheaply that the extra exchange only costs
     return (
         table(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))

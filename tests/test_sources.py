@@ -398,3 +398,31 @@ def test_catalog_table_reads_directory_layout(spark, sf_dir, tmp_path):
     a = src.agg(F.sum(F.unix_timestamp("o_orderdate"))).first()[0]
     b = got.agg(F.sum(F.unix_timestamp("o_orderdate"))).first()[0]
     assert a == b
+
+
+def test_spread_scan_widens_single_task_scan(spark, sf_dir):
+    """catalog.spread_scan (r14, guide §2.5 input under-parallelism):
+    a single-row-group fixture file scans as ONE task; the helper
+    round-robins it to the session's parallelism, exactly preserves
+    the row multiset, keeps column pruning at the scan, and no-ops on
+    a frame that is already at least as wide as the session."""
+    from speculare_pgcdc_spark.catalog import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert narrow.rdd.getNumPartitions() < target  # the fixture layout
+    spread = spread_scan(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    # round-robin exchange, not a keyed one
+    assert "RoundRobinPartitioning" in plan_string(spread)
+    # pruning still reaches the scan through the exchange (the plan
+    # string may list the scan more than once under AQE)
+    schemas = read_schemas(spread)
+    assert schemas and all(s == {"doc_id", "text"} for s in schemas)
+    # the row multiset is untouched
+    a = sorted(r["doc_id"] for r in spread.collect())
+    b = sorted(r["doc_id"] for r in narrow.collect())
+    assert a == b
+    # no-op branch: already wide enough
+    wide = spread.repartition(target)
+    assert spread_scan(wide) is wide
