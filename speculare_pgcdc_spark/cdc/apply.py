@@ -139,7 +139,25 @@ def latest_changes(
         .alias(key_col),
         F.struct("seq", "chg_idx").alias("_ord"),
         F.struct("kind", "row_str").alias("_chg"),
-    ).filter(F.col(key_col).isNotNull())
+    )
+    # Generate barrier before the null-key guard (r14, guide §4.4's
+    # duplicate-evaluation defect): a filter above a projection is
+    # pushed below it with the alias SUBSTITUTED, so filtering on the
+    # key column directly re-ran the whole key expression — including
+    # the full row_str map build it reads through — once in the pushed
+    # filter and again in the projection. explode of a one-element
+    # array evaluates the row exactly once; predicates referencing the
+    # generator's output cannot be pushed below it, so the guard tests
+    # a materialized struct field instead.
+    keyed = (
+        keyed.select(
+            F.explode(
+                F.array(F.struct(key_col, "_ord", "_chg"))
+            ).alias("_r")
+        )
+        .select("_r.*")
+        .filter(F.col(key_col).isNotNull())
+    )
     return keyed.groupBy(key_col).agg(
         F.max_by("_chg", "_ord").alias("_chg")
     )

@@ -90,6 +90,20 @@ def parse_wal2json(
     # the reference logs the simd-json error and continues
     # (forwarder/mod.rs:83-91); strict parse_json would fail the whole
     # microbatch on one bad frame.
+    #
+    # Parse-once doctrine (r14, guide §4.4's duplicate-evaluation
+    # defect with a JVM expression instead of a UDF): any filter above
+    # a Project gets pushed below it with the alias SUBSTITUTED, so a
+    # predicate on ``_msg`` re-runs the full payload parse per
+    # reference — the v1 ``_msg IS NOT NULL`` guard doubled the parse,
+    # and v2's pushed table/kind/valid-names filter ran it ~7x per
+    # row. v1 therefore drops the guard outright: it is provably
+    # redundant, ``posexplode(variant_get(NULL,'$.change'))`` emits
+    # zero rows, the exact drop the filter expressed. v2 has no
+    # explode to hide behind, so the parse rides a one-element
+    # ``explode(array(...))`` Generate barrier: the generator runs
+    # once per row, and Catalyst cannot push a predicate below a
+    # Generate whose output it references.
     if fmt not in ("v1", "v2"):
         raise ValueError(f"unknown wal2json format: {fmt!r}")
     seq = (
@@ -99,12 +113,14 @@ def parse_wal2json(
         v2 = payload_df.select(
             seq,
             F.col(payload_col).alias("_raw"),
-            F.try_parse_json(F.col(payload_col)).alias("_msg"),
+            F.explode(
+                F.array(F.try_parse_json(F.col(payload_col)))
+            ).alias("_msg"),
         ).filter(F.col("_msg").isNotNull())
         return _changes_v2(v2, delete_keys)
     v = payload_df.select(
         seq, F.try_parse_json(F.col(payload_col)).alias("_msg")
-    ).filter(F.col("_msg").isNotNull())
+    )
     ch = v.select(
         "seq",
         F.posexplode(
