@@ -131,6 +131,37 @@ def spread_scan(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def eval_once(df: DataFrame, *cols) -> DataFrame:
+    """Project ``cols`` behind a one-element ``explode(array(struct))``
+    Generate barrier so a FILTER above the projection cannot be pushed
+    below it (guide §4.4's duplicate-evaluation defect, with JVM
+    expressions instead of a UDF): Catalyst pushes any deterministic
+    filter through a Project with the alias SUBSTITUTED, so e.g.
+    ``select(split(text).alias("toks")).filter(size("toks") >= n)``
+    tokenizes every row TWICE — once inside the pushed
+    ``size(split(text)) >= n`` predicate and again in the projection.
+    Predicates referencing a generator's output cannot cross the
+    Generate, so behind the barrier each projected expression is
+    evaluated exactly once per row.
+
+    Use ONLY when (a) a filter on a projected alias follows, and
+    (b) the saved re-evaluation is strictly bigger than copying the
+    projected row through the struct + Generate. That copy is NOT
+    free: r14 A/B'd this barrier under the token-array projections of
+    the gram family (q324/q339/q343/q143/q191 — filter(size(toks) >=
+    n) above the tokenize) and REVERTED it there — copying the full
+    token array through the barrier cost as much as the tokenize it
+    saved (q343 per-round ratio median 1.17, rest at the noise
+    floor; scripts/ab_evalonce.py). It pays when the projection
+    BUILDS something from a more expensive walk (cdc.apply's
+    latest_changes key/row-map build from variant walks) or when the
+    substituted predicate re-runs a full JSON parse (the v2 wal2json
+    branch inlines the same barrier shape in cdc.pipeline)."""
+    return df.select(
+        F.explode(F.array(F.struct(*cols))).alias("_r")
+    ).select("_r.*")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -27,6 +27,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from speculare_pgcdc_spark.catalog import eval_once
+
 #: partition-column name of the banded snapshot layout (a RESERVED
 #: name: user columns may not collide). Not underscore-prefixed —
 #: Spark's partition discovery skips `_`/`.`-prefixed directories, so
@@ -145,18 +147,11 @@ def latest_changes(
     # pushed below it with the alias SUBSTITUTED, so filtering on the
     # key column directly re-ran the whole key expression — including
     # the full row_str map build it reads through — once in the pushed
-    # filter and again in the projection. explode of a one-element
-    # array evaluates the row exactly once; predicates referencing the
-    # generator's output cannot be pushed below it, so the guard tests
-    # a materialized struct field instead.
-    keyed = (
-        keyed.select(
-            F.explode(
-                F.array(F.struct(key_col, "_ord", "_chg"))
-            ).alias("_r")
-        )
-        .select("_r.*")
-        .filter(F.col(key_col).isNotNull())
+    # filter and again in the projection. Behind catalog.eval_once the
+    # row is evaluated exactly once and the guard tests a materialized
+    # struct field instead.
+    keyed = eval_once(keyed, key_col, "_ord", "_chg").filter(
+        F.col(key_col).isNotNull()
     )
     return keyed.groupBy(key_col).agg(
         F.max_by("_chg", "_ord").alias("_chg")
