@@ -573,6 +573,49 @@ def test_apply_changes_delete_keys_fast_path_equivalent(spark):
         assert "change_json" not in plan, fmt
 
 
+def test_parse_wal2json_parses_payload_once(spark):
+    """r14 parse-once lint: the payload parse must appear exactly ONCE
+    in the optimized plan for both formats. Catalyst pushes filters
+    below a Project with the alias SUBSTITUTED, so the old v1 null
+    guard doubled the parse and v2's pushed table/kind/valid-names
+    filter held 19 parse references (~7 evaluations per row); v1 now
+    has no filter below the explode (posexplode of a null change
+    array already drops the row) and v2 rides a Generate barrier
+    pushdown cannot cross."""
+    feed = spark.createDataFrame(
+        [(1, '{"change":[]}')], "lsn bigint, payload string"
+    )
+    for fmt in ("v1", "v2"):
+        plan = (
+            parse_wal2json(feed, seq_col="lsn", fmt=fmt)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .lower()
+            .replace("_", "")
+        )
+        assert plan.count("parsejson") == 1, (fmt, plan)
+
+
+def test_latest_changes_builds_row_map_once(spark):
+    """r14 parse-once lint, apply side: the null-key guard used to be
+    pushed below the keyed projection with the key expression
+    substituted, re-building the full row_str map per row (once in
+    the filter, once in the projection). Behind the eval_once barrier
+    the optimized plan holds exactly one map build."""
+    from speculare_pgcdc_spark.cdc.apply import latest_changes
+
+    feed = spark.createDataFrame(
+        [(1, INSERT_STR)], "lsn bigint, payload string"
+    )
+    changes = parse_wal2json(
+        feed, seq_col="lsn", delete_keys=True
+    ).withColumn("table_name", F.col("table"))
+    lat = latest_changes(changes, "id", tables=TABLES)
+    plan = lat._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("map_from_arrays") == 1, plan
+
+
 def test_ensure_feed_hot_recovers_dropped_cache(spark, sf_dir):
     """The bench CDC micro's cache guard (BASELINE.md round-8
     attribution): ensure_feed_hot is a no-op on a hot feed, rebuilds
