@@ -37,6 +37,20 @@ def _toks(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def _bind(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE and hand it to ``f`` as a lambda variable:
+    ``element_at(transform(array(col), f), 1)`` ≡ ``f(col)`` for any
+    value (including NULL). Referencing a Column OBJECT several times
+    copies its whole expression subtree per reference — and each copy
+    of a higher-order function carries fresh lambda-variable ExprIds,
+    so codegen's subexpression elimination cannot merge them; a
+    builder that mentions ``_toks(text)`` three times tokenizes every
+    row three times (r14: q88's generator held SEVEN split copies). A
+    lambda VARIABLE is a bound attribute — evaluated once, referenced
+    freely."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace tokenization count."""
     return F.size(_toks(text)).cast("bigint")
@@ -49,10 +63,15 @@ def token_count_re(text: Column) -> Column:
     )
 
 
+def _stopword_ratio_of(tk: Column) -> Column:
+    stops = F.filter(tk, lambda t: t.isin(*STOPWORDS))
+    return F.size(stops) / F.greatest(F.size(tk), F.lit(1))
+
+
 def _stopword_ratio_raw(text: Column) -> Column:
-    toks = _toks(text)
-    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+    # _bind: the ratio reads the token array twice (filter + size);
+    # binding tokenizes once (r14)
+    return _bind(_toks(text), _stopword_ratio_of)
 
 
 def stopword_ratio(text: Column) -> Column:
@@ -60,23 +79,32 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def avg_token_len(text: Column) -> Column:
-    toks = _toks(text)
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+    def _avg_of(tk: Column) -> Column:
+        total = F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return total / F.greatest(F.size(tk), F.lit(1))
+
+    return F.round(_bind(_toks(text), _avg_of), 4)
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1]-ish quality signal: length prior + stopword prior.
     Deterministic arithmetic only — mirrored in SQL by the oracle.
-    Composes RAW (unrounded) terms; rounds exactly once at the end."""
-    n = token_count_ws(text)
-    len_term = F.least(n.cast("double") / 20.0, F.lit(1.0))
-    stop_term = F.lit(1.0) - _stopword_ratio_raw(text)
-    return F.round((len_term + stop_term) / 2.0, 4)
+    Composes RAW (unrounded) terms; rounds exactly once at the end.
+    One tokenize per row: both terms read one bound token array
+    (_bind — the naive composition split the text three times)."""
+
+    def _score_of(tk: Column) -> Column:
+        len_term = F.least(
+            F.size(tk).cast("double") / 20.0, F.lit(1.0)
+        )
+        stop_term = F.lit(1.0) - _stopword_ratio_of(tk)
+        return (len_term + stop_term) / 2.0
+
+    return F.round(_bind(_toks(text), _score_of), 4)
 
 
 def fingerprint(text: Column, length: int = 16) -> Column:
@@ -136,14 +164,20 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     short-circuit to an empty array or they grow phantom n-grams."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = _toks(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _grams_of(tk: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.array_join(F.slice(tk, i, n), " "),
+        )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # _bind: the builder reads the token array three times (sequence
+    # bound, slice lambda, short-circuit guard); binding tokenizes
+    # once (r14 — size() over the bound array is O(1))
+    return _bind(_toks(text), _grams_of)
 
 
 def repetition_counts(text: Column, n: int = 2) -> dict[str, Column]:
@@ -206,20 +240,28 @@ def chunk_texts(
             "windows must tile the token stream without gaps"
         )
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = _toks(t)
-    n = F.size(toks)
-    nch = F.when(n <= 0, F.lit(0)).when(n <= chunk, F.lit(1)).otherwise(
-        1 + F.floor((n - chunk + stride - 1) / F.lit(stride))
-    )
-    chunks = F.when(
-        nch > 0,
-        F.transform(
-            F.sequence(F.lit(0), (nch - 1).cast("int")),
-            lambda i: F.array_join(
-                F.slice(toks, i * stride + 1, chunk), " "
+
+    # _bind: the generator read the token array seven times (the nch
+    # CASE twice over, the sequence bound, the slice lambda); binding
+    # tokenizes once per row (r14 — see _bind)
+    def _chunks_of(tk):
+        n = F.size(tk)
+        nch = (
+            F.when(n <= 0, F.lit(0))
+            .when(n <= chunk, F.lit(1))
+            .otherwise(1 + F.floor((n - chunk + stride - 1) / F.lit(stride)))
+        )
+        return F.when(
+            nch > 0,
+            F.transform(
+                F.sequence(F.lit(0), (nch - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(tk, i * stride + 1, chunk), " "
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    chunks = _bind(_toks(t), _chunks_of)
     return docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_chunk")
     ).select(

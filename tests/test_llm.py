@@ -553,6 +553,44 @@ def test_chunk_texts_edges(spark):
     assert [c.n_tok_chunk for c in sorted(rows[5], key=lambda c: c.chunk_idx)] == [50, 50, 50]
 
 
+def test_textstats_builders_tokenize_once(spark):
+    """r14 bind-once lint: each textstats builder's optimized plan
+    holds exactly ONE split of its text input. Referencing the toks
+    Column object copies the split subtree per reference (with fresh
+    lambda ExprIds codegen CSE cannot merge) — q88's generator held
+    SEVEN copies, word_ngrams three, quality_score three; _bind pins
+    them to one."""
+    from pyspark.sql import functions as F
+
+    from speculare_pgcdc_spark.operators.textstats import (
+        avg_token_len,
+        chunk_texts,
+        quality_score,
+        stopword_ratio,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    cases = {
+        # alias each output: an auto-generated column NAME echoes the
+        # expression text and would double-count "split("
+        "word_ngrams": df.select(word_ngrams(F.col("text"), 3).alias("g")),
+        "quality_score": df.select(quality_score(F.col("text")).alias("q")),
+        "stopword_ratio": df.select(
+            stopword_ratio(F.col("text")).alias("s")
+        ),
+        "avg_token_len": df.select(
+            avg_token_len(F.col("text")).alias("a")
+        ),
+        # generator + the per-chunk size(split(_chunk)) = 2
+        "chunk_texts": chunk_texts(df),
+    }
+    for name, out in cases.items():
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        budget = 2 if name == "chunk_texts" else 1
+        assert plan.count("split(") <= budget, (name, plan)
+
+
 def test_contamination_counts(spark):
     """Doc sharing an 8-gram window with the eval set is counted; a
     disjoint doc scores zero hits."""
