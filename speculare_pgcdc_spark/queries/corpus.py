@@ -381,16 +381,20 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda x: x != "",
     )
-    base = docs.select("doc_id", arr.alias("arr")).filter(
-        F.size("arr") > 0
-    )
+    # r14: no non-empty filter on base (it re-ran the tokenize via
+    # pushdown substitution, guide §4.4 — see q324); the seg-index
+    # sequence short-circuits empty docs to NULL, which explode drops
+    base = docs.select("doc_id", arr.alias("arr"))
     segs = base.select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size("arr") / float(LEAK_SEG)).cast("bigint")
-                - 1,
+            F.when(
+                F.size("arr") > 0,
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("arr") / float(LEAK_SEG))
+                    .cast("bigint") - 1,
+                ),
             )
         ).alias("g"),
         F.col("arr"),

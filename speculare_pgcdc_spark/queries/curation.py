@@ -106,15 +106,21 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     # r14: catalog.spread_scan was A/B'd here and REVERTED (+32%
     # per-round ratio median) — segment construction is array slicing
     # over a few chunks per doc, too cheap for the extra exchange
-    base = docs.select("doc_id", arr.alias("arr")).filter(
-        F.size("arr") > 0
-    )
+    # r14: no non-empty filter on base (it re-ran the tokenize via
+    # pushdown substitution, guide §4.4 — see q324); the seg-index
+    # sequence short-circuits empty docs to NULL, which explode drops
+    # (sequence(0, -1) would be DESCENDING, not empty)
+    base = docs.select("doc_id", arr.alias("arr"))
     segs = base.select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size("arr") / float(SEG)).cast("bigint") - 1,
+            F.when(
+                F.size("arr") > 0,
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("arr") / float(SEG)).cast("bigint")
+                    - 1,
+                ),
             )
         ).alias("seg_idx"),
         F.col("arr"),
@@ -1307,18 +1313,22 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),
         lambda x: x != "",
     )
+    # r14: no non-empty filter (pushdown re-ran the tokenize — see
+    # q324); the seg-index sequence short-circuits empty docs to NULL
     base = (
         table(spark, sf, "documents")
         .select("source", arr.alias("arr"))
-        .filter(F.size("arr") > 0)
     )
     fps = (
         base.select(
             "source",
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+                F.when(
+                    F.size("arr") > 0,
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+                    ),
                 )
             ).alias("g"),
             F.col("arr"),
@@ -1411,13 +1421,17 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     base = (
         table(spark, sf, "documents")
         .select(arr.alias("arr"))
-        .filter(F.size("arr") > 0)
     )
+    # r14: no non-empty filter (pushdown re-ran the tokenize — see
+    # q324); the seg-index sequence short-circuits empty docs to NULL
     segs = base.select(
         F.explode(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+            F.when(
+                F.size("arr") > 0,
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("arr") / 16.0).cast("bigint") - 1,
+                ),
             )
         ).alias("g"),
         F.col("arr"),

@@ -94,16 +94,23 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
     # projection so BOTH gram passes (tokenize + explode + agg) run at
     # session parallelism (catalog.spread_scan; min/max/counts are
     # order-exact)
+    # r14: NO min-length filter on tok — a filter on the projected
+    # toks is pushed below the projection with the tokenize
+    # substituted (split runs twice per row, guide §4.4); instead the
+    # gram transform short-circuits to NULL for short docs, which
+    # explode drops — the same rows, one tokenize. toks is a projected
+    # attribute inside the CASE, so its three references are free.
     tok = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_TOKS).alias("toks")
-    ).filter(F.size("toks") >= SPAN_N)
+    )
     grams = tok.select(
         "doc_id",
         F.explode(
             F.expr(
+                f"CASE WHEN size(toks) >= {SPAN_N} THEN "
                 f"transform(sequence(1, size(toks) - {SPAN_N - 1}), "
                 f"i -> struct(i AS s, array_join(slice(toks, i, "
-                f"{SPAN_N}), ' ') AS gm))"
+                f"{SPAN_N}), ' ') AS gm)) END"
             )
         ).alias("sg"),
     ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.gm").alias("gm"))
@@ -139,9 +146,17 @@ def q324(spark: SparkSession, sf: str) -> DataFrame:
     # materializing it (guide §8's decide-small/re-attach pattern).
     # The THIRD tokenize pass only produced doc-grain (doc_id, n_tok)
     # — pin that bounded frame instead of re-running scan+split.
-    sizes = tok.select(
-        "doc_id", F.size("toks").cast("bigint").alias("n_tok")
-    ).localCheckpoint(eager=True)
+    # the min-length filter moved HERE, after the checkpoint: the
+    # checkpoint is a hard pushdown barrier, so filtering on the
+    # materialized n_tok costs an integer compare instead of the
+    # substituted second tokenize the old pre-projection filter paid
+    sizes = (
+        tok.select(
+            "doc_id", F.size("toks").cast("bigint").alias("n_tok")
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.col("n_tok") >= SPAN_N)
+    )
     return (
         sizes
         .join(cov, "doc_id", "left")
@@ -194,18 +209,31 @@ def q325(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     # r14: spread the single-task scan before the tokenize/explode
     # (catalog.spread_scan; counts are order-exact)
+    # r14: no min-length filter on tk (it re-ran the tokenize via
+    # pushdown substitution, guide §4.4 — see q324); the gram CASE
+    # short-circuits short docs to NULL (explode drops them) and the
+    # qualifying-doc count rides a conditional sum over the projected
+    # toks attribute (free reference)
     tk = spread_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_TOKS).alias("toks")
-    ).filter(F.size("toks") >= TMPL_N)
-    total = tk.agg(F.count(F.lit(1)).alias("total"))
+    )
+    total = tk.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.size("toks") >= TMPL_N, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        ).alias("total")
+    )
     g = tk.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {TMPL_N - 1}),"
-                    f" i -> array_join(slice(toks, i, {TMPL_N}), ' '))"
-                )
+            F.expr(
+                f"CASE WHEN size(toks) >= {TMPL_N} THEN array_distinct("
+                f"transform(sequence(1, size(toks) - {TMPL_N - 1}),"
+                f" i -> array_join(slice(toks, i, {TMPL_N}), ' '))) END"
             )
         ).alias("gm"),
     )

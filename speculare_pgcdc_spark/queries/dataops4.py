@@ -726,17 +726,21 @@ def q339(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     # r14: spread the single-task scan before the tokenize/explode
     # (catalog.spread_scan; counts/min are order-exact)
+    # r14: no min-length filter on t (it re-ran the tokenize via
+    # pushdown substitution, guide §4.4 — see q324); the gram CASE
+    # short-circuits short docs to NULL, which explode drops
     t = spread_scan(docs.select("doc_id", "text")).select(
         F.expr(f"doc_id DIV {NOV_BATCH_W}").alias("batch"),
         F.expr(_TOKS).alias("toks"),
-    ).filter(F.size("toks") >= NOV_N)
+    )
     g = t.select(
         "batch",
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, size(toks) - "
+                f"CASE WHEN size(toks) >= {NOV_N} THEN array_distinct("
+                f"transform(sequence(1, size(toks) - "
                 f"{NOV_N - 1}), i -> array_join(slice(toks, i, "
-                f"{NOV_N}), ' ')))"
+                f"{NOV_N}), ' '))) END"
             )
         ).alias("gm"),
     ).distinct().localCheckpoint(eager=True)

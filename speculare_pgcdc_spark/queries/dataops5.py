@@ -323,16 +323,20 @@ def q343(spark: SparkSession, sf: str) -> DataFrame:
     # projection so the tokenize + gram explode + partial agg run at
     # session parallelism (catalog.spread_scan; counts are order-exact)
     pre = spread_scan(docs.select("doc_id", "source", "text"))
+    # r14: no min-length filter on t (it re-ran the tokenize via
+    # pushdown substitution, guide §4.4 — see q324); the gram CASE
+    # short-circuits short docs to NULL, which explode drops
     t = pre.select(
         "doc_id", "source", F.expr(_TOKS).alias("toks")
-    ).filter(F.size("toks") >= TMPL_N)
+    )
     g = t.select(
         "doc_id", "source",
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, size(toks) - "
+                f"CASE WHEN size(toks) >= {TMPL_N} THEN array_distinct("
+                f"transform(sequence(1, size(toks) - "
                 f"{TMPL_N - 1}), i -> array_join(slice(toks, i, "
-                f"{TMPL_N}), ' ')))"
+                f"{TMPL_N}), ' '))) END"
             )
         ).alias("gm"),
     )
