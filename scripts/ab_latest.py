@@ -1,18 +1,19 @@
-"""Interleaved same-session A/B of the latest_changes null-key barrier
-(r14).
+"""Interleaved same-session A/B of the latest_changes reduction shape.
 
 Usage: python scripts/ab_latest.py [qA qB ...] [--rounds N]
 
-Arm A monkeypatches cdc.apply.latest_changes back to the pre-change
-shape (filter(key IS NOT NULL) directly above the keyed projection —
-Catalyst pushes it below with the key expression substituted, re-running
-the full row_str map build per row); arm B is the shipped
-Generate-barrier form. Arms alternate which runs first per round in ONE
-engine session (ab_spread protocol).
+Arm A monkeypatches cdc.apply.latest_changes back to the r14-shipped
+one-pass form (max_by(_chg, _ord) — SortAggregate, because the
+map-typed _chg buffer is not hash-aggregable: per-partition sort of
+the full parsed batch); arm B is the shipped r15 join-back form
+(HashAggregate max over the packed decimal order key + join the
+winner back — guide §8's decide-on-a-proxy shape). Arms alternate
+which runs first per round in ONE engine session (ab_spread protocol).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -23,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from speculare_pgcdc_spark.catalog import eval_once  # noqa: E402
 from speculare_pgcdc_spark.cdc import apply as A  # noqa: E402
 from speculare_pgcdc_spark.queries import load_all  # noqa: E402
 from speculare_pgcdc_spark.session import get_spark  # noqa: E402
@@ -36,6 +38,7 @@ _NEW = A.latest_changes
 
 
 def _old_latest_changes(changes, key_col, key_t="string", tables=None):
+    """The r14-shipped form: barrier + one-pass max_by (SortAggregate)."""
     rel = changes if tables is None else changes.filter(
         F.col("table_name").isin(tables)
     )
@@ -45,7 +48,10 @@ def _old_latest_changes(changes, key_col, key_t="string", tables=None):
         .alias(key_col),
         F.struct("seq", "chg_idx").alias("_ord"),
         F.struct("kind", "row_str").alias("_chg"),
-    ).filter(F.col(key_col).isNotNull())
+    )
+    keyed = eval_once(keyed, key_col, "_ord", "_chg").filter(
+        F.col(key_col).isNotNull()
+    )
     return keyed.groupBy(key_col).agg(
         F.max_by("_chg", "_ord").alias("_chg")
     )
@@ -56,15 +62,12 @@ def _set_arm(new: bool) -> None:
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    rounds = 7
-    argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--rounds":
-            rounds = int(argv[i + 1])
-            names = [n for n in names if n != argv[i + 1]]
-    if not names:
-        names = DEFAULT_QUERIES
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--rounds", type=int, default=7)
+    args = ap.parse_args()
+    rounds = args.rounds
+    names = args.queries or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     spark = get_spark(app_name="ab-latest")

@@ -20,7 +20,7 @@ from speculare_pgcdc_spark.session import get_spark  # noqa: E402
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r14",
+    os.environ.get("SPARK_GRAFT_PLANS_TAG", "r15"),
 )
 
 

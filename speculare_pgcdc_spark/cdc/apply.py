@@ -117,6 +117,50 @@ def _change_key(key_col: str, from_cols: bool = False):
     )
 
 
+def _keyed_changes(
+    changes: DataFrame,
+    key_col: str,
+    key_t: str,
+    tables: list[str] | None,
+) -> DataFrame:
+    """The parsed batch at change grain, keyed and WAL-ordered:
+    ``key_col`` + ``_ord`` (decimal(32,0) packing of (seq, chg_idx) —
+    seq fits decimal(19,0) because it is a bigint and chg_idx fits
+    decimal(10,0) because it is a non-negative int, so
+    seq * 10^10 + chg_idx is an order-embedding of the (seq, chg_idx)
+    lexicographic WAL order into one numeric) + ``_chg`` (struct kind,
+    row_str). Packed rather than struct-typed because max over a
+    DECIMAL buffer is hash-aggregable while max/max_by over any
+    struct/map/string buffer plans as SortAggregate (UnsafeRow
+    mutability rule) — the r14 verdict's top remaining bottleneck on
+    the apply path."""
+    rel = changes if tables is None else changes.filter(
+        F.col("table_name").isin(tables)
+    )
+    keyed = rel.select(
+        _change_key(key_col, "_dk_names" in changes.columns)
+        .cast(key_t)
+        .alias(key_col),
+        (
+            F.col("seq").cast("decimal(19,0)")
+            * F.lit(10_000_000_000).cast("decimal(11,0)")
+            + F.col("chg_idx").cast("decimal(10,0)")
+        ).alias("_ord"),
+        F.struct("kind", "row_str").alias("_chg"),
+    )
+    # Generate barrier before the null-key guard (r14, guide §4.4's
+    # duplicate-evaluation defect): a filter above a projection is
+    # pushed below it with the alias SUBSTITUTED, so filtering on the
+    # key column directly re-ran the whole key expression — including
+    # the full row_str map build it reads through — once in the pushed
+    # filter and again in the projection. Behind catalog.eval_once the
+    # row is evaluated exactly once and the guard tests a materialized
+    # struct field instead.
+    return eval_once(keyed, key_col, "_ord", "_chg").filter(
+        F.col(key_col).isNotNull()
+    )
+
+
 def latest_changes(
     changes: DataFrame,
     key_col: str,
@@ -131,30 +175,31 @@ def latest_changes(
     touched-group derivation all read it (checkpointed by the
     caller), so the expensive feed-parse lineage runs ONCE per batch
     instead of once per consumer (round-13: the banded consumer's
-    extra passes were re-parsing the batch three times)."""
-    rel = changes if tables is None else changes.filter(
-        F.col("table_name").isin(tables)
+    extra passes were re-parsing the batch three times).
+
+    Shape (r15, the r14 verdict's top item): the old one-pass
+    ``max_by(_chg, _ord)`` planned as SortAggregate — the map-typed
+    ``_chg`` buffer is not hash-aggregable — i.e. a per-partition
+    sort of the FULL parsed batch (payload included) on the hottest
+    apply path. Now the decision is made on a lightweight proxy and
+    re-attached (guide §8): pin the parsed batch once
+    (localCheckpoint — also what keeps the parse at one run with two
+    consumers below), HashAggregate ``max(_ord)`` per key over just
+    (key, ord), and join the winners back on (key, ord) equality.
+    The payload is never sorted and never shuffled when AQE
+    broadcasts the tiny max-ord side. Correct because a WAL position
+    (seq, chg_idx) is unique per change — the join-back matches
+    exactly the one winning row per key. (A seq-less multi-message
+    feed can tie positions; those were already documented as
+    order-undefined — parse feeds carry seq.)"""
+    keyed = _keyed_changes(changes, key_col, key_t, tables).localCheckpoint(
+        eager=False
     )
-    keyed = rel.select(
-        _change_key(key_col, "_dk_names" in changes.columns)
-        .cast(key_t)
-        .alias(key_col),
-        F.struct("seq", "chg_idx").alias("_ord"),
-        F.struct("kind", "row_str").alias("_chg"),
-    )
-    # Generate barrier before the null-key guard (r14, guide §4.4's
-    # duplicate-evaluation defect): a filter above a projection is
-    # pushed below it with the alias SUBSTITUTED, so filtering on the
-    # key column directly re-ran the whole key expression — including
-    # the full row_str map build it reads through — once in the pushed
-    # filter and again in the projection. Behind catalog.eval_once the
-    # row is evaluated exactly once and the guard tests a materialized
-    # struct field instead.
-    keyed = eval_once(keyed, key_col, "_ord", "_chg").filter(
-        F.col(key_col).isNotNull()
-    )
-    return keyed.groupBy(key_col).agg(
-        F.max_by("_chg", "_ord").alias("_chg")
+    mx = keyed.groupBy(key_col).agg(F.max("_ord").alias("_max_ord"))
+    return (
+        keyed.join(mx, key_col)
+        .where(F.col("_ord") == F.col("_max_ord"))
+        .select(key_col, "_chg")
     )
 
 

@@ -603,6 +603,28 @@ def test_latest_changes_builds_row_map_once(spark):
     substituted, re-building the full row_str map per row (once in
     the filter, once in the projection). Behind the eval_once barrier
     the optimized plan holds exactly one map build."""
+    from speculare_pgcdc_spark.cdc.apply import _keyed_changes
+
+    feed = spark.createDataFrame(
+        [(1, INSERT_STR)], "lsn bigint, payload string"
+    )
+    changes = parse_wal2json(
+        feed, seq_col="lsn", delete_keys=True
+    ).withColumn("table_name", F.col("table"))
+    # lint the pre-checkpoint keyed frame (latest_changes itself pins
+    # it behind a localCheckpoint, which truncates the visible plan)
+    keyed = _keyed_changes(changes, "id", "string", TABLES)
+    plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("map_from_arrays") == 1, plan
+
+
+def test_latest_changes_agg_is_hash_not_sort(spark):
+    """r15 (r14 verdict item 1): the per-key latest-change reduction
+    must plan as HashAggregate — the old max_by over the map-typed
+    _chg buffer planned as SortAggregate (per-partition sort of the
+    full parsed payload). The rewrite aggregates max over a packed
+    decimal (seq, chg_idx) order key and joins the winner back, so
+    the executed plan holds a HashAggregate and NO SortAggregate."""
     from speculare_pgcdc_spark.cdc.apply import latest_changes
 
     feed = spark.createDataFrame(
@@ -612,8 +634,9 @@ def test_latest_changes_builds_row_map_once(spark):
         feed, seq_col="lsn", delete_keys=True
     ).withColumn("table_name", F.col("table"))
     lat = latest_changes(changes, "id", tables=TABLES)
-    plan = lat._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("map_from_arrays") == 1, plan
+    plan = lat._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
 
 
 def test_ensure_feed_hot_recovers_dropped_cache(spark, sf_dir):
